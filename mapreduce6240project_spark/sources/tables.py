@@ -1,0 +1,60 @@
+"""Loaders for the driver's parquet star schema (TESTDATA.md).
+
+Plain ``spark.read.parquet`` -- columnar scan with predicate pushdown and
+column pruning from Catalyst.  At cluster scale the same call reads a
+partitioned/bucketed table layout; nothing here is local-mode specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Columns that are *semantically* timestamps.  Some of the driver's
+#: parquet files store them as TIMESTAMP(NANOS), which Spark only reads
+#: as nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``); others
+#: are plain microsecond timestamps.  ``load_table`` converts the
+#: long-typed ones to microsecond timestamps with *truncating* integer
+#: division -- exactly what DuckDB does when it coerces ns -> us, so
+#: oracle comparisons on time values match bit-for-bit.
+TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for col in TS_COLUMNS.get(name, ()):
+        if dtypes.get(col) == "bigint":  # TIMESTAMP(NANOS) read as long
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtypes.get(col, "").startswith("timestamp_ntz"):
+            # normalize NTZ -> session-TZ (UTC) timestamp for uniform ops
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries can
+    use the same table names the DuckDB oracle sees."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
