@@ -1,0 +1,227 @@
+"""k-medoids clustering -- the reference's flagship query.
+
+Subsumes Cluster.java (k=3), Cluster2/4/5.java (k=2/4/5) and
+kmeansCluster.java (~1,700 of the reference's ~2,550 lines): the four
+copy-paste k variants collapse into the ``k``/``seeds`` parameters
+(SURVEY.md section 2.8 C3).
+
+Spark-first design (SURVEY.md sections 3.2 / 4):
+
+* **Assignment** (J1 + A6): the reference does N x k HBase point Gets
+  per scan row (Cluster.java:95-107).  Here the k medoids are collected
+  to the driver (k <= 5 rows) and folded into k literal distance
+  expression columns -- the assignment is a *narrow projection* over one
+  columnar scan: no join node, no shuffle, fully whole-stage-codegen.
+  At 100 TB this is the optimal plan: one pass over the data per
+  iteration, k FLOPs per row.
+* **True argmin** fixes the reference's broken min-tracking
+  (Cluster.java:109-115 never updates ``minDistance`` -- SURVEY.md
+  section 2.9.1): ``array_position(arr, array_min(arr))`` gives the
+  first (lowest-index) minimum, the intended tie-break.
+* **Medoid update** (J3 + A5): the intended per-cluster
+  pairwise-distance argmin (the reference's nested reducer iteration is
+  broken, section 2.9.2) as a self equi-join on ``cluster`` +
+  ``min(struct(total_dist, tweet_id))`` for a deterministic argmin.
+  This is the only shuffle in the loop.  It is O(sum n_c^2); at scale
+  pass ``update_cap`` to bound the per-cluster pairwise set with a
+  deterministic hash-sample -- the classic CLARA-style medoid
+  approximation -- turning the update into O(sum min(n_c, cap)^2).
+* **Convergence** (C2): driver-side displacement check against
+  ``tol`` (reference ``limit = 1.5``, Cluster.java:26,355-382), plus
+  early stop when assignments are stable (medoids unchanged).
+* **Iterative lineage**: features are persisted once; each iteration
+  derives from the persisted scan, so lineage does not grow with
+  iterations (the loop recomputes from cache, not from raw input).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.functions.distance import (
+    DISTANCE_FEATURES,
+    HASHTAG_WEIGHT,
+    feature_distance,
+    medoid_distance_literal,
+)
+
+FEATURE_COLS = ("tweet_id",) + DISTANCE_FEATURES
+
+
+def _py_distance(a: dict, b: dict, weighted: bool = True) -> float:
+    """Driver-side mirror of the distance kernel (Cluster.java:32-43),
+    used only on the k collected medoid rows for the convergence test."""
+    w = HASHTAG_WEIGHT if weighted else 1.0
+    return math.sqrt(
+        (a["time_bucket"] - b["time_bucket"]) ** 2
+        + (w * (a["num_hashtags"] - b["num_hashtags"])) ** 2
+        + (1.0 if a["language"] != b["language"] else 0.0)
+        + (a["has_video"] - b["has_video"]) ** 2
+    )
+
+
+def _collect_medoids(features: DataFrame, ids: Sequence[int]) -> list[dict]:
+    rows = (
+        features.filter(F.col("tweet_id").isin(*[int(i) for i in ids]))
+        .select(*FEATURE_COLS)
+        .collect()
+    )
+    by_id = {r["tweet_id"]: r.asDict() for r in rows}
+    missing = [i for i in ids if int(i) not in by_id]
+    if missing:
+        raise ValueError(f"seed medoid ids not found in features: {missing}")
+    return [by_id[int(i)] for i in ids]
+
+
+def assign_clusters(
+    features: DataFrame, medoids: Sequence[dict], weighted: bool = True
+) -> DataFrame:
+    """J1 + A6: nearest-medoid assignment as k literal expression columns
+    + first-min argmin.  Returns ``features`` + ``cluster INT``."""
+    dists = F.array(*[medoid_distance_literal(m, weighted) for m in medoids])
+    return features.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def update_medoids(
+    assigned: DataFrame,
+    weighted: bool = True,
+    update_cap: int | None = None,
+) -> DataFrame:
+    """J3 + A5: per-cluster pairwise-distance argmin (intended semantics
+    of Cluster.java:229-265).  Returns one row per cluster:
+    ``(cluster, tweet_id)`` -- the new medoid.
+
+    ``update_cap``: at scale, deterministically cap the members entering
+    the O(n^2) pairwise set per cluster (CLARA-style sample, ordered by
+    ``xxhash64(tweet_id)`` so it is seed-stable and uniform).
+    """
+    members = assigned.select("cluster", *FEATURE_COLS)
+    if update_cap is not None:
+        w = Window.partitionBy("cluster").orderBy(F.xxhash64("tweet_id"), "tweet_id")
+        members = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= update_cap)
+            .drop("_rn")
+        )
+    a = members.alias("a")
+    b = members.alias("b")
+    pair_dist = feature_distance("a.", "b.", weighted)
+    totals = (
+        a.join(b, "cluster")
+        .groupBy("cluster", F.col("a.tweet_id").alias("tweet_id"))
+        .agg(F.sum(pair_dist).alias("total_dist"))
+    )
+    # deterministic argmin: lowest total distance, ties -> lowest id
+    return totals.groupBy("cluster").agg(
+        F.min(F.struct("total_dist", "tweet_id"))["tweet_id"].alias("tweet_id")
+    )
+
+
+def cluster_cost(
+    assigned: DataFrame, medoids: Sequence[dict], weighted: bool = True
+) -> DataFrame:
+    """A4 (distanceCal.java:75-101): per-cluster sum of member->medoid
+    distance, the elbow-method cost.  Pure groupBy-sum over the same
+    literal distance expressions -- one shuffle of k rows."""
+    dists = F.array(*[medoid_distance_literal(m, weighted) for m in medoids])
+    return (
+        assigned.withColumn("_cost", F.element_at(dists, F.col("cluster") + 1))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("_cost"), 4).alias("total_cost"),
+        )
+    )
+
+
+@dataclass
+class KMedoidsResult:
+    assignments: DataFrame  # (tweet_id, cluster) + feature cols
+    medoids: list[dict]  # k feature rows
+    iterations: int = 0
+    converged: bool = False
+    history: list[list[float]] = field(default_factory=list)  # displacement per iter
+
+
+def kmedoids(
+    features: DataFrame,
+    k: int | None = None,
+    seeds: Sequence[int] | None = None,
+    max_iter: int = 10,
+    tol: float = 1.5,
+    weighted: bool = True,
+    update_cap: int | None = None,
+) -> KMedoidsResult:
+    """Lloyd-style k-medoids (C1/C2, Cluster.java:310-386 intended
+    semantics; the reference's degenerate one-iteration loop bounds are
+    not replicated -- SURVEY.md section 6).
+
+    ``seeds``: medoid tweet_ids; defaults to a deterministic k-draw via
+    :func:`mapreduce6240project_spark.operators.sampling.sample_k_seeds`.
+    """
+    if seeds is None:
+        if k is None:
+            raise ValueError("pass k or seeds")
+        from mapreduce6240project_spark.operators.sampling import sample_k_seeds
+
+        seeds = [r.tweet_id for r in sample_k_seeds(features, k).collect()]
+    seeds = [int(s) for s in seeds]
+    k = len(seeds)
+
+    features = features.select(*FEATURE_COLS).persist()
+    features.count()  # materialize once; iterations re-read the cache
+    medoids = _collect_medoids(features, seeds)
+
+    result = KMedoidsResult(assignments=features, medoids=medoids)
+    assigned = assign_clusters(features, medoids, weighted)
+    for it in range(1, max_iter + 1):
+        result.iterations = it
+        new_ids_rows = update_medoids(assigned, weighted, update_cap).collect()
+        new_ids = [r.tweet_id for r in sorted(new_ids_rows, key=lambda r: r.cluster)]
+        # clusters can be empty (id missing) -- keep the old medoid then
+        old_by_idx = {i: m for i, m in enumerate(medoids)}
+        got = _collect_medoids(features, new_ids) if new_ids else []
+        by_cluster = dict(zip((r.cluster for r in sorted(new_ids_rows, key=lambda r: r.cluster)), got))
+        new_medoids = [by_cluster.get(i, old_by_idx[i]) for i in range(k)]
+
+        displacement = [
+            _py_distance(old, new, weighted)
+            for old, new in zip(medoids, new_medoids)
+        ]
+        result.history.append(displacement)
+        medoids = new_medoids
+        assigned = assign_clusters(features, medoids, weighted)
+        if all(d <= tol for d in displacement):
+            result.converged = True
+            break
+
+    result.assignments = assigned
+    result.medoids = medoids
+    return result
+
+
+def elbow(
+    features: DataFrame,
+    ks: Sequence[int] = (2, 3, 4, 5),
+    seeds_by_k: dict[int, Sequence[int]] | None = None,
+    **kw,
+) -> DataFrame:
+    """C3: the reference's multi-k elbow sweep (one copy-paste file per k
+    + distanceCal.java) as a parameter sweep.  Returns
+    ``(k, cluster, n_members, total_cost)``."""
+    spark = features.sparkSession
+    out = None
+    for k in ks:
+        seeds = seeds_by_k.get(k) if seeds_by_k else None
+        res = kmedoids(features, k=k, seeds=seeds, **kw)
+        costs = cluster_cost(res.assignments, res.medoids).withColumn("k", F.lit(k))
+        out = costs if out is None else out.unionByName(costs)
+    return out.select("k", "cluster", "n_members", "total_cost")

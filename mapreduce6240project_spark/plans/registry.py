@@ -1,0 +1,475 @@
+"""Named query registry -- the driver contract surface.
+
+Each :class:`QuerySpec` pairs a PySpark implementation
+``fn(spark, sf_dir) -> DataFrame`` with (when SQL-expressible) an ANSI
+SQL string DuckDB runs on the same parquet tables.  Column names are
+aligned on both sides (the driver hashes values after sorting columns
+by name).  Float aggregates are rounded to 4 digits on both sides so
+non-associative double addition order cannot flip the hash.
+
+Queries map 1:1 to the operator inventory in SURVEY.md section 2; the
+``ref`` field cites the reference behavior each one re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.functions.distance import HASHTAG_WEIGHT
+from mapreduce6240project_spark.functions.parsing import recode_language
+from mapreduce6240project_spark.operators.analytics import (
+    histogram,
+    lang_recoded_avg,
+    row_count,
+)
+from mapreduce6240project_spark.operators.clustering import (
+    assign_clusters,
+    cluster_cost,
+    kmedoids,
+)
+from mapreduce6240project_spark.operators.lookup import point_lookup, range_scan
+from mapreduce6240project_spark.operators.sampling import sample_k_seeds, seed_hash
+from mapreduce6240project_spark.sources.tables import load_table
+from mapreduce6240project_spark.sources.tweets import (
+    TWEET_FEATURES_SQL_CTE,
+    tweet_features_from_events,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    ref: str  # reference file:line this op re-expresses
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, ref: str, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, ref, headline)
+        return fn
+
+    return deco
+
+
+def _with_features(sql: str) -> str:
+    return f"WITH {TWEET_FEATURES_SQL_CTE} {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Fixed medoid literals for the SQL-expressible (non-iterative) clustering
+# queries.  Plain feature values, embedded identically in the Spark
+# expressions and the oracle SQL.
+# ---------------------------------------------------------------------------
+
+MEDOIDS_BY_K: dict[int, list[dict]] = {
+    2: [
+        {"time_bucket": 1, "num_hashtags": 0, "language": "en", "has_video": 0},
+        {"time_bucket": 3, "num_hashtags": 3, "language": "tr", "has_video": 1},
+    ],
+    3: [
+        {"time_bucket": 1, "num_hashtags": 0, "language": "en", "has_video": 0},
+        {"time_bucket": 2, "num_hashtags": 3, "language": "tr", "has_video": 1},
+        {"time_bucket": 3, "num_hashtags": 2, "language": "es", "has_video": 0},
+    ],
+    4: [
+        {"time_bucket": 0, "num_hashtags": 0, "language": "en", "has_video": 0},
+        {"time_bucket": 1, "num_hashtags": 2, "language": "tr", "has_video": 0},
+        {"time_bucket": 2, "num_hashtags": 3, "language": "es", "has_video": 1},
+        {"time_bucket": 3, "num_hashtags": 1, "language": "de", "has_video": 1},
+    ],
+    5: [
+        {"time_bucket": 0, "num_hashtags": 0, "language": "en", "has_video": 0},
+        {"time_bucket": 1, "num_hashtags": 1, "language": "tr", "has_video": 0},
+        {"time_bucket": 2, "num_hashtags": 2, "language": "es", "has_video": 1},
+        {"time_bucket": 3, "num_hashtags": 3, "language": "de", "has_video": 1},
+        {"time_bucket": 2, "num_hashtags": 0, "language": "en", "has_video": 1},
+    ],
+}
+
+
+def _dist_sql(m: dict, weighted: bool = True) -> str:
+    """SQL mirror of functions.distance.medoid_distance_literal."""
+    w = HASHTAG_WEIGHT if weighted else 1.0
+    return (
+        f"sqrt(power(time_bucket - {m['time_bucket']}, 2)"
+        f" + power((num_hashtags - {m['num_hashtags']}) * {w}, 2)"
+        f" + (CASE WHEN language <> '{m['language']}' THEN 1.0 ELSE 0.0 END)"
+        f" + power(has_video - {m['has_video']}, 2))"
+    )
+
+
+def _argmin_case_sql(k: int) -> str:
+    """First-minimum argmin over d0..d{k-1} -- same tie-break as
+    array_position(arr, array_min(arr)) (lowest index wins)."""
+    clauses = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(k) if j != i)
+        clauses.append(f"WHEN {conds} THEN {i}")
+    return "CASE " + " ".join(clauses) + f" ELSE {k - 1} END"
+
+
+def _assign_sql(k: int) -> str:
+    """CTE body producing (features..., cluster) for the fixed medoids."""
+    dists = ",\n      ".join(
+        f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[k])
+    )
+    return f"""
+assigned AS (
+  SELECT *, CAST({_argmin_case_sql(k)} AS INT) AS cluster
+  FROM (SELECT *, {dists} FROM features)
+)"""
+
+
+# ===========================================================================
+# Reference-parity queries (SURVEY.md section 2)
+# ===========================================================================
+
+
+@_register(
+    "ingest_featurize",
+    _with_features("SELECT * FROM features"),
+    ref="kmeans.java:24-112 (ETL populate job)",
+    headline=True,
+)
+def q_ingest_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tweet_features_from_events(spark, sf_dir)
+
+
+@_register(
+    "range_scan_features",
+    _with_features(
+        "SELECT tweet_id, language, num_hashtags, time_bucket, has_video "
+        "FROM features WHERE tweet_id BETWEEN 100 AND 499"
+    ),
+    ref="Cluster.java:66-81 (HBase prefix range scan S7)",
+)
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    return range_scan(feats, "tweet_id", 100, 499).select(
+        "tweet_id", "language", "num_hashtags", "time_bucket", "has_video"
+    )
+
+
+@_register(
+    "point_lookup",
+    _with_features(
+        "SELECT * FROM features WHERE tweet_id IN (3, 5, 7, 11, 13, 101, 999)"
+    ),
+    ref="Cluster.java:96-102 (HBase Get S8)",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    return point_lookup(feats, "tweet_id", [3, 5, 7, 11, 13, 101, 999])
+
+
+@_register(
+    "sample_seeds",
+    _with_features(
+        "SELECT tweet_id FROM (SELECT DISTINCT tweet_id FROM features) "
+        "ORDER BY (tweet_id * 1103515245 + 12345) % 2147483648, tweet_id LIMIT 5"
+    ),
+    ref="random.java:89-111 (distinct random k-draw R2, made deterministic)",
+)
+def q_sample_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    return sample_k_seeds(feats, 5)
+
+
+def _cluster_assign_oracle() -> str:
+    dists = ", ".join(f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[3]))
+    return _with_features(
+        f"SELECT tweet_id, CAST({_argmin_case_sql(3)} AS INT) AS cluster "
+        f"FROM (SELECT *, {dists} FROM features)"
+    )
+
+
+@_register(
+    "cluster_assign_k3",
+    None,  # set right below (needs the SQL builders defined first)
+    ref="Cluster.java:92-117 (J1 broadcast assignment + fixed A6 argmin)",
+    headline=True,
+)
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    return assign_clusters(feats, MEDOIDS_BY_K[3]).select("tweet_id", "cluster")
+
+
+REGISTRY["cluster_assign_k3"] = QuerySpec(
+    "cluster_assign_k3",
+    q_cluster_assign,
+    _cluster_assign_oracle(),
+    REGISTRY["cluster_assign_k3"].ref,
+    headline=True,
+)
+
+
+@_register(
+    "cluster_cost_k3",
+    _with_features(
+        f", {_assign_sql(3).lstrip()}"
+        ""
+        """
+SELECT cluster, count(*) AS n_members,
+       round(sum(CASE cluster WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END), 4) AS total_cost
+FROM assigned GROUP BY cluster"""
+    ),
+    ref="distanceCal.java:75-101 (A4 per-cluster WCSS cost)",
+    headline=True,
+)
+def q_cluster_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    assigned = assign_clusters(feats, MEDOIDS_BY_K[3])
+    return cluster_cost(assigned, MEDOIDS_BY_K[3])
+
+
+@_register(
+    "elbow_sweep",
+    None,  # filled in below programmatically (UNION ALL over k)
+    ref="Cluster2/4/5.java + distanceCal.java (C3 multi-k elbow)",
+)
+def q_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    out = None
+    for k, medoids in MEDOIDS_BY_K.items():
+        assigned = assign_clusters(feats, medoids)
+        costs = cluster_cost(assigned, medoids).withColumn("k", F.lit(k))
+        out = costs if out is None else out.unionByName(costs)
+    return out.select("k", "cluster", "n_members", "total_cost")
+
+
+def _elbow_oracle() -> str:
+    parts = []
+    for k in MEDOIDS_BY_K:
+        case = " ".join(f"WHEN {i} THEN d{i}" for i in range(k))
+        parts.append(
+            f"""SELECT {k} AS k, cluster, count(*) AS n_members,
+round(sum(CASE cluster {case} END), 4) AS total_cost
+FROM (SELECT *, CAST({_argmin_case_sql(k)} AS INT) AS cluster FROM
+  (SELECT *, {", ".join(f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[k]))}
+   FROM features)) GROUP BY cluster"""
+        )
+    return _with_features(" UNION ALL ".join(parts))
+
+
+REGISTRY["elbow_sweep"] = QuerySpec(
+    "elbow_sweep",
+    REGISTRY["elbow_sweep"].fn,
+    _elbow_oracle(),
+    REGISTRY["elbow_sweep"].ref,
+    headline=True,
+)
+
+
+@_register(
+    "video_histogram",
+    _with_features(
+        "SELECT has_video, count(*) AS n FROM features GROUP BY has_video"
+    ),
+    ref="Analysis.java:98,123-142 (A1 group-by count)",
+)
+def q_video_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram(tweet_features_from_events(spark, sf_dir), "has_video")
+
+
+@_register(
+    "lang_avg_likes",
+    _with_features(
+        """
+SELECT CASE WHEN language IN ('en','tr') THEN language ELSE 'others' END AS lang_group,
+       count(*) AS n, round(avg(like_count), 4) AS avg_like_count
+FROM features GROUP BY 1"""
+    ),
+    ref="Analysis.java:95-97,104-141 (A2 group avg + P9 recode)",
+)
+def q_lang_avg_likes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_recoded_avg(tweet_features_from_events(spark, sf_dir))
+
+
+@_register(
+    "global_count",
+    "SELECT count(*) AS n FROM lineitem",
+    ref="test.java:45-99 (A3 global count w/ in-mapper combining)",
+)
+def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return row_count(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "kmedoids_k3",
+    None,  # iterative driver loop -- not SQL-expressible; rows-only check
+    ref="Cluster.java:310-386 (C1/C2 full k-medoids, intended semantics)",
+    headline=True,
+)
+def q_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    res = kmedoids(feats, k=3, max_iter=10, tol=0.0)
+    return cluster_cost(res.assignments, res.medoids).select(
+        "cluster", "n_members", "total_cost"
+    )
+
+
+# ===========================================================================
+# Generic relational coverage over the star schema (the engine primitives
+# the reference exercises, at TPC-H-ish query shapes: joins, multi-agg,
+# windows, semi joins, set ops)
+# ===========================================================================
+
+
+@_register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    ref="generic A2/A3 shape (TPC-H Q1 pattern)",
+    headline=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "top_customers",
+    """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 10""",
+    ref="J2 equi-join + A2 agg + top-k (absent R4 in reference, engine adds)",
+    headline=True,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "regional_revenue",
+    """
+SELECT r.r_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name""",
+    ref="multi-join + agg (TPC-H Q5 pattern; J2 at scale)",
+    headline=True,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "top3_orders_per_segment",
+    """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+) WHERE rn <= 3""",
+    ref="R4 top-k per group (absent in reference; engine extension)",
+)
+def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@_register(
+    "late_ship_priority",
+    """
+SELECT o.o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority""",
+    ref="semi join (free via df.join how='left_semi'; TPC-H Q4 pattern)",
+)
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "acctbal_except",
+    """
+SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    ref="R5 set ops (absent in reference; engine gets them free)",
+)
+def q_acctbal_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.exceptAll(b).distinct()
