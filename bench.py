@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query is executed once to completion (count() action over the
+returned DataFrame) after a warm-up of the Spark session; the measured
+time includes planning + execution, excluding JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mapreduce6240project_spark.plans import REGISTRY  # noqa: E402
+from mapreduce6240project_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench")
+    # warm up the JVM / parquet footer caches with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    headline = [s for s in REGISTRY.values() if s.headline]
+    for spec in headline:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.count()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

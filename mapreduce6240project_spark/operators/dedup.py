@@ -1,0 +1,277 @@
+"""Deduplication operators over a document table -- the extension surface
+a large-scale training-data pipeline needs (BASELINE.json north star;
+absent from the reference, whose only dedup-adjacent op is the distinct
+k-draw in random.java:89-111).
+
+Five strategies, all shuffle-conscious:
+
+* exact            -- hash-groupBy on a normalized-text digest (md5, so
+                      the DuckDB oracle reproduces it byte-for-byte).
+* minhash_lsh      -- shingle -> 64-perm MinHash signature -> banded
+                      bucket join.  Candidate generation is an equi-join
+                      on (band, band_hash): no O(n^2) pair scan; work is
+                      proportional to colliding pairs, the property that
+                      makes MinHash-LSH the 100 TB dedup workhorse.
+* simhash          -- 64-bit sign-sum fingerprint; near-dup candidates
+                      share one of 4 16-bit chunks (Hamming <= 3 within
+                      chunk-collision candidates).
+* ngram_jaccard    -- exact n-gram-set Jaccard via a relational
+                      token-join (distinct shingles self-join); fully
+                      SQL-expressible, used as the oracle-checkable
+                      ground truth the probabilistic methods approximate.
+* embedding cosine -- see operators.similarity (near-dup at cos >= t).
+
+Hash functions are Spark's xxhash64 (seeded per permutation by mixing a
+literal) -- JVM-side, codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col) -> F.Column:
+    """Lowercase + collapse whitespace: canonical form for fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col) -> F.Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array<string>.  Documents shorter than
+    ``n`` tokens yield one shingle: their whole normalized text.  (The
+    short-doc branch must be explicit -- Spark's ``sequence(1, 0)`` is a
+    *descending* [1, 0], not empty.)"""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text md5 digest.
+    One hash-partition shuffle on the digest; at 100 TB this is the
+    cheapest possible dedup (no text comparison after hashing)."""
+    return (
+        docs.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) -- element i = min over shingles of
+    xxhash64(i, shingle).  Explode + 64 partial-aggregated mins: one
+    shuffle keyed by doc id, map-side combining keeps it linear."""
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, verified by the
+    signature-estimated Jaccard.  Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b and est_jaccard >= threshold."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select(id_col, "sig", band_idx).withColumn(
+        "band_hash",
+        F.xxhash64(F.col("band"), F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(n_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
+    """Survivor set after MinHash near-dup removal: drop the higher id of
+    every near-dup pair (connected-component-free greedy, adequate for
+    pipeline dedup; exact CC needs iterative joins)."""
+    id_col = kw.get("id_col", "doc_id")
+    pairs = minhash_lsh_pairs(docs, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash bigint): sign-sum over token hashes.  Computed
+    entirely with array expressions (no explode): for each bit, count
+    tokens with that bit set vs total."""
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+    )
+    n_tok = F.size(tok_hashes)
+    # bit b of the simhash = 1 iff (#tokens with bit b set) * 2 > n_tok
+    bit_cols = []
+    for b in range(bits - 1):  # 63 bits: keep the result positive
+        ones = F.size(
+            F.filter(tok_hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit_cols.append(F.when(ones * 2 > n_tok, F.lit(2**b).cast("bigint")).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return docs.select(F.col(id_col), total.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.  Candidates
+    must share one of ``chunks`` 16-bit chunks (pigeonhole: any pair
+    within Hamming 3 shares at least one of 4 chunks), so the join is an
+    equi-join on (chunk_idx, chunk_value) -- linear, not O(n^2)."""
+    sh = simhash(docs, text_col, id_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (relational; the oracle-checkable ground truth)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-n-gram sets, computed as a
+    token self-join: |A ∩ B| from the join, |A ∪ B| = |A|+|B|-|A∩B|.
+    Pure relational plan (explode -> join -> agg); candidate work scales
+    with shared-shingle pairs.  Returns (id_a, id_b, jaccard >= t)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

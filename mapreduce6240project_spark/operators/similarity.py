@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (array<float>).
+
+Extension surface (BASELINE.json north star): brute-force cosine top-k
+as the exact baseline, plus an IVF (inverted-file) variant as the scale
+path -- at 100 TB you never brute-force; you partition the vector space
+into cells, co-locate each cell's vectors, and probe a handful of cells
+per query.
+
+All vector math is built-in array expressions (``zip_with`` +
+``aggregate``): JVM-side, no Python per row.  A Pandas-UDF variant would
+win only for very wide vectors (>1k dims) where BLAS batching pays; at
+64 dims expressions are faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine to a literal query vector.
+    Plan: one narrow projection + TakeOrderedAndProject (per-partition
+    top-k, k-row merge on the driver) -- no global sort, no shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.withColumn("sim", cosine(vec_col, q))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold) via IVF-bucketed
+    candidate generation: vectors are assigned to their nearest centroid
+    cell and only same-cell pairs are compared.  Approximate (cross-cell
+    near-dups are missed -- standard IVF recall trade-off)."""
+    cells = ivf_assign(embeddings, n_cells=16, id_col=id_col, vec_col=vec_col)
+    a, b = cells.alias("a"), cells.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _deterministic_centroids(
+    embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: the n_cells vectors with the lowest
+    multiplicative-hash of their id (same LCG as operators.sampling).
+    A k-means refinement would improve cell balance; for a seed-stable
+    index this single pass suffices and never re-reads the data."""
+    from mapreduce6240project_spark.operators.sampling import seed_hash
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(seed_hash(id_col), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (by cosine) centroid cell.
+    Centroids are collected to the driver (n_cells rows) and folded in as
+    literal arrays -- same broadcast-literal pattern as the k-medoids
+    assignment: narrow projection, no join, no shuffle."""
+    cents = _deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+    sims = F.array(
+        *[
+            cosine(vec_col, F.array(*[F.lit(x) for x in vec]))
+            for _, vec in cents
+        ]
+    )
+    return embeddings.withColumn(
+        "cell", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe cells whose centroids are
+    most similar to the query; exact cosine within probed cells.  At
+    scale the cell assignment is precomputed and partitioned by cell, so
+    a query touches n_probe/n_cells of the data."""
+    import math
+
+    cents = _deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+
+    def py_cos(a: Sequence[float], b: Sequence[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(cents)), key=lambda i: -py_cos(query_vec, cents[i][1])
+    )[:n_probe]
+    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .withColumn("sim", cosine(vec_col, q))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )

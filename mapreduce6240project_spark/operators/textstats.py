@@ -1,0 +1,135 @@
+"""Text analysis over the documents table (extension surface): language
+ID, quality scoring, token counting, fingerprinting, per-language stats.
+
+Everything is Catalyst expressions (regex + string built-ins) so the
+whole module stays inside whole-stage codegen and is oracle-checkable in
+DuckDB with the same regex/string semantics (patterns restricted to the
+subset where Java regex and RE2 agree: character classes, no lookaround).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators.dedup import normalize_text
+
+# Minimal per-language stopword markers (public common words).  The
+# heuristic counts marker hits per language and picks the argmax --
+# n-gram-free but the same shape as real n-gram LID at expression level.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(normalize_text(col), " "))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish subword estimate: alphanumeric runs + standalone
+    punctuation, the classic pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+
+
+def _marker_hits(col, words: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word (space-padded match on the
+    normalized text)."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    hits = None
+    for w in words:
+        # occurrences of " w " via length delta; non-overlapping is fine
+        # for distinct marker words
+        n = (F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("")))) / F.lit(
+            len(w) + 2
+        )
+        hits = n if hits is None else hits + n
+    return hits.cast("int")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hits (ties -> the
+    earlier language in LANG_MARKERS order, 'unknown' when no marker
+    hits at all)."""
+    langs = list(LANG_MARKERS)
+    scores = [_marker_hits(text_col, LANG_MARKERS[l]) for l in langs]
+    arr = F.array(*scores)
+    best = F.array_position(arr, F.array_max(arr)).cast("int")  # 1-based first max
+    pred = (
+        F.when(F.array_max(arr) <= 0, F.lit("unknown"))
+        .otherwise(F.element_at(F.array(*[F.lit(l) for l in langs]), best))
+    )
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1]:
+    length band, punctuation density, stopword ratio, mean word length.
+    The weights are arbitrary but fixed; the point is the feature
+    plumbing (each feature is one expression over one scan)."""
+    norm = normalize_text(text_col)
+    n_chars = F.length(norm)
+    n_tok = token_count(text_col)
+    n_punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[^a-z0-9 ]", ""))
+    stop_hits = _marker_hits(text_col, LANG_MARKERS["en"]).cast("double")
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4)
+    avg_word_len = F.round(
+        (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)).cast("double"), 4
+    )
+    len_band = (
+        F.when(n_chars < 50, 0.2).when(n_chars < 200, 0.6).when(n_chars < 2000, 1.0).otherwise(0.7)
+    )
+    raw_score = (
+        len_band * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
+    )
+    # explicit floor-based rounding: engine round() implementations differ
+    # at representation boundaries (Spark BigDecimal HALF_UP vs DuckDB
+    # multiply+round), but floor(x*1e4 + 0.5) is the same IEEE arithmetic
+    # everywhere -- keeps the oracle hash-exact
+    score = F.floor(raw_score * 10000 + F.lit(0.5)) / 10000.0
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized text
+    (exact identity) + xxhash64 content hash (cheap 64-bit join key)."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(normalize_text(text_col)).alias("fingerprint"),
+        F.xxhash64(normalize_text(text_col)).alias("fingerprint64"),
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus stats: doc count, char percentiles, mean
+    token count.  percentile_approx would be the 100 TB choice; here the
+    exact percentile keeps the DuckDB oracle byte-identical."""
+    return (
+        docs.withColumn("n_tok", token_count(text_col))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

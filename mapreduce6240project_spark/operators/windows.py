@@ -1,0 +1,92 @@
+"""Time-window analytics over the events table (SURVEY.md section 2.11:
+absent from the batch-only reference; designated extension surface).
+
+Batch implementations here; ``streaming.jobs`` wraps the same logic as
+Structured Streaming queries.  Window starts are returned as epoch
+*seconds* (bigint) so the DuckDB oracle compares integers, not
+timestamp-rendering details.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window(
+    events: DataFrame,
+    width: str = "10 minutes",
+    ts_col: str = "ts",
+    width_s: int = 600,
+) -> DataFrame:
+    """Tumbling count/sum per (window, event_type).  ``F.window`` is the
+    native operator; epoch-aligned, one shuffle (partial agg first)."""
+    return (
+        events.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    width/slide windows."""
+    from mapreduce6240project_spark.functions.numeric import stable_avg_cents
+
+    return (
+        events.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), stable_avg_cents("value").alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization: events of a user belong to one session while
+    consecutive gaps stay below ``gap``.
+
+    Batch implementation is the classic gaps-and-islands window plan
+    (lag -> new-session flag -> running sum), one shuffle on the user
+    key; semantically identical to ``F.session_window`` grouping (new
+    session iff ts >= prev_ts + gap) and expressible in ANSI SQL for the
+    oracle.  The streaming variant (streaming.jobs.streaming_sessions)
+    uses the native ``session_window``.
+    Returns (user_id, session_start epoch-s, n_events, duration_s).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = gap_s * 1_000_000
+    flagged = events.withColumn(
+        "_new",
+        F.when(us - F.lag(us).over(w) >= gap_us, 1).when(
+            F.lag(us).over(w).isNull(), 1
+        ).otherwise(0),
+    ).withColumn("_session", F.sum("_new").over(w))
+    return (
+        flagged.groupBy(key_col, "_session")
+        .agg(
+            (F.floor(F.min(us) / 1_000_000)).alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.floor((F.max(us) - F.min(us)) / 1_000_000).alias("duration_s"),
+        )
+        .select(key_col, "session_start", "n_events", "duration_s")
+    )

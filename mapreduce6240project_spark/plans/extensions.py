@@ -1,0 +1,373 @@
+"""Extension queries (dedup / similarity / text analysis / multimodal /
+windows / streaming) registered into the shared REGISTRY.
+
+Oracle philosophy: everything whose kernel is reproducible in ANSI SQL
+gets a full DuckDB oracle (exact dedup via md5, relational n-gram
+Jaccard, cosine top-k in explicit double arithmetic, window/session
+analytics in epoch seconds).  The xxhash64-based probabilistic methods
+(MinHash-LSH, SimHash) and IVF ANN have no DuckDB-reproducible hash, so
+they get rows-only checks here and exact-ground-truth comparisons in
+tests/test_dedup.py (LSH results validated against the relational
+Jaccard oracle on planted near-duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators import dedup as D
+from mapreduce6240project_spark.operators import multimodal as M
+from mapreduce6240project_spark.operators import similarity as S
+from mapreduce6240project_spark.operators import textstats as TX
+from mapreduce6240project_spark.operators import windows as W
+from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.sources.tables import load_table
+
+#: SQL fragment: normalized text (mirror of operators.dedup.normalize_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: SQL fragment: whitespace token count of normalized text
+_NTOK = f"len(string_split({_NORM}, ' '))"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    f"""
+SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1""",
+    ref="extension: exact dedup (hash-groupBy); cf. random.java's distinct draw",
+    headline=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [concat_ws(' ', w)] END) AS s
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1""",
+    ref="extension: exact n-gram-set Jaccard (relational ground truth for LSH)",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+
+
+@_register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 signatures not reproducible in DuckDB; validated
+    # against the relational Jaccard ground truth in tests/test_dedup.py
+    ref="extension: MinHash(64) + 16-band LSH near-dup candidates",
+    headline=True,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
+@_register(
+    "dedup_simhash",
+    None,  # xxhash64-based; validated in tests/test_dedup.py
+    ref="extension: 64-bit SimHash + chunked Hamming near-dup pairs",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@_register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    ref="extension: document fingerprinting (md5 of normalized text)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+@_register(
+    "embedding_topk",
+    """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))) AS sim_raw
+  FROM embeddings, q
+)
+SELECT vec_id, round(sim_raw, 4) AS sim
+FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10""",
+    ref="extension: brute-force cosine top-k (exact ANN baseline)",
+    headline=True,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@_register(
+    "ann_ivf_topk",
+    None,  # approximate (IVF recall depends on probe set); invariants in tests
+    ref="extension: IVF-bucketed approximate top-k (scale path)",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=16, n_probe=4)
+
+
+@_register(
+    "embedding_dup_pairs",
+    None,  # IVF-bucketed approximate near-dup pairs
+    ref="extension: embedding-cosine near-dup pairs (IVF candidates)",
+)
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "token_count",
+    f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
+    ref="extension: whitespace token counting",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.token_count("text").alias("n_tokens"))
+
+
+def _marker_hits_sql(words: tuple[str, ...]) -> str:
+    padded = f"concat(' ', {_NORM}, ' ')"
+    parts = [
+        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in words
+    ]
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+@_register(
+    "lang_id",
+    f"""
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'unknown'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       WHEN s_fr >= s_de THEN 'fr'
+       ELSE 'de' END AS pred_lang
+FROM (
+  SELECT doc_id,
+    {_marker_hits_sql(("the", "and", "of", "to", "is"))} AS s_en,
+    {_marker_hits_sql(("el", "la", "los", "que", "es"))} AS s_es,
+    {_marker_hits_sql(("le", "la", "les", "et", "est"))} AS s_fr,
+    {_marker_hits_sql(("der", "die", "das", "und", "ist"))} AS s_de
+  FROM documents
+)""",
+    ref="extension: marker-based language ID heuristic",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_quality",
+    f"""
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_word_len,
+  floor((len_band * 0.4 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+         + least(stopword_ratio * 3, 1.0) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+FROM (
+  SELECT doc_id, n_tokens,
+    round(n_punct / greatest(n_chars_norm, 1), 4) AS punct_ratio,
+    round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+    round(CAST(n_chars_norm - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1), 4)
+      AS avg_word_len,
+    CASE WHEN n_chars_norm < 50 THEN 0.2 WHEN n_chars_norm < 200 THEN 0.6
+         WHEN n_chars_norm < 2000 THEN 1.0 ELSE 0.7 END AS len_band
+  FROM (
+    SELECT doc_id,
+      length({_NORM}) AS n_chars_norm,
+      {_NTOK} AS n_tokens,
+      length({_NORM}) - length(regexp_replace({_NORM}, '[^a-z0-9 ]', '', 'g'))
+        AS n_punct,
+      CAST({_marker_hits_sql(("the", "and", "of", "to", "is"))} AS DOUBLE) AS stop_hits
+    FROM documents
+  )
+)""",
+    ref="extension: document quality scoring (length/punct/stopword ratios)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_stats",
+    f"""
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       round(avg(n_tok), 4) AS avg_tokens, max(n_chars) AS max_chars
+FROM (SELECT lang, n_chars, {_NTOK} AS n_tok FROM documents)
+GROUP BY lang""",
+    ref="extension: per-language corpus statistics",
+    headline=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_meta",
+    """
+SELECT doc_id AS media_id, 'image' AS kind,
+       octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+FROM documents""",
+    ref="extension: opaque-binary media metadata pass (no decode)",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.media_metadata(media)
+
+
+@_register(
+    "multimodal_decode",
+    None,  # mapInPandas fake-decode; asserted in tests/test_multimodal.py
+    ref="extension: Arrow-batched decode/feature plumbing (stubbed codec)",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.decode_and_featurize(media)
+
+
+# ---------------------------------------------------------------------------
+# event windows (batch) + streaming twins
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+@_register(
+    "tumbling_window",
+    _TUMBLING_ORACLE,
+    ref="extension: tumbling event-time window (F.window)",
+    headline=True,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_window(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "sliding_window",
+    """
+SELECT window_start, count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_value
+FROM (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 - off * 300 AS BIGINT) AS window_start, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+)
+GROUP BY window_start""",
+    ref="extension: sliding/hopping window (F.window width+slide)",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_window(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "session_window",
+    """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session
+  FROM flagged
+)
+SELECT user_id, CAST(floor(min(us) / 1000000) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session""",
+    ref="extension: sessionization (gaps-and-islands; streaming twin uses session_window)",
+    headline=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "streaming_tumbling",
+    _TUMBLING_ORACLE,  # deterministic on bounded input -> same oracle as batch
+    ref="extension: Structured Streaming tumbling window (memory sink)",
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_tumbling
+
+    return streaming_tumbling(spark, sf_dir)
+
+
+@_register(
+    "streaming_sessions",
+    None,  # session_window end/merge internals; invariants in tests
+    ref="extension: Structured Streaming session_window",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_sessions
+
+    return streaming_sessions(spark, sf_dir)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.functions.distance import HASHTAG_WEIGHT
+from mapreduce6240project_spark.functions.numeric import stable_avg_cents
 from mapreduce6240project_spark.functions.parsing import recode_language
 from mapreduce6240project_spark.operators.analytics import (
     histogram,
@@ -311,7 +312,14 @@ def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tweet_features_from_events(spark, sf_dir)
-    res = kmedoids(feats, k=3, max_iter=10, tol=0.0)
+    # update_cap bounds the O(n^2) per-cluster pairwise medoid update
+    # (CLARA-style deterministic sample) -- without it the update is
+    # ~(n/k)^2 pairs per cluster per iteration, which is quadratic-cost
+    # suicide beyond ~10k rows and unthinkable at 100 TB.  2000 members
+    # per cluster keeps the estimate tight (sampling error on the argmin
+    # is negligible for these low-cardinality features) and the plan
+    # linear in n.
+    res = kmedoids(feats, k=3, max_iter=10, tol=0.0, update_cap=2000)
     return cluster_cost(res.assignments, res.medoids).select(
         "cluster", "n_members", "total_cost"
     )
@@ -331,8 +339,8 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
        round(sum(l_extendedprice), 4) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -351,8 +359,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "sum_disc_price"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_avg_cents("l_quantity").alias("avg_qty"),
+            stable_avg_cents("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -1,0 +1,9 @@
+"""Structured Streaming variants of the window operators."""
+
+from mapreduce6240project_spark.streaming.jobs import (
+    run_streaming_batch,
+    streaming_sessions,
+    streaming_tumbling,
+)
+
+__all__ = ["run_streaming_batch", "streaming_sessions", "streaming_tumbling"]

@@ -1,0 +1,104 @@
+"""Structured Streaming jobs over the events table.
+
+The batch window operators in ``operators.windows`` declare the logical
+plan; these wrappers run the same aggregations as streams:
+``readStream`` over the parquet directory (file source), watermarked
+event-time windows, memory sink for tests / foreachBatch for real sinks.
+
+Local smoke path: a one-shot ``processAllAvailable()`` drains the
+parquet files through the streaming engine and the memory sink holds the
+complete result -- deterministic, so the tumbling stream shares the
+batch query's DuckDB oracle.
+
+Scale notes: the file source is a stand-in for Kafka (swap
+``.format("kafka")`` + ``from_json``); watermark bounds state for late
+data; ``session_window`` keeps per-key session state in the state store
+(RocksDB at scale).  ``applyInPandasWithState`` is the escape hatch for
+custom stateful logic beyond windows/sessions.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.sources.tables import load_table
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a bounded stream (file source, one-shot)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/")
+    # same ns->us normalization as the batch loader
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.select(*batch.columns)
+
+
+def streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling count/sum per (window, event_type) --
+    streaming twin of operators.windows.tumbling_window (same output
+    schema, same values on a bounded input)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_streaming_batch(spark, agg)
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native ``session_window`` sessionization (streaming stateful
+    operator; batch twin is operators.windows.sessionize)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_streaming_batch(spark, agg)
+
+
+def run_streaming_batch(spark: SparkSession, agg: DataFrame) -> DataFrame:
+    """Drain a bounded stream through the engine into a memory sink and
+    return the completed result as a batch DataFrame."""
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the sink table goes away
+    result = spark.table(name)
+    result = spark.createDataFrame(result.collect(), result.schema)
+    return result

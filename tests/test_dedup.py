@@ -1,0 +1,79 @@
+"""Dedup extension tests: planted exact + near duplicates; LSH methods
+validated against the exact relational Jaccard ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce6240project_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 1-word change -> high jaccard
+FAR = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and adaptive planning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  " + BASE.upper() + " "),  # normalized dup of 1
+        (4, NEAR),                      # near dup of 1
+        (5, FAR),
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_collapses_normalized(docs):
+    out = exact_dedup(docs).collect()
+    by_id = {r.doc_id: r.n_copies for r in out}
+    assert by_id[1] == 3          # 1, 2, 3 share a fingerprint; min id kept
+    assert by_id[4] == 1 and by_id[5] == 1 and by_id[6] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 < pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_agrees_with_ground_truth(docs):
+    truth = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # every high-jaccard true pair must be found by LSH at 16 bands
+    assert truth <= set(lsh)
+    # and the estimate for the planted near pair is in a sane band
+    assert lsh[(1, 4)] > 0.5
+    # no false positive between unrelated docs
+    assert (1, 5) not in lsh and (5, 6) not in lsh
+
+
+def test_minhash_dedup_survivors(docs):
+    survivors = {r.doc_id for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert 1 in survivors          # lowest id of the dup cluster survives
+    assert 2 not in survivors and 3 not in survivors and 4 not in survivors
+    assert {5, 6} <= survivors
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0   # identical token sets
+    assert (1, 4) in pairs and pairs[(1, 4)] <= 10     # near dup, small hamming
+    assert (1, 5) not in pairs

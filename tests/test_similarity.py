@@ -1,0 +1,69 @@
+"""Similarity-search tests: brute-force exactness + IVF recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce6240project_spark.operators.similarity import (
+    ann_ivf_topk,
+    cosine_topk,
+    ivf_assign,
+)
+from mapreduce6240project_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter("vec_id = 0").first()
+    return [float(x) for x in row.embedding]
+
+
+def _py_topk(emb, qvec, k):
+    rows = emb.collect()
+    sims = []
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        dot = sum(a * b for a, b in zip(v, qvec))
+        nv = math.sqrt(sum(a * a for a in v))
+        nq = math.sqrt(sum(a * a for a in qvec))
+        sims.append((r.vec_id, dot / (nv * nq)))
+    sims.sort(key=lambda t: (-t[1], t[0]))
+    return sims[:k]
+
+
+def test_bruteforce_matches_python(emb, qvec):
+    got = [(r.vec_id, r.sim) for r in cosine_topk(emb, qvec, k=10).collect()]
+    want = [(i, round(s, 4)) for i, s in _py_topk(emb, qvec, 10)]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], abs_tol=2e-4)
+
+
+def test_query_vector_is_its_own_top1(emb, qvec):
+    top = cosine_topk(emb, qvec, k=1).first()
+    assert top.vec_id == 0 and top.sim == 1.0
+
+
+def test_ivf_assign_covers_all(emb):
+    assigned = ivf_assign(emb, n_cells=8)
+    assert assigned.count() == emb.count()
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_ivf_recall_vs_bruteforce(emb, qvec):
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in
+              ann_ivf_topk(emb, qvec, k=10, n_cells=8, n_probe=4).collect()}
+    # probing half the cells should recover most of the true top-k
+    assert len(exact & approx) >= 6
+    assert 0 in approx  # the query vector itself lives in a probed cell

@@ -1,0 +1,64 @@
+"""Window/sessionization tests incl. batch-vs-streaming agreement."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce6240project_spark.operators.windows import (
+    sessionize,
+    sliding_window,
+    tumbling_window,
+)
+from mapreduce6240project_spark.sources.tables import load_table
+from mapreduce6240project_spark.streaming import (
+    streaming_sessions,
+    streaming_tumbling,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+def test_tumbling_counts_sum_to_total(events):
+    out = tumbling_window(events)
+    assert out.groupBy().sum("n").first()[0] == events.count()
+
+
+def test_sliding_double_counts(events):
+    out = sliding_window(events)  # width 10m, slide 5m -> each event in 2 windows
+    assert out.groupBy().sum("n").first()[0] == 2 * events.count()
+
+
+def test_sessionize_invariants(events):
+    sess = sessionize(events).collect()
+    assert sum(r.n_events for r in sess) == events.count()
+    assert all(r.duration_s >= 0 for r in sess)
+    # sessions of one user don't overlap within the gap: starts are
+    # separated by > gap when sorted
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.session_start)
+        for a, b in zip(rows, rows[1:]):
+            assert b.session_start >= a.session_start + a.duration_s + 1800
+
+
+def test_streaming_tumbling_equals_batch(spark, events):
+    batch = {(r.window_start, r.event_type): (r.n, r.sum_value)
+             for r in tumbling_window(events).collect()}
+    stream = {(r.window_start, r.event_type): (r.n, r.sum_value)
+              for r in streaming_tumbling(spark, SF).collect()}
+    assert batch == stream
+
+
+def test_streaming_sessions_agree_with_batch_sessionize(spark, events):
+    batch = {(r.user_id, r.session_start): r.n_events
+             for r in sessionize(events).collect()}
+    stream = {(r.user_id, r.session_start): r.n_events
+              for r in streaming_sessions(spark, SF).collect()}
+    assert batch == stream
