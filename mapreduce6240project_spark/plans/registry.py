@@ -312,14 +312,10 @@ def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tweet_features_from_events(spark, sf_dir)
-    # update_cap bounds the O(n^2) per-cluster pairwise medoid update
-    # (CLARA-style deterministic sample) -- without it the update is
-    # ~(n/k)^2 pairs per cluster per iteration, which is quadratic-cost
-    # suicide beyond ~10k rows and unthinkable at 100 TB.  2000 members
-    # per cluster keeps the estimate tight (sampling error on the argmin
-    # is negligible for these low-cardinality features) and the plan
-    # linear in n.
-    res = kmedoids(feats, k=3, max_iter=10, tol=0.0, update_cap=2000)
+    # exact at any scale: the medoid update runs on the combo-compressed
+    # table (see operators.clustering.update_medoids), so no sampling cap
+    # is needed
+    res = kmedoids(feats, k=3, max_iter=10, tol=0.0)
     return cluster_cost(res.assignments, res.medoids).select(
         "cluster", "n_members", "total_cost"
     )

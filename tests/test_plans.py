@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the scale properties SURVEY section 4 calls
+for, encoded as regressions (pushdown, broadcast, shuffle counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators import assign_clusters, range_scan
+from mapreduce6240project_spark.operators.dedup import minhash_signatures
+from mapreduce6240project_spark.plans.registry import MEDOIDS_BY_K, REGISTRY
+from mapreduce6240project_spark.sources.tables import load_table
+from mapreduce6240project_spark.sources.tweets import tweet_features_from_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    return _plan(df).count("Exchange")
+
+
+def test_range_scan_pushes_filter_to_parquet(spark):
+    df = range_scan(load_table(spark, SF, "lineitem"), "l_orderkey", 100, 499)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_orderkey,100)" in plan
+    assert "LessThanOrEqual(l_orderkey,499)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must contain only the projected columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    df = REGISTRY["regional_revenue"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation/region go broadcast
+
+
+def test_cluster_assignment_is_narrow(spark):
+    feats = tweet_features_from_events(spark, SF)
+    base = _n_exchanges(feats)
+    assigned = assign_clusters(feats, MEDOIDS_BY_K[3])
+    # assignment adds NO shuffle over the feature derivation
+    assert _n_exchanges(assigned) == base
+    assert "BroadcastNestedLoopJoin" not in _plan(assigned)
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    docs = load_table(spark, SF, "documents")
+    sigs = minhash_signatures(docs)
+    assert _n_exchanges(sigs) == 0  # pure narrow projection
+
+
+def test_ingest_is_map_only(spark):
+    feats = tweet_features_from_events(spark, SF)
+    # reference ETL is a map-only job (kmeans.java:146); ours matches
+    assert _n_exchanges(feats) == 0
+
+
+def test_topk_uses_take_ordered(spark):
+    df = REGISTRY["top_customers"].fn(spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_distance(spark):
+    feats = tweet_features_from_events(spark, SF)
+    assigned = assign_clusters(feats, MEDOIDS_BY_K[3])
+    # "*(n)" prefix marks whole-stage-codegen spans in the simple plan
+    assert "*(" in _plan(assigned)
