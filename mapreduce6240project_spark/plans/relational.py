@@ -1,0 +1,284 @@
+"""Second-wave relational + temporal coverage: as-of / interval joins,
+rollup/cube, pivot, exact quantiles, distinct counts, IO round-trips,
+sampling, iterative elbow, exact embedding pairs, stateful streaming.
+
+Registered into the shared REGISTRY (imported by plans/__init__).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators.clustering import elbow
+from mapreduce6240project_spark.operators.joins import as_of_join, interval_join
+from mapreduce6240project_spark.operators.sampling import bernoulli_sample
+from mapreduce6240project_spark.operators.similarity import cosine
+from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.sources.tables import load_table
+from mapreduce6240project_spark.sources.tweets import tweet_features_from_events
+
+
+@_register(
+    "asof_last_signup",
+    """
+SELECT event_id,
+       max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS signup_us
+FROM events""",
+    ref="extension: backward as-of join (union+window formulation; Spark lacks a native as-of)",
+    headline=True,
+)
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").withColumn(
+        "signup_us", F.unix_micros("ts")
+    )
+    joined = as_of_join(
+        ev, signups, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["signup_us"], suffix="",
+    )
+    return joined.select("event_id", "signup_us")
+
+
+@_register(
+    "interval_pairs_60s",
+    """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+GROUP BY a.user_id""",
+    ref="extension: interval (range) join via time-bucketized equi-join",
+)
+def q_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = interval_join(
+        ev, ev, key="user_id", left_ts="ts", right_ts="ts",
+        tolerance_s=60, right_cols=["event_id"], suffix="_r",
+    ).filter(F.col("event_id") < F.col("event_id_r"))
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@_register(
+    "rollup_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+       round(sum(l_extendedprice), 4) AS sum_base, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    ref="extension: hierarchical rollup aggregation (free via df.rollup)",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "cube_order_counts",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_s, grouping(o_orderpriority) AS g_p,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    ref="extension: cube aggregation (free via df.cube)",
+)
+def q_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_s"),
+        F.grouping("o_orderpriority").cast("int").alias("g_p"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "pivot_status_by_segment",
+    """
+SELECT c.c_mktsegment,
+       count(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       count(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS n_partial
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment""",
+    ref="extension: pivot (df.groupBy().pivot())",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+@_register(
+    "distinct_users",
+    "SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",
+    ref="extension: distinct aggregation (expand + two-phase agg)",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific; bounds checked in tests
+    ref="extension: approximate distinct (HyperLogLog++ sketch)",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+
+
+@_register(
+    "value_quantiles",
+    """
+SELECT round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events""",
+    ref="extension: exact interpolated quantiles (percentile); "
+    "percentile_approx is the 100TB variant (sketch, engine-specific)",
+)
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@_register(
+    "tsv_roundtrip",
+    None,  # oracle attached below (needs the SQL builders)
+    ref="S3/S5: TSV sink + source round-trip (FileOutputFormat / TextInputFormat parity)",
+)
+def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write tweet-feature assignments as `id \\t cluster` TSV (the
+    reference's inter-job format, Cluster.java:181), read back, agg."""
+    from mapreduce6240project_spark.operators.clustering import assign_clusters
+    from mapreduce6240project_spark.plans.registry import MEDOIDS_BY_K
+
+    feats = tweet_features_from_events(spark, sf_dir)
+    assigned = assign_clusters(feats, MEDOIDS_BY_K[3]).select("tweet_id", "cluster")
+    out = tempfile.mkdtemp(prefix="sparkgraft_tsv_")
+    assigned.write.mode("overwrite").options(sep="\t").csv(out)
+    back = spark.read.options(sep="\t").schema("tweet_id long, cluster int").csv(out)
+    return back.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+# oracle: the round-trip preserves rows, so the aggregate equals the
+# direct cluster histogram
+from mapreduce6240project_spark.plans.registry import (  # noqa: E402
+    REGISTRY,
+    QuerySpec,
+    _argmin_case_sql,
+    _dist_sql,
+    MEDOIDS_BY_K,
+)
+from mapreduce6240project_spark.sources.tweets import (  # noqa: E402
+    TWEET_FEATURES_SQL_CTE,
+)
+
+_assign3 = ", ".join(
+    f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[3])
+)
+REGISTRY["tsv_roundtrip"] = QuerySpec(
+    "tsv_roundtrip",
+    REGISTRY["tsv_roundtrip"].fn,
+    f"""WITH {TWEET_FEATURES_SQL_CTE}
+SELECT cluster, count(*) AS n FROM (
+  SELECT CAST({_argmin_case_sql(3)} AS INT) AS cluster
+  FROM (SELECT *, {_assign3} FROM features)
+) GROUP BY cluster""",
+    REGISTRY["tsv_roundtrip"].ref,
+)
+
+
+@_register(
+    "bernoulli_sample_count",
+    None,  # Spark-internal RNG; statistical bounds asserted in tests
+    ref="R1: unbiased Bernoulli sample (random.java:60-68, bias fixed)",
+)
+def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    return bernoulli_sample(feats, 0.6, seed=42).groupBy().agg(
+        F.count("*").alias("n_sampled")
+    )
+
+
+@_register(
+    "kmedoids_elbow",
+    None,  # iterative multi-k sweep (C3) with real kmedoids runs
+    ref="C3: elbow sweep with full iterative kmedoids per k (Cluster2/4/5 + distanceCal)",
+)
+def q_kmedoids_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    return elbow(feats, ks=(2, 3, 4), max_iter=5, tol=0.0)
+
+
+@_register(
+    "embedding_pairs_exact",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+         AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.8""",
+    ref="extension: exact embedding near-dup pairs (brute force; IVF variant is the scale path)",
+)
+def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+@_register(
+    "streaming_stateful_counts",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+    ref="extension: applyInPandasWithState custom stateful operator "
+    "(bounded stream -> final state equals batch groupBy)",
+)
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_stateful_counts
+
+    return streaming_stateful_counts(spark, sf_dir)

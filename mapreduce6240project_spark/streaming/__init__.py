@@ -3,7 +3,13 @@
 from mapreduce6240project_spark.streaming.jobs import (
     run_streaming_batch,
     streaming_sessions,
+    streaming_stateful_counts,
     streaming_tumbling,
 )
 
-__all__ = ["run_streaming_batch", "streaming_sessions", "streaming_tumbling"]
+__all__ = [
+    "run_streaming_batch",
+    "streaming_sessions",
+    "streaming_stateful_counts",
+    "streaming_tumbling",
+]

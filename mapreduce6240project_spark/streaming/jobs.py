@@ -31,7 +31,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events parquet as a bounded stream (file source, one-shot)."""
     batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/")
+    # the path must target the events file only (as a glob -- the file
+    # source rejects a bare file path): a bare directory would pull every
+    # table's parquet through the events schema, yielding all-null ghost
+    # rows that poison non-window aggregations
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parq*")
     # same ns->us normalization as the batch loader
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -82,6 +86,45 @@ def streaming_sessions(
         )
     )
     return run_streaming_batch(spark, agg)
+
+
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count carried in explicit state (the escape hatch
+    for stateful logic that windows/sessions can't express --
+    SURVEY.md section 2.11).  On a bounded one-shot stream the final
+    counts equal the batch groupBy, which is the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    ev = _stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(name)
+    # keep the last emitted row per user (cumulative -> max n)
+    final = result.groupBy("user_id").agg(F.max("n").alias("n"))
+    return spark.createDataFrame(final.collect(), "user_id long, n long")
 
 
 def run_streaming_batch(spark: SparkSession, agg: DataFrame) -> DataFrame:
