@@ -1,0 +1,269 @@
+"""Third-wave parity queries closing the SURVEY.md section 2 audit:
+the raw CSV ingest path (S1/S2 through a real text file), the feature
+store sink/scan (S4), group-member collection (A7), the unweighted
+distance variant (kmeansCluster.java), Analysis.java's true
+clustered-histogram shape, set-op INTERSECT (R5), JSON IO, and salted
+skew-safe aggregation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.functions.distance import medoid_distance_literal
+from mapreduce6240project_spark.operators.clustering import assign_clusters
+from mapreduce6240project_spark.operators.lookup import range_scan
+from mapreduce6240project_spark.operators.skew import salted_count, salted_sum
+from mapreduce6240project_spark.plans.registry import (
+    MEDOIDS_BY_K,
+    REGISTRY,
+    QuerySpec,
+    _argmin_case_sql,
+    _dist_sql,
+    _register,
+    _with_features,
+)
+from mapreduce6240project_spark.sources.tables import load_table
+from mapreduce6240project_spark.sources.tweets import (
+    ingest_tweets,
+    tweet_features_from_events,
+    write_feature_store,
+)
+
+
+def _render_tweet_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the events-derived raw columns as 24-field CSV lines, the
+    reference's input shape (FIXTURES.md section 1.1).  List-ish fields
+    use ', ' separators so the lookahead split keeps them whole."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").cast("string").alias("c0"),
+        F.date_format("ts", "HH:mm:ss").alias("c4"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("tr"), F.lit("es"), F.lit("de")),
+            (F.col("user_id") % 4 + 1).cast("int"),
+        ).alias("c11"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("x"))
+        .otherwise((F.col("user_id") % 50).cast("string"))
+        .alias("c15"),
+        (F.col("event_id") % 97).cast("string").alias("c16"),
+        F.floor(F.col("value")).cast("string").alias("c17"),
+        F.when(F.col("event_type") == "click", F.lit("[]"))
+        .when(F.col("event_type") == "view", F.lit("tag1, tag2, tag3"))
+        .when(F.col("event_type") == "purchase", (F.col("user_id") % 10).cast("string"))
+        .otherwise(F.lit("a, b"))
+        .alias("c18"),
+        F.when(F.col("event_type") == "view", F.lit("True"))
+        .when(F.col("event_type") == "click", F.lit("1"))
+        .when(F.col("event_type") == "error", F.lit("False"))
+        .otherwise(F.lit("0"))
+        .alias("c23"),
+    )
+    fillers = {i: F.lit(f"f{i}") for i in range(24)}
+    parts = [
+        raw[f"c{i}"] if f"c{i}" in raw.columns else fillers[i] for i in range(24)
+    ]
+    return raw.select(F.concat_ws(",", *parts).alias("value"))
+
+
+@_register(
+    "csv_ingest_roundtrip",
+    _with_features("SELECT * FROM features"),
+    ref="S1/S2 + P1-P8: raw CSV text file -> regex split -> feature rows "
+    "(kmeans.java ETL through a real file on disk)",
+)
+def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _render_tweet_csv(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgraft_csv_")
+    lines.write.mode("overwrite").text(out)
+    return ingest_tweets(spark, out)
+
+
+@_register(
+    "feature_store_roundtrip",
+    _with_features(
+        "SELECT language, count(*) AS n, "
+        "CAST(sum(num_hashtags) AS BIGINT) AS sum_tags "  # duckdb sum(INT)
+        "FROM features WHERE tweet_id BETWEEN 1000 AND 4999 GROUP BY language"
+    ),
+    ref="S4 + S7: sorted feature-store parquet sink, pruned range scan back",
+)
+def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgraft_store_")
+    write_feature_store(feats, out)
+    back = spark.read.parquet(out)
+    return (
+        range_scan(back, "tweet_id", 1000, 4999)
+        .groupBy("language")
+        .agg(F.count("*").alias("n"), F.sum("num_hashtags").alias("sum_tags"))
+    )
+
+
+@_register(
+    "cluster_assign_unweighted",
+    None,  # oracle attached below
+    ref="kmeansCluster.java:85-93: distance variant without the 0.8 "
+    "hashtag weight",
+)
+def q_cluster_assign_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    medoids = MEDOIDS_BY_K[3]
+    dists = F.array(
+        *[medoid_distance_literal(m, weighted=False) for m in medoids]
+    )
+    return feats.select(
+        "tweet_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+    )
+
+
+def _dist_sql_unweighted(m: dict) -> str:
+    return (
+        f"sqrt(power(time_bucket - {m['time_bucket']}, 2)"
+        f" + power((num_hashtags - {m['num_hashtags']}) * 1.0, 2)"
+        f" + (CASE WHEN language <> '{m['language']}' THEN 1.0 ELSE 0.0 END)"
+        f" + power(has_video - {m['has_video']}, 2))"
+    )
+
+
+REGISTRY["cluster_assign_unweighted"] = QuerySpec(
+    "cluster_assign_unweighted",
+    q_cluster_assign_unweighted,
+    _with_features(
+        "SELECT tweet_id, CAST("
+        + _argmin_case_sql(3)
+        + " AS INT) AS cluster FROM (SELECT *, "
+        + ", ".join(
+            f"{_dist_sql_unweighted(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[3])
+        )
+        + " FROM features)"
+    ),
+    REGISTRY["cluster_assign_unweighted"].ref,
+)
+
+
+@_register(
+    "cluster_members",
+    None,  # oracle attached below
+    ref="A7 (Cluster.java:197-207): collect group members as a list",
+)
+def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    assigned = assign_clusters(
+        range_scan(feats, "tweet_id", 0, 199), MEDOIDS_BY_K[3]
+    )
+    return assigned.groupBy("cluster").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("tweet_id"))).alias("members"),
+        F.count("*").alias("n"),
+    )
+
+
+REGISTRY["cluster_members"] = QuerySpec(
+    "cluster_members",
+    q_cluster_members,
+    _with_features(
+        "SELECT cluster, string_agg(CAST(tweet_id AS VARCHAR), ',' ORDER BY tweet_id)"
+        " AS members, count(*) AS n FROM (SELECT tweet_id, CAST("
+        + _argmin_case_sql(3)
+        + " AS INT) AS cluster FROM (SELECT *, "
+        + ", ".join(
+            f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[3])
+        )
+        + " FROM features WHERE tweet_id BETWEEN 0 AND 199)) GROUP BY cluster"
+    ),
+    REGISTRY["cluster_members"].ref,
+)
+
+
+@_register(
+    "cluster_video_histogram",
+    None,  # oracle attached below
+    ref="Analysis.java:64-98 true shape: assignments hydrated via J2, "
+    "then per-(cluster, has_video) histogram",
+)
+def q_cluster_video_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = tweet_features_from_events(spark, sf_dir)
+    # materialized assignment table joined back to the feature store --
+    # the reference's two-job shape (clustering output -> Analysis job)
+    assignments = assign_clusters(feats, MEDOIDS_BY_K[3]).select("tweet_id", "cluster")
+    hydrated = assignments.join(feats, "tweet_id")
+    return hydrated.groupBy("cluster", "has_video").agg(F.count("*").alias("n"))
+
+
+REGISTRY["cluster_video_histogram"] = QuerySpec(
+    "cluster_video_histogram",
+    q_cluster_video_histogram,
+    _with_features(
+        "SELECT cluster, has_video, count(*) AS n FROM (SELECT has_video, CAST("
+        + _argmin_case_sql(3)
+        + " AS INT) AS cluster FROM (SELECT *, "
+        + ", ".join(
+            f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[3])
+        )
+        + " FROM features)) GROUP BY cluster, has_video"
+    ),
+    REGISTRY["cluster_video_histogram"].ref,
+)
+
+
+@_register(
+    "segment_intersect",
+    """
+SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    ref="R5 set ops: INTERSECT (engine-free via df.intersect)",
+)
+def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.intersect(b)
+
+
+@_register(
+    "json_roundtrip",
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type""",
+    ref="JSON source/sink (engine IO surface beyond the reference's text/KV)",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="sparkgraft_json_")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@_register(
+    "salted_event_counts",
+    """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+    ref="skew mitigation: two-phase salted aggregation (exact, hot keys "
+    "spread over 16 salts)",
+)
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", n_salts=16, id_cols=["event_id"])
+
+
+@_register(
+    "salted_value_sums",
+    """
+SELECT user_id, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id""",
+    ref="skew mitigation: salted sum (algebraic aggregate, exact)",
+)
+def q_salted_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum(ev, "user_id", "value", n_salts=16, id_cols=["event_id"])
