@@ -171,6 +171,58 @@ class KMedoidsResult:
     history: list[list[float]] = field(default_factory=list)  # displacement per iter
 
 
+def _iterate_driver_side(
+    combo_rows: list[dict],
+    medoids: list[dict],
+    max_iter: int,
+    tol: float,
+    weighted: bool,
+    result: "KMedoidsResult",
+) -> list[dict]:
+    """Run the assign/update loop over the collected combo table in
+    plain Python.  Exact same math as the DataFrame path; used when the
+    combo table is small enough to live on the driver, where it saves
+    ~10 Spark jobs of pure scheduling overhead per run.  The heavy
+    lifting (combo compression, final assignment) stays distributed."""
+    k = len(medoids)
+    by_id = {c["tweet_id"]: c for c in combo_rows}
+    for it in range(1, max_iter + 1):
+        result.iterations = it
+        # assignment of each combo to nearest medoid (first-min argmin)
+        clusters: dict[int, list[dict]] = {i: [] for i in range(k)}
+        for c in combo_rows:
+            d = [_py_distance(c, m, weighted) for m in medoids]
+            clusters[d.index(min(d))].append(c)
+        # update: weighted pairwise argmin per cluster
+        new_medoids = []
+        for i in range(k):
+            members = clusters[i]
+            if not members:
+                new_medoids.append(medoids[i])
+                continue
+            best = None
+            for a in members:
+                tot = sum(_py_distance(a, b, weighted) * b["n"] for b in members)
+                key = (tot, a["tweet_id"])
+                if best is None or key < best[0]:
+                    best = (key, a)
+            new_medoids.append(by_id[best[1]["tweet_id"]])
+        displacement = [
+            _py_distance(old, new, weighted)
+            for old, new in zip(medoids, new_medoids)
+        ]
+        result.history.append(displacement)
+        medoids = new_medoids
+        if all(d <= tol for d in displacement):
+            result.converged = True
+            break
+    return medoids
+
+
+#: combo-table size below which the iteration loop runs driver-side
+DRIVER_COMBO_THRESHOLD = 100_000
+
+
 def kmedoids(
     features: DataFrame,
     k: int | None = None,
@@ -179,6 +231,7 @@ def kmedoids(
     tol: float = 1.5,
     weighted: bool = True,
     update_cap: int | None = None,
+    driver_combo_threshold: int = DRIVER_COMBO_THRESHOLD,
 ) -> KMedoidsResult:
     """Lloyd-style k-medoids (C1/C2, Cluster.java:310-386 intended
     semantics; the reference's degenerate one-iteration loop bounds are
@@ -186,6 +239,15 @@ def kmedoids(
 
     ``seeds``: medoid tweet_ids; defaults to a deterministic k-draw via
     :func:`mapreduce6240project_spark.operators.sampling.sample_k_seeds`.
+
+    Adaptive physical strategy: the iteration state is the
+    combo-compressed table (distinct feature combinations + counts).
+    When it fits comfortably on the driver (< ``driver_combo_threshold``
+    rows) the assign/update loop runs in local Python over the collected
+    combos -- identical math, ~10 fewer Spark jobs of scheduling
+    overhead; otherwise the loop stays fully distributed (DataFrame
+    self-join per iteration).  Either way the data-sized work -- combo
+    compression and the final per-member assignment -- is distributed.
     """
     if seeds is None:
         if k is None:
@@ -208,9 +270,20 @@ def kmedoids(
         .agg(F.count("*").alias("n"), F.min("tweet_id").alias("tweet_id"))
         .persist()
     )
-    combos.count()  # materialize; iterations re-read this tiny cache
+    n_combos = combos.count()  # materialize; iterations re-read this cache
 
     result = KMedoidsResult(assignments=features, medoids=medoids)
+
+    if update_cap is None and n_combos <= driver_combo_threshold:
+        combo_rows = [r.asDict() for r in combos.collect()]
+        combos.unpersist()
+        medoids = _iterate_driver_side(
+            combo_rows, medoids, max_iter, tol, weighted, result
+        )
+        result.assignments = assign_clusters(features, medoids, weighted)
+        result.medoids = medoids
+        return result
+
     assigned = assign_clusters(combos, medoids, weighted)
     for it in range(1, max_iter + 1):
         result.iterations = it

@@ -282,3 +282,90 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.streaming import streaming_stateful_counts
 
     return streaming_stateful_counts(spark, sf_dir)
+
+
+@_register(
+    "brand_revenue",
+    """
+SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand""",
+    ref="J2 shape over part x lineitem (broadcast dim join)",
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "supplier_nation_stats",
+    """
+SELECT n.n_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 4) AS total_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+    ref="J2 shape over supplier x nation (completes 10/10 table coverage)",
+)
+def q_supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "user_running_value",
+    """
+SELECT event_id,
+       round(sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) / 100.0, 4) AS running_value
+FROM events""",
+    ref="window analytics: per-key running sum (lag/lead family; "
+    "cent-quantized for float-order stability)",
+)
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        F.round(F.sum(cents).over(w) / 100.0, 4).alias("running_value"),
+    )
+
+
+@_register(
+    "props_json_stats",
+    """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type""",
+    ref="semi-structured column: JSON path extraction over the props field",
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count("*").alias("n")
+    )
