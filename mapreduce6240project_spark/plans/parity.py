@@ -267,3 +267,39 @@ SELECT user_id, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id""
 def q_salted_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return salted_sum(ev, "user_id", "value", n_salts=16, id_cols=["event_id"])
+
+
+@_register(
+    "bpe_token_count",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+FROM documents""",
+    ref="extension: BPE-ish subword counting (pre-tokenizer regex; "
+    "RE2/Java-compatible pattern)",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.textstats import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_subwords"))
+
+
+@_register(
+    "dedup_pipeline",
+    None,  # composition of hash-based stages; stage equivalences tested
+    ref="extension: full dedup pipeline (exact md5 -> MinHash-LSH "
+    "survivors), the training-data-pipeline composition",
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_survivor_ids = exact_dedup(docs).select("doc_id")
+    stage1 = docs.join(exact_survivor_ids, "doc_id", "left_semi")
+    stage2 = minhash_dedup(stage1, threshold=0.5)
+    return stage2.agg(
+        F.count("*").alias("n_survivors"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
