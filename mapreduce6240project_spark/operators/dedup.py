@@ -256,6 +256,85 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 -- the MOSS
+    scheme): hash every n-gram shingle, slide a ``window`` over the hash
+    sequence, keep the minimum of each window; the distinct kept hashes
+    are the document's fingerprint set.  Guarantees any shared substring
+    of length >= window+n-1 shingles produces a shared fingerprint.
+
+    Pure array expressions (zero shuffle): shingle hashes -> windowed
+    mins via transform over start indices -> array_distinct.
+    Returns (id, fingerprints array<bigint>, n_fingerprints).
+    """
+    sh = shingles(text_col, shingle_n)  # positional, duplicates kept
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # let-bind the hash array, then window-min over start positions
+    fps = F.element_at(
+        F.transform(
+            F.array(hashes),
+            lambda hs: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))
+                    ),
+                    lambda i: F.array_min(F.slice(hs, i, window)),
+                )
+            ),
+        ),
+        1,
+    )
+    return docs.select(
+        F.col(id_col),
+        fps.alias("fingerprints"),
+        F.size(fps).alias("n_fingerprints"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    **kw,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    explode fingerprint sets, equi-join on the hash, score by overlap
+    coefficient |A∩B| / min(|A|,|B|)."""
+    id_col = kw.get("id_col", "doc_id")
+    fps = winnow_fingerprints(docs, **kw).persist()
+    fps.count()
+    ex = fps.select(
+        F.col(id_col), F.col("n_fingerprints"), F.explode("fingerprints").alias("fp")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_fingerprints").alias("n_a"),
+            F.col("b.n_fingerprints").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    score = F.col("n_shared") / F.least("n_a", "n_b")
+    return (
+        inter.withColumn("overlap", F.round(score, 4))
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (relational; the oracle-checkable ground truth)
 # ---------------------------------------------------------------------------
 

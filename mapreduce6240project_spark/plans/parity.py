@@ -303,3 +303,77 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@_register(
+    "zscore_by_cluster",
+    None,  # oracle attached below
+    ref="grouped-map Pandas UDF (applyInPandas) -- per-cluster z-score; "
+    "oracle proves the Arrow group-map path against window functions",
+)
+def q_zscore_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.grouped import zscore_by_group
+
+    feats = tweet_features_from_events(spark, sf_dir)
+    assigned = assign_clusters(feats, MEDOIDS_BY_K[3]).select(
+        "tweet_id", "cluster", "like_count"
+    )
+    return zscore_by_group(assigned, "cluster", "like_count", "tweet_id")
+
+
+REGISTRY["zscore_by_cluster"] = QuerySpec(
+    "zscore_by_cluster",
+    q_zscore_by_cluster,
+    _with_features(
+        "SELECT tweet_id, cluster, round(CASE WHEN s IS NULL OR s = 0 THEN 0.0 "
+        "ELSE (like_count - m) / s END, 4) AS zscore FROM ("
+        "SELECT tweet_id, cluster, like_count, "
+        "avg(like_count) OVER w AS m, stddev_samp(like_count) OVER w AS s "
+        "FROM (SELECT tweet_id, like_count, CAST("
+        + _argmin_case_sql(3)
+        + " AS INT) AS cluster FROM (SELECT *, "
+        + ", ".join(f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[3]))
+        + " FROM features)) WINDOW w AS (PARTITION BY cluster))"
+    ),
+    REGISTRY["zscore_by_cluster"].ref,
+)
+
+
+@_register(
+    "winnow_fingerprint_pairs",
+    None,  # xxhash64-based fingerprints; invariants in tests/test_dedup.py
+    ref="extension: winnowing rolling-hash fingerprints (MOSS scheme) "
+    "+ shared-fingerprint candidate pairs",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@_register(
+    "lang_id_accuracy",
+    None,  # oracle attached below
+    ref="extension: lang-id evaluation against the labeled lang column",
+)
+def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.textstats import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs)
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("int")).alias("n_correct"),
+    )
+
+
+REGISTRY["lang_id_accuracy"] = QuerySpec(
+    "lang_id_accuracy",
+    q_lang_id_accuracy,
+    "SELECT count(*) AS n_docs, CAST(sum(CASE WHEN d.lang = p.pred_lang "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM documents d JOIN ("
+    + REGISTRY["lang_id"].oracle
+    + ") p USING (doc_id)",
+    REGISTRY["lang_id_accuracy"].ref,
+)

@@ -77,3 +77,23 @@ def test_simhash_near_pairs(docs):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0   # identical token sets
     assert (1, 4) in pairs and pairs[(1, 4)] <= 10     # near dup, small hamming
     assert (1, 5) not in pairs
+
+
+def test_winnow_fingerprints_detect_shared_substring(spark, docs):
+    from mapreduce6240project_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    fps = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs).collect()}
+    # identical normalized texts -> identical fingerprint sets
+    assert fps[1] == fps[2] == fps[3]
+    # near dup shares most fingerprints; unrelated shares none
+    assert len(fps[1] & fps[4]) / len(fps[1] | fps[4]) > 0.5
+    assert not (fps[1] & fps[5])
+    # winnowing guarantee: every doc has at least one fingerprint
+    assert all(len(v) >= 1 for v in fps.values())
+
+    pairs = {(r.id_a, r.id_b): r.overlap
+             for r in winnow_overlap_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0 and (1, 4) in pairs and (1, 5) not in pairs
