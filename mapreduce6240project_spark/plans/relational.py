@@ -369,3 +369,77 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.avg(k), 4).alias("avg_k"), F.count("*").alias("n")
     )
+
+
+@_register(
+    "time_rollup_multires",
+    """
+SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS m1,
+       CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS m10,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h1,
+       grouping(CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)) AS g_m1,
+       grouping(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS g_m10,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (CAST(floor(epoch(ts) / 60) * 60 AS BIGINT),
+   CAST(floor(epoch(ts) / 600) * 600 AS BIGINT),
+   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+  (CAST(floor(epoch(ts) / 600) * 600 AS BIGINT),
+   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+  (CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+)""",
+    ref="extension: hypertable-style multi-resolution time rollup "
+    "(1m/10m/1h in ONE pass via grouping sets -- one shuffle, partial-"
+    "aggregated, instead of three scans)",
+)
+def q_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_micros("ts") / 1_000_000
+    m1 = (F.floor(epoch / 60) * 60).cast("bigint")
+    m10 = (F.floor(epoch / 600) * 600).cast("bigint")
+    h1 = (F.floor(epoch / 3600) * 3600).cast("bigint")
+    tagged = ev.select(m1.alias("m1"), m10.alias("m10"), h1.alias("h1"), "value")
+    return (
+        tagged.groupingSets(
+            [["m1", "m10", "h1"], ["m10", "h1"], ["h1"]], "m1", "m10", "h1"
+        )
+        .agg(
+            F.grouping("m1").cast("int").alias("g_m1"),
+            F.grouping("m10").cast("int").alias("g_m10"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "scd_upsert",
+    """
+WITH updates AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE event_id % 2 = 1
+),
+latest AS (
+  SELECT user_id, us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY us DESC, value) AS rn
+  FROM updates
+)
+SELECT user_id, us AS last_us, round(value, 4) AS last_value
+FROM latest WHERE rn = 1""",
+    ref="extension: MERGE/upsert emulation (CDC apply: latest record per "
+    "key via window; Delta MERGE INTO is the lakehouse path, gated in "
+    "sources.connectors)",
+)
+def q_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    updates = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), "value")
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("us").alias("last_us"), F.round("value", 4).alias("last_value"))
+    )
