@@ -377,3 +377,36 @@ REGISTRY["lang_id_accuracy"] = QuerySpec(
     + ") p USING (doc_id)",
     REGISTRY["lang_id_accuracy"].ref,
 )
+
+
+@_register(
+    "streaming_sliding",
+    """
+SELECT window_start, count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_value
+FROM (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 - off * 300 AS BIGINT) AS window_start, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+)
+GROUP BY window_start""",
+    ref="extension: Structured Streaming sliding window (same oracle as batch)",
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_sliding
+
+    return streaming_sliding(spark, sf_dir)
+
+
+@_register(
+    "streaming_foreach_batch",
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type""",
+    ref="extension: foreachBatch exactly-once sink (epoch-partitioned "
+    "idempotent parquet writes; oracle = batch aggregate of what landed)",
+)
+def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_foreach_batch_sink
+
+    out = tempfile.mkdtemp(prefix="sparkgraft_sink_")
+    return streaming_foreach_batch_sink(spark, sf_dir, out)

@@ -2,13 +2,17 @@
 
 from mapreduce6240project_spark.streaming.jobs import (
     run_streaming_batch,
+    streaming_foreach_batch_sink,
     streaming_sessions,
+    streaming_sliding,
     streaming_stateful_counts,
     streaming_tumbling,
 )
 
 __all__ = [
     "run_streaming_batch",
+    "streaming_foreach_batch_sink",
+    "streaming_sliding",
     "streaming_sessions",
     "streaming_stateful_counts",
     "streaming_tumbling",

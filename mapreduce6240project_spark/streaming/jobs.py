@@ -127,6 +127,64 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(final.collect(), "user_id long, n long")
 
 
+def streaming_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.windows.sliding_window."""
+    from mapreduce6240project_spark.functions.numeric import stable_avg_cents
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), stable_avg_cents("value").alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "avg_value"
+        )
+    )
+    return run_streaming_batch(spark, agg)
+
+
+def streaming_foreach_batch_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """The exactly-once sink pattern: ``foreachBatch`` receives each
+    micro-batch as a batch DataFrame plus a monotonically-increasing
+    epoch id; writing partitioned-by-epoch parquet makes replays
+    idempotent (same epoch -> same path -> overwrite).  Returns the
+    sink's contents re-read as proof the bytes landed."""
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last epoch wins (complete mode rewrites the aggregate every batch)
+    import glob as _glob
+
+    epochs = sorted(_glob.glob(f"{out_dir}/epoch=*"))
+    return spark.read.parquet(epochs[-1]).select("event_type", "n", "sum_value")
+
+
 def run_streaming_batch(spark: SparkSession, agg: DataFrame) -> DataFrame:
     """Drain a bounded stream through the engine into a memory sink and
     return the completed result as a batch DataFrame."""

@@ -27,3 +27,21 @@ def test_tweet_features_match_duckdb_oracle(spark, duck):
     assert sdf.shape == ddf.shape
     for c in sdf.columns:
         assert (sdf[c].astype(str) == ddf[c].astype(str)).all(), c
+
+
+def test_bucketed_feature_store(spark):
+    """write_feature_store(buckets=N) saves a bucket-sorted table that a
+    later key join can use without a shuffle on the bucketed side."""
+    from mapreduce6240project_spark.sources.tweets import (
+        tweet_features_from_events,
+        write_feature_store,
+    )
+
+    feats = tweet_features_from_events(spark, SF)
+    write_feature_store(feats, "bucketed_feature_store_test", buckets=4)
+    back = spark.table("bucketed_feature_store_test")
+    assert back.count() == feats.count()
+    desc = spark.sql("DESCRIBE EXTENDED bucketed_feature_store_test").collect()
+    txt = "\n".join(str(r) for r in desc)
+    assert "tweet_id" in txt and ("Num Buckets" in txt or "bucket" in txt.lower())
+    spark.sql("DROP TABLE bucketed_feature_store_test")
