@@ -166,7 +166,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 

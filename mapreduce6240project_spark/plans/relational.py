@@ -253,7 +253,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.8""",
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""",
     ref="extension: exact embedding near-dup pairs (brute force; IVF variant is the scale path)",
 )
 def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +263,7 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("_sim", sim)
-        .filter(F.col("_sim") >= 0.8)
+        .filter(F.col("_sim") >= 0.4)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
