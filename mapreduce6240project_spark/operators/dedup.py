@@ -167,12 +167,22 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
-    """Survivor set after MinHash near-dup removal: drop the higher id of
-    every near-dup pair (connected-component-free greedy, adequate for
-    pipeline dedup; exact CC needs iterative joins)."""
+def minhash_dedup(docs: DataFrame, transitive: bool = False, **kw) -> DataFrame:
+    """Survivor set after MinHash near-dup removal.
+
+    ``transitive=False`` (default): drop the higher id of every pair --
+    one anti-join, but over-keeps on open triangles (A~C and B~C with no
+    A-B edge keeps both A and B).
+    ``transitive=True``: fold duplicate clusters with connected
+    components (operators.graph) and keep the min id per component --
+    the semantically correct dedup, a few extra iterative joins.
+    """
     id_col = kw.get("id_col", "doc_id")
     pairs = minhash_lsh_pairs(docs, **kw)
+    if transitive:
+        from mapreduce6240project_spark.operators.graph import dedup_by_components
+
+        return dedup_by_components(docs, pairs, id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 

@@ -1,0 +1,79 @@
+"""Iterative graph operators: connected components over a pair/edge set.
+
+Near-duplicate relations are transitive in intent: if A~B and B~C, all
+three are one duplicate cluster even when the (A, C) edge was never
+emitted (LSH band collisions are not closed under transitivity).  The
+greedy "drop the higher id of each pair" rule over-keeps on such open
+triangles; component-wise dedup is the correct semantics.
+
+``connected_components`` is label propagation to a fixpoint: every node
+repeatedly takes the min label in its closed neighborhood.  Per
+iteration: one join edges x labels + one min-aggregate -- the simple
+variant of the map-reduce CC family (cf. the large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14); converges in O(component diameter) rounds, which for
+dedup clusters (dense, tiny diameter) is 2-3.  ``localCheckpoint``
+truncates the iteration lineage, and convergence is a driver-side count
+of changed labels -- the same driver-loop shape as kmedoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the minimum node id of the component."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()  # truncate lineage; also materializes
+        n_changed = updated.filter("_chg").count()
+        labels = updated.drop("_chg")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_by_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor set keeping the min id per duplicate component (nodes
+    not in any pair survive unchanged)."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -410,3 +410,19 @@ def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="sparkgraft_sink_")
     return streaming_foreach_batch_sink(spark, sf_dir, out)
+
+
+@_register(
+    "dedup_cc_survivors",
+    None,  # minhash-pair-driven; CC semantics proven in tests/test_graph.py
+    ref="extension: transitive dedup via iterative connected components "
+    "(label propagation; correct on open triangles where greedy over-keeps)",
+)
+def q_dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = minhash_dedup(docs, transitive=True, threshold=0.5)
+    return survivors.agg(
+        F.count("*").alias("n_survivors"), F.min("doc_id").alias("min_id")
+    )

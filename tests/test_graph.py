@@ -1,0 +1,41 @@
+"""Connected-components correctness, incl. the open-triangle case where
+greedy pair-dropping over-keeps."""
+
+from __future__ import annotations
+
+from mapreduce6240project_spark.operators.graph import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_chain_and_star_and_isolated_pair(spark):
+    # chain 1-2-3, star 10-(11,12), pair 20-21
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (10, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_open_triangle_merges_transitively(spark):
+    # edges (1,3), (2,3) only -- greedy drop-id_b would keep {1, 2};
+    # transitively they are ONE cluster -> only 1 survives
+    got = _cc(spark, [(1, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_path_converges(spark):
+    # path 0-1-2-...-9: worst-case diameter for label propagation
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert set(got.values()) == {0} and len(got) == 10
+
+
+def test_dedup_by_components(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    survivors = {r.doc_id for r in dedup_by_components(docs, pairs).collect()}
+    assert survivors == {0, 1, 4, 5}  # 2 and 3 fold into component 1
