@@ -426,3 +426,23 @@ def q_dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.agg(
         F.count("*").alias("n_survivors"), F.min("doc_id").alias("min_id")
     )
+
+
+@_register(
+    "bloom_semi_filter",
+    None,  # approximate membership (superset of exact; FP-rate tested);
+    # combined with the exact count for a strong rows-only signal
+    ref="extension: explicit Bloom-filter semi-join (bitmap literal "
+    "probe, narrow); Spark's runtime bloomFilter join covers the "
+    "automatic case",
+)
+def q_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sketch import bloom_semi_filter
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    probable = bloom_semi_filter(o, c, "o_custkey", "c_custkey")
+    exact = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+    return probable.agg(F.count("*").alias("n_probable")).crossJoin(
+        exact.agg(F.count("*").alias("n_exact"))
+    )
