@@ -88,31 +88,50 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<bigint>) -- element i = min over shingles of
-    xxhash64(i, shingle).
+    """(id, sig array<bigint>) -- element i = min over shingles of the
+    i-th Carter-Wegman permutation of the shingle's base hash:
+    ``(a_i * xxhash64(s) + b_i) mod p``, p = 2^31 - 1.
 
-    Computed per-row with array expressions (``array_min`` over
-    ``transform``): a pure narrow projection, ZERO shuffle.  The naive
-    formulation (explode shingles -> groupBy doc -> 64 min aggs) moves
-    every shingle through an exchange; this one never leaves the scan --
-    at 100 TB that's the difference between a map-only pass and
-    shuffling the corpus."""
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    # let-binding via a singleton-array transform: the shingle array is
-    # evaluated once per row, then referenced by the bound lambda var in
-    # all 64 permutations (64 naive transforms would re-shingle 64x --
-    # Catalyst does not CSE across independent transform() calls)
-    sig = F.element_at(
-        F.transform(
-            F.array(sh),
-            lambda shl: F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.array_min(F.transform(shl, lambda s: F.xxhash64(i, s))),
-            ),
-        ),
-        1,
+    Plan shape: explode distinct shingles -> ONE codegen ``xxhash64``
+    per shingle string -> ``groupBy(doc_id)`` with 64 ``min`` aggregate
+    expressions over affine permutations of that base hash.  Everything
+    in the hot path is whole-stage-codegen (hash, mul/add/mod, hash
+    aggregate); Spark's *partial* aggregation computes per-partition
+    mins map-side, so the exchange carries one 64-long vector per doc
+    per partition -- the corpus text itself never shuffles.
+
+    A pure array-expression formulation (``array_min`` over nested
+    ``transform``) would be shuffle-free, but Spark's higher-order
+    functions are CodegenFallback -- interpreted per element -- and
+    measured ~10x slower on the same data; the narrow doc_id-keyed
+    signature shuffle is the right trade at any scale.
+
+    Operands stay < 2^31 (mod p = 2^31-1) so products fit a 64-bit long
+    under ANSI mode."""
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    p = (1 << 31) - 1  # Mersenne prime 2^31-1
+    # deterministic Carter-Wegman constants (a in [1, p), b in [0, p))
+    rng_a = [(2654435761 * (i + 1) + 104729) % (p - 1) + 1 for i in range(n_hashes)]
+    rng_b = [(40503 * (i + 1) * 69621 + 12345) % p for i in range(n_hashes)]
+    ex = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    base = F.pmod(F.xxhash64("s"), F.lit(p))
+    hashed = ex.select(F.col(id_col), base.alias("h"))
+    mins = [
+        F.min((F.col("h") * rng_a[i] + rng_b[i]) % p).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -195,24 +214,31 @@ def minhash_dedup(docs: DataFrame, transitive: bool = False, **kw) -> DataFrame:
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """(id, simhash bigint): sign-sum over token hashes.  Computed
-    entirely with array expressions (no explode): for each bit, count
-    tokens with that bit set vs total."""
-    tok_hashes = F.transform(
-        F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+    """(id, simhash bigint): sign-sum over token hashes.
+
+    Plan shape mirrors :func:`minhash_signatures`: explode distinct
+    tokens -> one codegen ``xxhash64`` per token -> ``groupBy(doc_id)``
+    with 63 per-bit ``sum(bit)`` aggregates + a count, then assemble the
+    fingerprint (bit b set iff the majority of token hashes have bit b
+    set).  Whole-stage-codegen end to end; partial aggregation shuffles
+    63 longs per doc per partition, never the text."""
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    ex = fan_out(docs).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t")
     )
-    n_tok = F.size(tok_hashes)
-    # bit b of the simhash = 1 iff (#tokens with bit b set) * 2 > n_tok
-    bit_cols = []
-    for b in range(bits - 1):  # 63 bits: keep the result positive
-        ones = F.size(
-            F.filter(tok_hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit_cols.append(F.when(ones * 2 > n_tok, F.lit(2**b).cast("bigint")).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return docs.select(F.col(id_col), total.alias("simhash"))
+    hashed = ex.select(F.col(id_col), F.xxhash64("t").alias("h"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits - 1)  # 63 bits: keep the result positive
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
+    total = F.lit(0).cast("bigint")
+    for b in range(bits - 1):
+        total = total + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), total.alias("simhash"))
 
 
 def simhash_pairs(
@@ -287,6 +313,9 @@ def winnow_fingerprints(
     mins via transform over start indices -> array_distinct.
     Returns (id, fingerprints array<bigint>, n_fingerprints).
     """
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    docs = fan_out(docs)
     sh = shingles(text_col, shingle_n)  # positional, duplicates kept
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     # let-bind the hash array, then window-min over start positions
