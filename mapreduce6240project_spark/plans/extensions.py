@@ -3,12 +3,13 @@ windows / streaming) registered into the shared REGISTRY.
 
 Oracle philosophy: everything whose kernel is reproducible in ANSI SQL
 gets a full DuckDB oracle (exact dedup via md5, relational n-gram
-Jaccard, cosine top-k in explicit double arithmetic, window/session
-analytics in epoch seconds).  The xxhash64-based probabilistic methods
-(MinHash-LSH, SimHash) and IVF ANN have no DuckDB-reproducible hash, so
-they get rows-only checks here and exact-ground-truth comparisons in
-tests/test_dedup.py (LSH results validated against the relational
-Jaccard oracle on planted near-duplicates).
+Jaccard, cosine top-k in explicit double arithmetic, the full IVF
+pipeline -- LCG centroid draw, argmax cell assignment, probe & search --
+window/session analytics in epoch seconds).  The xxhash64-based
+probabilistic methods (MinHash-LSH, SimHash) have no
+DuckDB-reproducible hash, so they get rows-only checks here and exact
+ground-truth comparisons in tests/test_dedup.py (LSH results validated
+against the relational Jaccard oracle on planted near-duplicates).
 """
 
 from __future__ import annotations
@@ -149,9 +150,59 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+# The IVF pipeline is fully deterministic (LCG centroid draw -> argmax
+# cell assignment -> probe/search), so the *whole* approximate index is
+# SQL-expressible: the oracle rebuilds the same 16 centroids (lowest LCG
+# hash, same constants as operators.sampling), assigns every vector to
+# its max-cosine cell (ties -> lowest cell, matching array_position's
+# first-match), and replays the probe/pair logic in double arithmetic.
+_IVF_CELLS = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+ranked AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+         (vec_id * 1103515245 + 12345) % 2147483648 AS h
+  FROM embeddings
+),
+cents AS (
+  SELECT cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+  FROM ranked ORDER BY h, vec_id LIMIT 16
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+csims AS (
+  SELECT v.vec_id, v.ev, c.cell,
+         list_dot_product(v.ev, c.cv)
+         / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+  FROM vecs v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT vec_id, ev, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM csims) WHERE rn = 1
+)
+"""
+
+
 @_register(
     "ann_ivf_topk",
-    None,  # approximate (IVF recall depends on probe set); invariants in tests
+    _IVF_CELLS
+    + """,
+probe AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY list_dot_product(c.cv, qv)
+           / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+           c.cell
+  LIMIT 4
+),
+sims AS (
+  SELECT a.vec_id,
+         list_dot_product(a.ev, qv)
+         / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(qv, qv))) AS sim_raw
+  FROM assign a, q
+  WHERE a.cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id, round(sim_raw, 4) AS sim
+FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10""",
     ref="extension: IVF-bucketed approximate top-k (scale path)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +212,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embedding_dup_pairs",
-    None,  # IVF-bucketed approximate near-dup pairs
+    _IVF_CELLS
+    + """
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.ev, b.ev)
+               / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 4) AS cos_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35""",
     ref="extension: embedding-cosine near-dup pairs (IVF candidates)",
 )
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
