@@ -422,7 +422,26 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_sessions",
-    None,  # session_window end/merge internals; invariants in tests
+    # session_window merges events with inter-arrival gap < 30 min --
+    # exactly the batch gaps-and-islands recurrence; on a bounded
+    # one-shot stream the result is deterministic, so the batch oracle
+    # applies (projected to this query's columns).
+    """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session
+  FROM flagged
+)
+SELECT user_id, CAST(floor(min(us) / 1000000) AS BIGINT) AS session_start,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session""",
     ref="extension: Structured Streaming session_window",
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
