@@ -31,8 +31,13 @@ _MOD = 2147483648
 
 def seed_hash(col: str = "tweet_id") -> F.Column:
     """Deterministic pseudo-random ordering key, pure integer arithmetic:
-    ``(id * MULT + INC) mod 2^31``."""
-    return (F.col(col) * F.lit(_MULT) + F.lit(_INC)) % F.lit(_MOD)
+    ``((id mod 2^31) * MULT + INC) mod 2^31``.
+
+    The inner ``mod 2^31`` bounds the product below 2^62 so the
+    expression never overflows a bigint under ANSI mode -- keys at
+    100 TB scale exceed 2^33, where the unreduced form would throw.
+    Values are unchanged for keys < 2^31 (the reduction is a no-op)."""
+    return ((F.col(col) % F.lit(_MOD)) * F.lit(_MULT) + F.lit(_INC)) % F.lit(_MOD)
 
 
 def sample_k_seeds(features: DataFrame, k: int, key: str = "tweet_id") -> DataFrame:
@@ -50,3 +55,34 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFram
     whose early-return made the kept set a biased prefix -- not
     replicated)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def hash_sample(df: DataFrame, fraction: float, key: str = "tweet_id") -> DataFrame:
+    """Consistent (hash-based) Bernoulli sample: keep rows whose LCG hash
+    of ``key`` falls below ``fraction * 2^31``.
+
+    Unlike ``rand()``-based sampling the draw is a pure function of the
+    key: the same row is in or out regardless of run, partitioning, or
+    engine -- the property train/eval splits and incremental pipelines
+    need (a re-run over an appended corpus keeps every prior decision).
+    Plan: a single deterministic comparison filter, fully pushable and
+    narrow -- no shuffle, no RNG state per partition."""
+    return df.filter(seed_hash(key) < F.lit(int(fraction * _MOD)))
+
+
+def stratified_hash_sample(
+    df: DataFrame, fractions: dict[str, float], strata_col: str, key: str = "tweet_id"
+) -> DataFrame:
+    """Per-stratum consistent sample: each stratum keeps its own
+    fraction, decided by the same keyed LCG hash as :func:`hash_sample`
+    (so a row's fate is stable even if its stratum's fraction changes
+    for *other* strata).  Strata absent from ``fractions`` are dropped.
+    Equivalent to ``df.sampleBy`` but deterministic per key and
+    oracle-expressible; still one narrow filter, no shuffle."""
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(int(frac * _MOD))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = thr.otherwise(F.lit(0))
+    return df.filter(seed_hash(key) < thr)

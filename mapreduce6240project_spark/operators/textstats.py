@@ -133,3 +133,68 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (vocab building for
+    a tokenizer / frequency cutoff).  Plan: explode normalized tokens ->
+    hash aggregate with map-side partial counts (the shuffle carries one
+    (token, count) pair per token per partition, not the corpus) ->
+    TakeOrderedAndProject top-k (per-partition heads, k-row driver
+    merge; no global sort).  Ties broken by token for determinism."""
+    from mapreduce6240project_spark.operators.dedup import tokens
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    ex = fan_out(docs).select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-n terms by tf-idf (keyword extraction):
+    ``tf = n_t / n_doc``, ``idf = ln(N / df_t)``, all double arithmetic.
+
+    Plan: explode tokens -> (doc, token) counts [shuffle 1, partial
+    aggregated] -> document frequencies by token [shuffle 2, partial
+    aggregated; at 100 TB the df table is vocabulary-sized, orders of
+    magnitude smaller than the corpus] -> broadcast-join scores back ->
+    per-doc top-n via ranked window over the doc-partitioned counts.
+    N (corpus size) is a driver-side scalar: one count() job, then a
+    literal folded into codegen.  Scoring sorts on the 4-dp-rounded
+    score (floor(x*1e4+0.5), identical IEEE arithmetic in Spark and
+    DuckDB) with token tiebreak so ordering is engine-independent."""
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.operators.dedup import tokens
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    n_docs = docs.count()
+    ex = fan_out(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = ex.groupBy(id_col, "token").agg(F.count("*").alias("n_t"))
+    tf = tf.withColumn("n_doc", F.sum("n_t").over(Window.partitionBy(id_col)))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    raw = (
+        F.col("n_t").cast("double")
+        / F.col("n_doc").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df_t").cast("double"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf", F.floor(raw * 10000 + F.lit(0.5)) / 10000.0
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(id_col, "token", "tfidf")
+    )

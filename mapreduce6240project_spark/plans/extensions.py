@@ -160,7 +160,7 @@ _IVF_CELLS = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 ranked AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
-         (vec_id * 1103515245 + 12345) % 2147483648 AS h
+         ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
   FROM embeddings
 ),
 cents AS (
@@ -317,6 +317,91 @@ GROUP BY lang""",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "vocab_top50",
+    f"""
+WITH tok AS (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+SELECT token, count(*) AS n FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 50""",
+    ref="extension: vocabulary building (corpus token frequency top-k)",
+)
+def q_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS n_t FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, token, n_t,
+              sum(n_t) OVER (PARTITION BY doc_id) AS n_doc FROM tf),
+dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         floor(CAST(n_t AS DOUBLE) / n_doc * ln(n_docs / df_t) * 10000 + 0.5)
+         / 10000 AS tfidf
+  FROM dl JOIN dfreq USING (token), n
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored)
+WHERE rn <= 3""",
+    ref="extension: per-document tf-idf keyword extraction",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_n=3)
+
+
+# ---------------------------------------------------------------------------
+# consistent sampling (train/eval splits)
+# ---------------------------------------------------------------------------
+
+#: LCG hash of a key column, as SQL (operators.sampling.seed_hash mirror)
+_LCG = "(({k} % 2147483648) * 1103515245 + 12345) % 2147483648"
+
+
+@_register(
+    "hash_sample_customers",
+    f"""
+SELECT c_custkey, c_acctbal FROM customer
+WHERE {_LCG.format(k='c_custkey')} < {int(0.1 * 2147483648)}""",
+    ref="extension: consistent hash sample (deterministic train/eval split)",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import hash_sample
+
+    cust = load_table(spark, sf_dir, "customer")
+    return hash_sample(cust, 0.1, key="c_custkey").select("c_custkey", "c_acctbal")
+
+
+_STRATA_FRACTIONS = {"O": 0.05, "F": 0.2, "P": 0.5}
+
+
+@_register(
+    "stratified_sample_orders",
+    f"""
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE {_LCG.format(k='o_orderkey')} < CASE o_orderstatus
+  WHEN 'O' THEN {int(0.05 * 2147483648)}
+  WHEN 'F' THEN {int(0.2 * 2147483648)}
+  WHEN 'P' THEN {int(0.5 * 2147483648)}
+  ELSE 0 END""",
+    ref="extension: stratified consistent sample (per-class fractions)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import stratified_hash_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stratified_hash_sample(
+        orders, _STRATA_FRACTIONS, strata_col="o_orderstatus", key="o_orderkey"
+    ).select("o_orderkey", "o_orderstatus")
 
 
 # ---------------------------------------------------------------------------

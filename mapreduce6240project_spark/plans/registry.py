@@ -176,7 +176,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_seeds",
     _with_features(
         "SELECT tweet_id FROM (SELECT DISTINCT tweet_id FROM features) "
-        "ORDER BY (tweet_id * 1103515245 + 12345) % 2147483648, tweet_id LIMIT 5"
+        "ORDER BY ((tweet_id % 2147483648) * 1103515245 + 12345) % 2147483648, tweet_id LIMIT 5"
     ),
     ref="random.java:89-111 (distinct random k-draw R2, made deterministic)",
 )

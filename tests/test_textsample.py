@@ -1,0 +1,105 @@
+"""Consistent sampling + vocabulary/tf-idf operators: the properties
+that make them pipeline-safe (subset stability, per-stratum fractions,
+deterministic ordering), checked at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+from mapreduce6240project_spark.operators.textstats import (
+    tfidf_top_terms,
+    vocab_topk,
+)
+from mapreduce6240project_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_is_subset_stable(spark):
+    """Raising the fraction only ADDS rows -- the property that lets a
+    pipeline grow its eval split without reshuffling past decisions."""
+    cust = load_table(spark, SF, "customer")
+    small = {r.c_custkey for r in hash_sample(cust, 0.05, "c_custkey").collect()}
+    large = {r.c_custkey for r in hash_sample(cust, 0.2, "c_custkey").collect()}
+    assert small <= large
+    n = cust.count()
+    assert 0 < len(small) < len(large) < n
+    # fraction lands in a loose CLT band
+    assert abs(len(large) / n - 0.2) < 0.1
+
+
+def test_hash_sample_is_repartition_invariant(spark):
+    cust = load_table(spark, SF, "customer")
+    a = {r.c_custkey for r in hash_sample(cust, 0.1, "c_custkey").collect()}
+    b = {
+        r.c_custkey
+        for r in hash_sample(cust.repartition(7), 0.1, "c_custkey").collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_fractions(spark):
+    orders = load_table(spark, SF, "orders")
+    fr = {"O": 0.1, "F": 0.5}
+    got = stratified_hash_sample(orders, fr, "o_orderstatus", "o_orderkey")
+    counts = {
+        r.o_orderstatus: r.n
+        for r in got.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert "P" not in counts  # unlisted stratum dropped
+    for s, frac in fr.items():
+        assert abs(counts[s] / totals[s] - frac) < 0.15
+
+
+def test_vocab_topk_matches_manual_count(spark):
+    docs = load_table(spark, SF, "documents")
+    got = vocab_topk(docs, k=10).collect()
+    assert len(got) == 10
+    # monotone non-increasing counts, ties broken by token ascending
+    for a, b in zip(got, got[1:]):
+        assert a.n > b.n or (a.n == b.n and a.token < b.token)
+    # the #1 token really is the max over a manual full count
+    full = (
+        docs.select(
+            F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("t")
+        )
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .first()
+    )
+    assert got[0].token == full.t and got[0].n == full["count"]
+
+
+def test_tfidf_planted_keyword(spark):
+    """A token unique to one document must be that document's top term."""
+    docs = load_table(spark, SF, "documents").limit(50)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.concat(F.lit("zzzuniq zzzuniq zzzuniq "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    top = tfidf_top_terms(planted, top_n=1).filter(F.col("doc_id") == 1).first()
+    assert top.token == "zzzuniq"
+    assert top.tfidf > 0
+    # score is ln-based and bounded by ln(N)
+    assert top.tfidf <= math.log(50) + 1e-9
+
+
+def test_tfidf_rows_per_doc(spark):
+    docs = load_table(spark, SF, "documents")
+    got = tfidf_top_terms(docs, top_n=3)
+    per_doc = got.groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert per_doc.filter(F.col("n") > 3).count() == 0
+    assert got.filter(F.col("tfidf") < 0).count() == 0
