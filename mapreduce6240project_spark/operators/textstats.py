@@ -198,3 +198,60 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= top_n)
         .select(id_col, "token", "tfidf")
     )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training data: concatenate documents in
+    ``id_col`` order and cut every ``budget`` tokens; each document is
+    labeled with the chunk where its first token lands.  Returns
+    (id, n_tokens, chunk_id).
+
+    The running token total is a **distributed prefix sum**, not a
+    global window: ``repartitionByRange(id)`` gives ordered, disjoint
+    id ranges per partition; per-partition token sums (one row per
+    partition) are collected and turned into literal offsets; the
+    final cumsum is a partition-local window plus a mapped literal.
+    The naive ``Window.orderBy(id)`` with no partitioning funnels the
+    whole corpus through ONE task -- this shape keeps every stage wide.
+    Chunk ids use exact integer division (``div``), not double
+    arithmetic: at ~100 TB the corpus passes 2^53 total tokens and
+    float division would mis-bin."""
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    d = (
+        fan_out(docs)
+        .repartitionByRange(id_col)
+        # null text packs as 0 tokens (keeps the prefix sum total)
+        .select(
+            F.col(id_col),
+            F.coalesce(token_count(text_col), F.lit(0)).alias("n_tokens"),
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_sums = {
+        r.pid: r.s
+        for r in d.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(part_sums):
+        offsets[pid] = running
+        running += part_sums[pid]
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("pid").orderBy(id_col)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens") + off_map[F.col("pid")]
+    return (
+        d.withColumn("cum_before", cum_before)
+        # DIV = integral division on bigint, exact past 2^53 where
+        # float `/` + floor would mis-bin
+        .withColumn("chunk_id", F.expr(f"cum_before DIV {int(budget)}"))
+        .select(F.col(id_col), "n_tokens", "chunk_id")
+    )

@@ -359,6 +359,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_n=3)
 
 
+@_register(
+    "pack_chunks_2k",
+    f"""
+SELECT doc_id, n_t AS n_tokens,
+       CAST((sum(n_t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_t) // 2048
+            AS BIGINT) AS chunk_id
+FROM (SELECT doc_id, {_NTOK} AS n_t FROM documents)""",
+    ref="extension: sequence packing (concat in id order, cut every 2048 tokens)",
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pack_chunks(load_table(spark, sf_dir, "documents"), budget=2048)
+
+
 # ---------------------------------------------------------------------------
 # consistent sampling (train/eval splits)
 # ---------------------------------------------------------------------------

@@ -103,3 +103,40 @@ def test_tfidf_rows_per_doc(spark):
     per_doc = got.groupBy("doc_id").agg(F.count("*").alias("n"))
     assert per_doc.filter(F.col("n") > 3).count() == 0
     assert got.filter(F.col("tfidf") < 0).count() == 0
+
+
+def test_pack_chunks_prefix_sum_is_exact(spark):
+    """The distributed prefix sum must equal a single-partition global
+    cumsum, partition boundaries notwithstanding."""
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.operators.textstats import (
+        pack_chunks,
+        token_count,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = pack_chunks(docs, budget=512)
+    naive = (
+        docs.select(F.col("doc_id"), token_count("text").alias("n_tokens"))
+        .withColumn(
+            "chunk_id",
+            F.expr("(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) DIV 512"),
+        )
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    # chunk ids are dense from 0 and each holds <= ~budget first-tokens
+    mx = got.agg(F.max("chunk_id")).first()[0]
+    assert got.select("chunk_id").distinct().count() == mx + 1
+
+
+def test_pack_chunks_budget_monotone(spark):
+    from mapreduce6240project_spark.operators.textstats import pack_chunks
+
+    docs = load_table(spark, SF, "documents")
+    big = pack_chunks(docs, budget=4096).withColumnRenamed("chunk_id", "big")
+    small = pack_chunks(docs, budget=1024).withColumnRenamed("chunk_id", "small")
+    j = big.select("doc_id", "big").join(small.select("doc_id", "small"), "doc_id")
+    # a coarser budget can only merge chunks, never reorder docs
+    assert j.filter(F.col("big") * 4 > F.col("small") + 3).count() == 0
