@@ -86,3 +86,35 @@ def stratified_hash_sample(
         thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
     thr = thr.otherwise(F.lit(0))
     return df.filter(seed_hash(key) < thr)
+
+
+def mixture_resample(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Corpus mixing: downsample strata so the output matches the target
+    mixture ``{stratum: share}`` (shares summing to 1), keeping the
+    largest total achievable without upsampling any stratum.
+
+    Two passes: a stratum-count aggregate (tiny -- one row per stratum,
+    collected to the driver), then one consistent keyed-hash filter with
+    per-stratum literal thresholds.  The decision is a pure function of
+    (key, targets, stratum counts): re-runs and engines agree, and the
+    oracle recomputes the same thresholds in SQL with the same IEEE
+    double operation order (share * total / n, truncated to a 2^31
+    threshold).  Strata absent from ``targets`` are dropped; targets
+    absent from the data are ignored."""
+    counts = {
+        r[strata_col]: r.n
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    present = {s: share for s, share in targets.items() if s in counts and share > 0}
+    if not present:
+        return df.filter(F.lit(False))
+    total = min(counts[s] / share for s, share in present.items())
+    fractions = {
+        s: min(1.0, share * total / counts[s]) for s, share in present.items()
+    }
+    return stratified_hash_sample(df, fractions, strata_col, key)

@@ -417,6 +417,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus")
 
 
+_MIX_TARGETS = {"en": 0.5, "es": 0.25, "fr": 0.25}
+
+
+@_register(
+    "mixture_resample_docs",
+    # recomputes the driver's thresholds in SQL with the same IEEE
+    # double op order: total = min(n/share); frac = least(1, share *
+    # total / n); threshold = trunc(frac * 2^31) (trunc matches
+    # Python's int(), where a bare BIGINT cast would round)
+    f"""
+WITH tgt(lang, share) AS (VALUES ('en', 0.5), ('es', 0.25), ('fr', 0.25)),
+cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT min(n / share) AS total FROM cnt JOIN tgt USING (lang)),
+thr AS (
+  SELECT lang, CAST(trunc(LEAST(1.0, share * total / n) * 2147483648) AS BIGINT) AS t
+  FROM cnt JOIN tgt USING (lang), tot
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE {_LCG.format(k='d.doc_id')} < t""",
+    ref="extension: corpus mixture resampling (downsample strata to target shares)",
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(docs, _MIX_TARGETS, strata_col="lang", key="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -140,3 +140,28 @@ def test_pack_chunks_budget_monotone(spark):
     j = big.select("doc_id", "big").join(small.select("doc_id", "small"), "doc_id")
     # a coarser budget can only merge chunks, never reorder docs
     assert j.filter(F.col("big") * 4 > F.col("small") + 3).count() == 0
+
+
+def test_mixture_resample_hits_targets(spark):
+    from mapreduce6240project_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, SF, "documents")
+    targets = {"en": 0.5, "es": 0.25, "fr": 0.25}
+    out = mixture_resample(docs, targets, "lang", "doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(targets)  # untargeted strata dropped
+    total = sum(counts.values())
+    for s, share in targets.items():
+        # loose band: hash sampling is Bernoulli-ish, not exact-count
+        assert abs(counts.get(s, 0) / total - share) < 0.15
+    # no upsampling: every stratum within its source count
+    src = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for s, n in counts.items():
+        assert n <= src[s]
+
+
+def test_mixture_resample_empty_targets(spark):
+    from mapreduce6240project_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, SF, "documents")
+    assert mixture_resample(docs, {"xx": 1.0}, "lang", "doc_id").count() == 0
