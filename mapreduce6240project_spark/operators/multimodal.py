@@ -108,6 +108,62 @@ def decode_and_featurize(
     return media.mapInPandas(run, schema=_DECODE_OUT_SCHEMA)
 
 
+_RESIZE_OUT_SCHEMA = (
+    "media_id long, out_w int, out_h int, payload binary, n_bytes int"
+)
+
+
+def resize(
+    media: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    batch_size: int = 256,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize every image blob to ``out_w x out_h`` and re-emit the
+    (smaller) payload -- the thumbnailing / normalization stage of an
+    image pipeline.
+
+    Same ``mapInPandas`` shape as :func:`decode_and_featurize` (Arrow
+    batches, partition-parallel); the stub "resampler" nearest-neighbor
+    subsamples the raw bytes to exactly ``out_w*out_h`` so payload
+    sizing, binary round-trip, and downstream schema are all real and
+    assertable.  At scale the output parquet is a fraction of the input
+    bytes, so resize runs early and everything downstream reads the
+    shrunken table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = out_w * out_h
+        for pdf in batches:
+            if not decode_stub:
+                # >>> INTEGRATION POINT: real resampler goes here, e.g.
+                #   PIL.Image.open(io.BytesIO(b)).resize((out_w, out_h))
+                raise NotImplementedError(
+                    "real image resizing requires PIL; "
+                    "run with decode_stub=True in this environment"
+                )
+
+            def shrink(b: bytes) -> bytes:
+                if not b:
+                    return bytes(n_out)
+                step = max(1, len(b) // n_out)
+                out = b[::step][:n_out]
+                return out + bytes(n_out - len(out))  # pad short blobs
+
+            payloads = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "payload": payloads,
+                    "n_bytes": payloads.map(len).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=_RESIZE_OUT_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Video-style frame sampling, stubbed over byte offsets: emit one
     row per sampled "frame" (offset stride) with a per-frame digest.

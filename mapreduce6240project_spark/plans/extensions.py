@@ -475,6 +475,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_and_featurize(media)
 
 
+@_register(
+    "multimodal_resize",
+    # the stub payload bytes aren't SQL-expressible, but the sizing
+    # contract is: exactly one row per blob, constant out dims, payload
+    # padded/truncated to exactly out_w*out_h bytes
+    """
+SELECT doc_id AS media_id, CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+       CAST(1024 AS INT) AS n_bytes
+FROM documents""",
+    ref="extension: Arrow-batched image resize plumbing (stubbed resampler)",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.resize(media, out_w=32, out_h=32).select(
+        "media_id", "out_w", "out_h", "n_bytes"
+    )
+
+
 # ---------------------------------------------------------------------------
 # event windows (batch) + streaming twins
 # ---------------------------------------------------------------------------

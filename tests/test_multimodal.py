@@ -52,3 +52,32 @@ def test_frame_sample_row_explosion(media):
     assert frames.count() >= n_media  # at least one frame per blob
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in per)
+
+
+def test_resize_payload_sizing(media):
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.multimodal import resize
+
+    out = resize(media, out_w=8, out_h=4).cache()
+    assert out.count() == media.count()  # one row per blob
+    # every payload is exactly out_w*out_h bytes, including empty inputs
+    assert out.filter(F.octet_length("payload") != 32).count() == 0
+    # deterministic: same input -> byte-identical output
+    a = {r.media_id: bytes(r.payload) for r in out.limit(20).collect()}
+    b = {
+        r.media_id: bytes(r.payload)
+        for r in resize(media, out_w=8, out_h=4).limit(20).collect()
+    }
+    for k in a:
+        assert a[k] == b[k]
+
+
+def test_resize_real_path_is_stubbed(media):
+    from mapreduce6240project_spark.operators.multimodal import resize
+
+    with pytest.raises(Exception) as ei:
+        resize(media, decode_stub=False).count()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
