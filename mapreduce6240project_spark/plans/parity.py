@@ -428,10 +428,38 @@ def q_dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_oracle() -> str:
+    """The int-key Carter-Wegman bloom is deterministic arithmetic, so
+    the oracle replays it: the DISTINCT set of bit positions the build
+    side sets, then a probe that requires all k positions present --
+    bit-for-bit the same membership decision as the bitmap probe."""
+    from mapreduce6240project_spark.operators.sketch import _CW, _P
+
+    m, k = 8192, 4
+
+    def pos(key: str, j: int) -> str:
+        a, b = _CW[j]
+        return f"((({key} % {_P}) * {a} + {b}) % {_P}) % {m}"
+
+    build = ", ".join(pos("c_custkey", j) for j in range(k))
+    probes = " AND ".join(
+        f"{pos('o_custkey', j)} IN (SELECT pos FROM bits)" for j in range(k)
+    )
+    return f"""
+WITH bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{build}]) AS pos
+    FROM bld WHERE c_custkey IS NOT NULL)
+)
+SELECT (SELECT count(*) FROM orders WHERE {probes}) AS n_probable,
+       (SELECT count(*) FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM bld)) AS n_exact"""
+
+
 @_register(
     "bloom_semi_filter",
-    None,  # approximate membership (superset of exact; FP-rate tested);
-    # combined with the exact count for a strong rows-only signal
+    _bloom_oracle(),
     ref="extension: explicit Bloom-filter semi-join (bitmap literal "
     "probe, narrow); Spark's runtime bloomFilter join covers the "
     "automatic case",
@@ -439,9 +467,11 @@ def q_dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.sketch import bloom_semi_filter
 
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
     o = load_table(spark, sf_dir, "orders")
-    probable = bloom_semi_filter(o, c, "o_custkey", "c_custkey")
+    probable = bloom_semi_filter(o, c, "o_custkey", "c_custkey", int_keys=True)
     exact = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
     return probable.agg(F.count("*").alias("n_probable")).crossJoin(
         exact.agg(F.count("*").alias("n_exact"))
