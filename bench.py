@@ -6,9 +6,13 @@ JSON line:
     {"metric": "headline_queries_total", "value": N, "unit": "sec",
      "queries": {...per-query sec...}, "sf": 0.1}
 
-Each query is executed once to completion (count() action over the
-returned DataFrame) after a warm-up of the Spark session; the measured
-time includes planning + execution, excluding JVM startup.
+Each query is executed once to completion via a ``noop``-format write
+(JVM-side sink that materializes EVERY output column) after a warm-up
+of the Spark session; the measured time includes planning + execution,
+excluding JVM startup.  A bare ``count()`` would let Catalyst prune
+computed columns out of the plan entirely (e.g. the cluster assignment
+expression contributes nothing to a row count), under-measuring the
+engine; the noop sink executes the query as a consumer would.
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ def main() -> None:
     for spec in headline:
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
         print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr, flush=True)
 
