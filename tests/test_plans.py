@@ -70,9 +70,21 @@ def test_minhash_signatures_plan_shape(spark):
 
 
 def test_ingest_is_map_only(spark):
+    # reference ETL is a map-only job (kmeans.java:146); ours matches.
+    # (fan_out on this path was measured a net loss: the iterative
+    # clustering queries re-pay the extra stage per driver-loop job --
+    # see BASELINE.md negative results.)
     feats = tweet_features_from_events(spark, SF)
-    # reference ETL is a map-only job (kmeans.java:146); ours matches
     assert _n_exchanges(feats) == 0
+
+
+def test_fan_out_is_noop_on_wide_input(spark):
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    wide = load_table(spark, SF, "lineitem").repartition(64)
+    assert fan_out(wide) is wide  # zero plan change
+    narrow = load_table(spark, SF, "lineitem")
+    assert fan_out(narrow).rdd.getNumPartitions() >= 32
 
 
 def test_topk_uses_take_ordered(spark):
