@@ -34,8 +34,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="bench")
-    # warm up the JVM / parquet footer caches with a trivial action
-    spark.range(1000).count()
+    # warm up the JVM and the noop sink path with a trivial action so the
+    # first measured query doesn't absorb one-time datasource/codegen init
+    spark.range(1000).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     headline = [s for s in REGISTRY.values() if s.headline]
