@@ -421,6 +421,84 @@ _MIX_TARGETS = {"en": 0.5, "es": 0.25, "fr": 0.25}
 
 
 @_register(
+    "corpus_curation",
+    # the full curation pipeline, every stage replayed in SQL: quality
+    # scoring (shared with text_quality) -> lang + threshold filter ->
+    # exact dedup survivors -> mixture resample (thresholds recomputed
+    # with the driver's IEEE op order) -> per-lang stats.  avg quality
+    # is summed as exact 4-dp integers so sum order cannot flip the hash
+    f"""
+WITH q AS (
+  SELECT doc_id,
+    floor((len_band * 0.4 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+           + least(stopword_ratio * 3, 1.0) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+  FROM (
+    SELECT doc_id,
+      round(n_punct / greatest(n_chars_norm, 1), 4) AS punct_ratio,
+      round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+      CASE WHEN n_chars_norm < 50 THEN 0.2 WHEN n_chars_norm < 200 THEN 0.6
+           WHEN n_chars_norm < 2000 THEN 1.0 ELSE 0.7 END AS len_band
+    FROM (
+      SELECT doc_id,
+        length({_NORM}) AS n_chars_norm,
+        {_NTOK} AS n_tokens,
+        length({_NORM}) - length(regexp_replace({_NORM}, '[^a-z0-9 ]', '', 'g'))
+          AS n_punct,
+        CAST({{marker}} AS DOUBLE) AS stop_hits
+      FROM documents
+    )
+  )
+),
+good AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= 0.6 AND d.lang IN ('en', 'es', 'fr')
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5({_NORM})),
+kept AS (SELECT g.* FROM good g JOIN surv USING (doc_id)),
+tgt(lang, share) AS (VALUES ('en', 0.5), ('es', 0.25), ('fr', 0.25)),
+cnt AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+tot AS (SELECT min(n / share) AS total FROM cnt JOIN tgt USING (lang)),
+thr AS (
+  SELECT lang, CAST(trunc(LEAST(1.0, share * total / n) * 2147483648) AS BIGINT) AS t
+  FROM cnt JOIN tgt USING (lang), tot
+),
+mixed AS (
+  SELECT k.* FROM kept k JOIN thr USING (lang)
+  WHERE {_LCG.format(k='k.doc_id')} < t
+)
+SELECT lang, count(*) AS n_docs,
+       floor(CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) + 0.5) / 10000.0 AS avg_quality
+FROM mixed GROUP BY lang""".replace(
+        "{marker}", _marker_hits_sql(("the", "and", "of", "to", "is"))
+    ),
+    ref="extension: end-to-end corpus curation (quality gate -> exact "
+    "dedup -> mixture resample), the training-data composition",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(docs).select("doc_id", "quality")
+    good = (
+        docs.join(q.filter(F.col("quality") >= 0.6), "doc_id")
+        .filter(F.col("lang").isin("en", "es", "fr"))
+        .select("doc_id", "lang", "text", "quality")
+    )
+    surv = D.exact_dedup(good).select("doc_id")
+    kept = good.join(surv, "doc_id", "left_semi")
+    mixed = mixture_resample(kept, _MIX_TARGETS, strata_col="lang", key="doc_id")
+    sum_q = F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("bigint"))
+    return mixed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.floor(sum_q.cast("double") / F.count("*") + F.lit(0.5)) / 10000.0).alias(
+            "avg_quality"
+        ),
+    )
+
+
+@_register(
     "mixture_resample_docs",
     # recomputes the driver's thresholds in SQL with the same IEEE
     # double op order: total = min(n/share); frac = least(1, share *
