@@ -309,34 +309,41 @@ def winnow_fingerprints(
     are the document's fingerprint set.  Guarantees any shared substring
     of length >= window+n-1 shingles produces a shared fingerprint.
 
-    Pure array expressions (zero shuffle): shingle hashes -> windowed
-    mins via transform over start indices -> array_distinct.
-    Returns (id, fingerprints array<bigint>, n_fingerprints).
+    Plan shape mirrors :func:`minhash_signatures`: posexplode the
+    positional shingles -> one codegen ``xxhash64`` per shingle -> a
+    rows-frame window min (JVM window exec) gives each start position's
+    window minimum -> distinct mins collected per doc.  The former
+    array-expression formulation (``transform`` over ``slice``) was
+    CodegenFallback -- interpreted per window per element -- and
+    measured ~4x slower steady-state; the one keyed exchange carries only
+    (id, pos, hash) longs.  Docs with null text produce no row.
+    Returns (id, fingerprints array<bigint> sorted, n_fingerprints).
     """
+    from pyspark.sql import Window
+
     from mapreduce6240project_spark.operators.fanout import fan_out
 
-    docs = fan_out(docs)
-    sh = shingles(text_col, shingle_n)  # positional, duplicates kept
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # let-bind the hash array, then window-min over start positions
-    fps = F.element_at(
-        F.transform(
-            F.array(hashes),
-            lambda hs: F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))
-                    ),
-                    lambda i: F.array_min(F.slice(hs, i, window)),
-                )
-            ),
-        ),
-        1,
-    )
-    return docs.select(
+    ex = fan_out(docs).select(
         F.col(id_col),
-        fps.alias("fingerprints"),
-        F.size(fps).alias("n_fingerprints"),
+        F.posexplode(shingles(text_col, shingle_n)).alias("pos", "s"),
+    )
+    h = ex.select(F.col(id_col), "pos", F.xxhash64("s").alias("h"))
+    w_roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    rolled = h.select(
+        F.col(id_col),
+        "pos",
+        F.min("h").over(w_roll).alias("wmin"),
+        # frame row count doubles as the full-window test: one Window
+        # operator computes both functions over the same frame
+        F.count("*").over(w_roll).alias("wlen"),
+    )
+    # full windows only (starts 0..n-w), except docs shorter than the
+    # window, which contribute their single truncated window at pos 0
+    starts = rolled.filter((F.col("wlen") == window) | (F.col("pos") == 0))
+    return (
+        starts.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("wmin")).alias("fingerprints"))
+        .withColumn("n_fingerprints", F.size("fingerprints"))
     )
 
 
