@@ -1,0 +1,155 @@
+"""Training-data curation operators over the documents table: within-doc
+repetition analysis, PII redaction, eval-set decontamination,
+deterministic train/val/test splitting, and corpus bigram statistics.
+
+These are the pre-training curation steps (the C4/Gopher-rules family)
+re-expressed as Catalyst plans:
+
+* repetition -> explode + two-level hash aggregate (map-side partial);
+* redaction -> regexp chains (whole-stage codegen, RE2-safe patterns so
+  the DuckDB oracle runs the identical regex);
+* decontamination -> broadcast LEFT ANTI join on content fingerprints;
+* split -> pure integer LCG arithmetic (same draw replayable in SQL);
+* bigrams -> posexplode + lead() window, then a count aggregate.
+
+At 100 TB: every operator here is a single shuffle (or none for
+redaction/split, which stay map-only).  The decontamination anti-join
+broadcasts the eval fingerprint set (eval corpora are small by
+construction); were the eval side ever large, the same plan degrades
+gracefully to a shuffled anti-join.
+
+Reference anchor: the reference has no text pipeline (its ETL is
+kmeans.java:24-112 CSV feature extraction); this module is the
+extension surface named in BASELINE.json (documents table ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators.dedup import normalize_text
+from mapreduce6240project_spark.operators.sampling import _INC, _MOD, _MULT
+
+# RE2-safe redaction patterns (character classes only -- no lookaround)
+# so Spark (Java regex) and DuckDB (RE2) match the same spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+LONG_DIGITS_RE = r"[0-9]{9,}"
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition profile: token totals, distinct-token
+    count, duplicate-token ratio, and the most-frequent token's share.
+
+    Gopher-style repetition filters threshold on exactly these ratios.
+    Plan shape: explode tokens -> hash aggregate (id, token) -> hash
+    aggregate (id).  Both aggregates get map-side partials; the shuffle
+    key is (id, token) then (id), so the second exchange is removed by
+    Catalyst (child distribution already satisfies it)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    )
+    per_tok = tok.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            (F.sum("n") - F.count("*")) / F.sum("n"), 4
+        ).alias("dup_ratio"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("top_tok_share"),
+    )
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails, long digit runs, then phone-like runs (in that
+    order -- a bare 16-digit card number is ``<NUM>``, not a phone);
+    count the redactions per document.  Map-only (no shuffle): three
+    regexp replaces + three regexp_extract_all counts, all codegen."""
+    c = F.col(text_col)
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    after_digits = F.regexp_replace(after_email, LONG_DIGITS_RE, "<NUM>")
+    n_matches = (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(after_email, F.lit(LONG_DIGITS_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(after_digits, F.lit(PHONE_RE), F.lit(0)))
+    )
+    redacted = F.regexp_replace(after_digits, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        n_matches.cast("int").alias("n_redactions"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop training documents whose normalized-text fingerprint appears
+    in the eval corpus (exact-match decontamination).
+
+    Plan: broadcast LEFT ANTI join on md5(normalized text).  The eval
+    fingerprint set is deduplicated before the broadcast so the hashed
+    relation is minimal."""
+    fp = F.md5(normalize_text(text_col))
+    eval_fps = eval_docs.select(fp.alias("fingerprint")).distinct()
+    return (
+        train.withColumn("fingerprint", fp)
+        .join(F.broadcast(eval_fps), "fingerprint", "left_anti")
+        .drop("fingerprint")
+    )
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (8, 1, 1),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by LCG hash of the id:
+    bucket = hash(id) mod sum(weights); the first ``weights[0]`` buckets
+    are train, the next val, the rest test.  Pure integer arithmetic ->
+    the identical draw is expressible in ANSI SQL, and the assignment is
+    stable under any repartitioning or re-run (unlike F.rand)."""
+    total = sum(weights)
+    h = ((F.col(id_col) % F.lit(_MOD)) * F.lit(_MULT) + F.lit(_INC)) % F.lit(_MOD)
+    bucket = h % F.lit(total)
+    split = (
+        F.when(bucket < weights[0], "train")
+        .when(bucket < weights[0] + weights[1], "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+def bigram_topk(
+    docs: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level top-k bigrams: posexplode tokens, pair each token
+    with its successor via a lead() window partitioned by document, then
+    one count aggregate and a TakeOrderedAndProject top-k.
+
+    The window shuffle partitions by document id (balanced), and the
+    final ``orderBy().limit(k)`` is a per-partition top-k + k-row driver
+    merge -- no global sort at any scale."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = tok.select(
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(k)
+    )

@@ -5,5 +5,6 @@ from mapreduce6240project_spark.plans.registry import REGISTRY, QuerySpec
 from mapreduce6240project_spark.plans import extensions as _extensions  # noqa: F401
 from mapreduce6240project_spark.plans import parity as _parity  # noqa: F401
 from mapreduce6240project_spark.plans import relational as _relational  # noqa: F401
+from mapreduce6240project_spark.plans import wave2 as _wave2  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec"]

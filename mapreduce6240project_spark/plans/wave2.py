@@ -1,0 +1,314 @@
+"""Third-wave coverage: training-data curation (repetition profiling,
+PII redaction, decontamination, deterministic splits, corpus bigrams)
+plus the remaining relational shapes (anti/semi joins, left-outer
+profiles, corr/covar aggregates, ntile deciles, value histograms,
+funnel analytics).
+
+Registered into the shared REGISTRY (imported by plans/__init__).
+Every query here carries a full DuckDB oracle; float outputs are
+rounded to 4 digits on both sides, money sums use exact integer cents
+(see functions.numeric), and the train/val/test draw is pure LCG
+integer arithmetic so the identical assignment replays in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators import curation as C
+from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.sources.tables import load_table
+
+#: SQL fragment: normalized text (mirror of operators.dedup.normalize_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _norm_of(alias: str) -> str:
+    return f"trim(regexp_replace(lower({alias}.text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# curation: repetition / redaction / decontamination / split / bigrams
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_repetition",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents WHERE {_NORM} <> ''
+),
+pt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(CAST(sum(n) - count(*) AS DOUBLE) / sum(n), 4) AS dup_ratio,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_tok_share
+FROM pt GROUP BY doc_id""",
+    ref="extension: within-doc repetition profile (Gopher-rule ratios)",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")) != ""
+    )
+    return C.repetition_stats(docs)
+
+
+@_register(
+    "redact_pii",
+    f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{C.LONG_DIGITS_RE}', '<NUM>', 'g'),
+             '{C.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}'))
+          + len(regexp_extract_all(
+                regexp_replace(text, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{C.LONG_DIGITS_RE}'))
+          + len(regexp_extract_all(
+                regexp_replace(regexp_replace(text,
+                    '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{C.LONG_DIGITS_RE}', '<NUM>', 'g'),
+                '{C.PHONE_RE}')) AS INT) AS n_redactions
+FROM documents""",
+    ref="extension: PII redaction (regex masking; RE2-safe patterns)",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = C.redact_pii(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.md5("redacted_text").alias("redacted_md5"), "n_redactions"
+    )
+
+
+@_register(
+    "decontaminate_train",
+    f"""
+SELECT t.doc_id, t.source FROM documents t
+WHERE t.source <> 'src0' AND NOT EXISTS (
+  SELECT 1 FROM documents e
+  WHERE e.source = 'src0' AND md5({_norm_of('e')}) = md5({_norm_of('t')}))""",
+    ref="extension: eval-set decontamination (broadcast LEFT ANTI on fingerprints)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    surviving = C.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+    return surviving.select("doc_id", "source")
+
+
+@_register(
+    "split_counts",
+    """
+SELECT split, lang, count(*) AS n FROM (
+  SELECT lang,
+    CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 10 < 8
+         THEN 'train'
+         WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 10 < 9
+         THEN 'val' ELSE 'test' END AS split
+  FROM documents
+) GROUP BY 1, 2""",
+    ref="extension: deterministic train/val/test split (LCG bucket of id)",
+)
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = C.assign_split(load_table(spark, sf_dir, "documents"))
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "bigram_top20",
+    f"""
+WITH bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM (SELECT string_split({_NORM}, ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+ORDER BY n DESC, bigram LIMIT 20""",
+    ref="extension: corpus bigram top-k (posexplode + lead window + top-k)",
+)
+def q_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bigram_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# relational: anti / semi / left-outer / corr / ntile / histogram / funnel
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customers_no_orders",
+    """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1""",
+    ref="extension: LEFT ANTI join (TPC-H Q22 shape); absent from reference (SURVEY 2.4)",
+)
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "discount_suppliers_semi",
+    """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier s JOIN nation ON n_nationkey = s_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)
+GROUP BY 1""",
+    ref="extension: LEFT SEMI join (EXISTS shape); absent from reference (SURVEY 2.4)",
+)
+def q_discount_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    deep = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") > 0.09
+    ).select("l_suppkey")
+    return (
+        supp.join(deep, supp.s_suppkey == deep.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@_register(
+    "customer_order_profile",
+    """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       COALESCE(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT), 0) AS spent_cents
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY 1""",
+    ref="extension: LEFT OUTER join + null-safe aggregate; absent from reference (SURVEY 2.4)",
+)
+def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("spent_cents"),
+        )
+    )
+
+
+@_register(
+    "corr_by_returnflag",
+    """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       count(*) AS n
+FROM lineitem GROUP BY 1""",
+    ref="extension: correlation/covariance aggregates; reference has only sum/count (SURVEY 2.5)",
+)
+def q_corr_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "acctbal_deciles",
+    """
+SELECT c_mktsegment, decile, count(*) AS n,
+       min(c_acctbal) AS lo, max(c_acctbal) AS hi
+FROM (SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+GROUP BY 1, 2""",
+    ref="extension: ntile decile bucketing (window rank family; SURVEY 2.6 R4)",
+)
+def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned ntile: the window shuffles by segment and sorts within,
+    # so parallelism is bounded by segment count.  For a global decile at
+    # 100 TB the scale path is repartitionByRange + per-partition ranks
+    # offset by a counted prefix sum (see operators/grouped.pack_chunks).
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@_register(
+    "value_histogram",
+    """
+SELECT CAST(round(value * 100, 0) AS BIGINT) // 500 AS bin, count(*) AS n
+FROM events GROUP BY 1""",
+    ref="extension: fixed-width histogram in exact integer cents (width_bucket shape)",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT) DIV 500").alias("bin")
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "event_funnel",
+    """
+WITH peru AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events GROUP BY 1
+)
+SELECT count(CASE WHEN c_us IS NOT NULL THEN 1 END) AS click_users,
+       count(CASE WHEN c_us IS NOT NULL AND p_us IS NOT NULL
+                       AND p_us > c_us THEN 1 END) AS converted_users
+FROM peru""",
+    ref="extension: funnel conversion (two-stage min-aggregate; SURVEY 2.11 events surface)",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).alias("c_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p_us"),
+    )
+    return peru.agg(
+        F.count(F.when(F.col("c_us").isNotNull(), 1)).alias("click_users"),
+        F.count(
+            F.when(
+                F.col("c_us").isNotNull()
+                & F.col("p_us").isNotNull()
+                & (F.col("p_us") > F.col("c_us")),
+                1,
+            )
+        ).alias("converted_users"),
+    )
