@@ -160,3 +160,100 @@ def ann_ivf_topk(
         .limit(k)
         .select(id_col, F.round("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH (signed random projection) -- the bucketed scale path that needs no
+# centroid collection pass, complementing IVF.
+# ---------------------------------------------------------------------------
+
+# Same LCG constants as operators.sampling: the hyperplane components
+# are a deterministic pseudo-random sequence so the identical planes are
+# reconstructible in ANSI SQL for the oracle.
+_MULT, _INC, _MOD = 1103515245, 12345, 2147483648
+
+
+def _plane_component(i: int) -> float:
+    """i-th hyperplane component in [-1, 1): LCG hash scaled to the
+    unit interval.  Pure integer->double arithmetic, identical in SQL:
+    ``((i % 2^31) * MULT + INC) % 2^31 / 2^31 * 2 - 1``."""
+    h = ((i % _MOD) * _MULT + _INC) % _MOD
+    return h / 2147483648.0 * 2 - 1
+
+
+def lsh_assign(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH: for each of ``n_tables`` hash
+    tables, the vector's ``n_bits``-bit signature packs the signs of its
+    dot products with ``n_bits`` fixed hyperplanes.  Output is long
+    format ``(id, tbl, sig)``.
+
+    Plan: the planes are literal arrays (driver-generated, no data
+    pass), so assignment is one narrow projection -- no join, no
+    shuffle.  The in-order ``aggregate`` fold keeps the dot-product
+    summation order identical to the SQL oracle's ``list_dot_product``
+    so sign decisions match bit-for-bit.  At 100 TB, bucketing writes
+    partitioned by (tbl, sig) make same-bucket candidate generation a
+    co-located scan."""
+    sigs = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            base = (t * n_bits + b) * dim
+            plane = F.array(
+                *[F.lit(_plane_component(base + d)) for d in range(dim)]
+            )
+            bits.append(
+                F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << b)).otherwise(
+                    F.lit(0)
+                )
+            )
+        sig = bits[0]
+        for c in bits[1:]:
+            sig = sig + c
+        sigs.append(sig.cast("long"))
+    return embeddings.select(
+        id_col, vec_col, F.posexplode(F.array(*sigs)).alias("tbl", "sig")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates are vectors sharing any hash-table
+    bucket with the query vector; exact cosine within the candidate set.
+
+    The query's ``n_tables`` signatures are collected to the driver
+    (n_tables rows, same broadcast-literal pattern as the k-medoids
+    assignment) so candidate generation is a narrow filter on the
+    signature column, then one distinct + top-k."""
+    sigs = lsh_assign(embeddings, n_tables, n_bits, dim, id_col, vec_col)
+    qrows = sigs.filter(F.col(id_col) == query_id).select("tbl", "sig").collect()
+    qvec_row = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    qv = F.array(*[F.lit(float(x)) for x in qvec_row[vec_col]])
+    match = None
+    for r in qrows:
+        cond = (F.col("tbl") == r.tbl) & (F.col("sig") == r.sig)
+        match = cond if match is None else (match | cond)
+    return (
+        sigs.filter(match)
+        .select(id_col, vec_col)
+        .distinct()
+        .withColumn("sim", cosine(vec_col, qv))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )

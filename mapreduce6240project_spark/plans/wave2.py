@@ -276,6 +276,92 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+# ---------------------------------------------------------------------------
+# LSH ANN + streaming dedup / stream-stream join
+# ---------------------------------------------------------------------------
+
+# The whole LSH index is deterministic integer->double arithmetic, so
+# the oracle rebuilds the identical hyperplanes (same LCG sequence as
+# operators.sampling), recomputes every signature bit-for-bit
+# (list_dot_product sums in index order, matching the engine's in-order
+# aggregate fold), and replays bucket lookup + exact re-rank.
+_LSH_TOPK_ORACLE = """
+WITH idx AS (SELECT unnest(generate_series(0, 4 * 6 * 64 - 1)) AS i),
+comp AS (
+  SELECT i // 64 AS plane, i % 64 AS d,
+         ((i % 2147483648) * 1103515245 + 12345) % 2147483648
+           / 2147483648.0 * 2 - 1 AS val
+  FROM idx
+),
+planes AS (SELECT plane, list(val ORDER BY d) AS pv FROM comp GROUP BY plane),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+bits AS (
+  SELECT v.vec_id, p.plane // 6 AS tbl, p.plane % 6 AS bit,
+         CASE WHEN list_dot_product(v.ev, p.pv) >= 0 THEN 1 ELSE 0 END AS b
+  FROM vecs v CROSS JOIN planes p
+),
+sigs AS (
+  SELECT vec_id, tbl, CAST(sum(b * (1 << bit)) AS BIGINT) AS sig
+  FROM bits GROUP BY 1, 2
+),
+qsig AS (SELECT tbl, sig FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN qsig q ON s.tbl = q.tbl AND s.sig = q.sig
+),
+q AS (SELECT ev AS qv FROM vecs WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id,
+         list_dot_product(v.ev, qv)
+         / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(qv, qv)))
+           AS sim_raw
+  FROM cand c JOIN vecs v USING (vec_id), q
+)
+SELECT vec_id, round(sim_raw, 4) AS sim
+FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10"""
+
+
+@_register(
+    "ann_lsh_topk",
+    _LSH_TOPK_ORACLE,
+    ref="extension: signed-random-projection LSH ANN (bucketed scale path beside IVF)",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@_register(
+    "streaming_dedup",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""",
+    ref="extension: streaming dropDuplicates state (first event per user/type)",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, sf_dir)
+
+
+@_register(
+    "streaming_join_pairs",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""",
+    ref="extension: watermarked stream-stream interval join (batch twin is the oracle)",
+)
+def q_streaming_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_click_purchase_pairs
+
+    return streaming_click_purchase_pairs(spark, sf_dir)
+
+
 @_register(
     "event_funnel",
     """

@@ -2,6 +2,8 @@
 
 from mapreduce6240project_spark.streaming.jobs import (
     run_streaming_batch,
+    streaming_click_purchase_pairs,
+    streaming_dedup_counts,
     streaming_foreach_batch_sink,
     streaming_sessions,
     streaming_sliding,
@@ -11,6 +13,8 @@ from mapreduce6240project_spark.streaming.jobs import (
 
 __all__ = [
     "run_streaming_batch",
+    "streaming_click_purchase_pairs",
+    "streaming_dedup_counts",
     "streaming_foreach_batch_sink",
     "streaming_sliding",
     "streaming_sessions",

@@ -203,3 +203,76 @@ def run_streaming_batch(spark: SparkSession, agg: DataFrame) -> DataFrame:
     result = spark.table(name)
     result = spark.createDataFrame(result.collect(), result.schema)
     return result
+
+
+def run_streaming_append(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Drain a bounded append-mode stream (joins, dedup passthrough)
+    into a memory sink and return the rows as a batch DataFrame."""
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), result.schema)
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: keep the first event per (user_id,
+    event_type) with ``dropDuplicates`` state, then summarize users per
+    type.  The summary is order-independent, so the bounded-stream
+    result equals batch ``count(DISTINCT user_id)`` -- the oracle.
+
+    At scale the dedup state is per-key in the state store; with a
+    watermark on an event-time key the state is bounded.  The summary
+    aggregation runs on the drained sink (the dedup stream itself is
+    append-mode; a downstream complete-mode agg would stack two
+    stateful operators, which Spark restricts per output mode)."""
+    ev = _stream_events(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    first_rows = run_streaming_append(spark, dedup.select("user_id", "event_type"))
+    return first_rows.groupBy("event_type").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def streaming_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 10 minutes after a
+    click by the same user.  Both sides are watermarked and the join
+    condition bounds event time, so state eviction is well-defined
+    (Structured Streaming's canonical interval-join form); on a bounded
+    one-shot stream the pair set is deterministic and equals the batch
+    interval join, which is the oracle."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return run_streaming_append(
+        spark, joined.select("click_id", "purchase_id")
+    )

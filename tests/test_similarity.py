@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.operators.similarity import (
     ann_ivf_topk,
@@ -67,3 +68,24 @@ def test_ivf_recall_vs_bruteforce(emb, qvec):
     # probing half the cells should recover most of the true top-k
     assert len(exact & approx) >= 6
     assert 0 in approx  # the query vector itself lives in a probed cell
+
+
+def test_lsh_assign_shape(emb):
+    from mapreduce6240project_spark.operators.similarity import lsh_assign
+
+    sigs = lsh_assign(emb, n_tables=4, n_bits=6)
+    n = emb.count()
+    assert sigs.count() == 4 * n  # one signature per (vector, table)
+    rng = sigs.agg(F.min("sig"), F.max("sig")).first()
+    assert rng[0] >= 0 and rng[1] < 2**6
+
+
+def test_lsh_topk_recall(emb, qvec):
+    from mapreduce6240project_spark.operators.similarity import ann_lsh_topk
+
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in ann_lsh_topk(emb, query_id=0, k=10).collect()}
+    assert 0 in approx  # the query shares every bucket with itself
+    # signed-random-projection recall floor on the clustered fixture
+    # (recall is data-dependent; sf0.01 measures ~0.5 at these params)
+    assert len(exact & approx) >= 3
