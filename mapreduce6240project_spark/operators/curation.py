@@ -46,9 +46,10 @@ def repetition_stats(
 
     Gopher-style repetition filters threshold on exactly these ratios.
     Plan shape: explode tokens -> hash aggregate (id, token) -> hash
-    aggregate (id).  Both aggregates get map-side partials; the shuffle
-    key is (id, token) then (id), so the second exchange is removed by
-    Catalyst (child distribution already satisfies it)."""
+    aggregate (id).  Both aggregates get map-side partials, so the first
+    exchange carries one row per distinct (doc, token) and the second
+    one partial-sum row per (doc, partition) -- both far below the
+    exploded token count."""
     tok = docs.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     )
