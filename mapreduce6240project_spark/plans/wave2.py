@@ -398,3 +398,84 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("converted_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the document-similarity graph
+# ---------------------------------------------------------------------------
+
+# Integer-quantized PageRank (operators.graph.pagerank_quantized): ranks
+# are bigint micro-probabilities and every division is integral, so the
+# three unrolled iterations below reproduce the engine's result exactly
+# -- no float summation order to disagree on.  The edge set is the
+# n-gram Jaccard pair graph (same CTE as the dedup_ngram_jaccard
+# oracle), symmetrized.
+_PAGERANK_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [concat_ws(' ', w)] END) AS s
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY 1),
+params AS (
+  SELECT count(*) AS nn,
+         1000000000000 // count(*) AS init,
+         (1000000000000 * 15 // 100) // count(*) AS tele
+  FROM deg
+),
+it0 AS (SELECT u AS node, (SELECT init FROM params) AS pr FROM deg),
+it1 AS (
+  SELECT e.v AS node,
+         (SELECT tele FROM params) + (sum(p.pr // d.outdeg) * 85) // 100 AS pr
+  FROM edges e JOIN it0 p ON p.node = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+),
+it2 AS (
+  SELECT e.v AS node,
+         (SELECT tele FROM params) + (sum(p.pr // d.outdeg) * 85) // 100 AS pr
+  FROM edges e JOIN it1 p ON p.node = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+),
+it3 AS (
+  SELECT e.v AS node,
+         (SELECT tele FROM params) + (sum(p.pr // d.outdeg) * 85) // 100 AS pr
+  FROM edges e JOIN it2 p ON p.node = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+)
+SELECT node, CAST(pr AS BIGINT) AS pr FROM it3"""
+
+
+@_register(
+    "pagerank_simgraph",
+    _PAGERANK_ORACLE,
+    ref="extension: iterative PageRank (integer-quantized) on the near-dup similarity graph",
+)
+def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators import dedup as D
+    from mapreduce6240project_spark.operators.graph import pagerank_quantized
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    return pagerank_quantized(pairs, n_iter=3)

@@ -39,3 +39,30 @@ def test_dedup_by_components(spark):
     pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
     survivors = {r.doc_id for r in dedup_by_components(docs, pairs).collect()}
     assert survivors == {0, 1, 4, 5}  # 2 and 3 fold into component 1
+
+
+def test_pagerank_star_hub_wins(spark):
+    from mapreduce6240project_spark.operators.graph import pagerank_quantized
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    pr = {r.node: r.pr for r in pagerank_quantized(pairs, n_iter=5).collect()}
+    assert set(pr) == {1, 2, 3, 4}
+    assert pr[1] > pr[2] == pr[3] == pr[4]
+    # quantized mass conservation: total within n_iter*N ulps of 1.0
+    assert abs(sum(pr.values()) - 10**12) < 100
+
+
+def test_pagerank_partition_invariant(spark):
+    from mapreduce6240project_spark.operators.graph import pagerank_quantized
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(1, 23)], "id_a long, id_b long"
+    ).filter("id_a != id_b")
+    a = sorted((r.node, r.pr) for r in pagerank_quantized(pairs).collect())
+    b = sorted(
+        (r.node, r.pr)
+        for r in pagerank_quantized(pairs.repartition(13)).collect()
+    )
+    assert a == b  # integer arithmetic: bit-exact under any partitioning
