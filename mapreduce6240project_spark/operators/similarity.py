@@ -257,3 +257,33 @@ def ann_lsh_topk(
         .limit(k)
         .select(id_col, F.round("sim", 4).alias("sim"))
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage-compression
+    path for embedding columns: 4x smaller than float32, enough for
+    candidate generation with exact re-rank on the float originals).
+
+    ``q_i = floor(x_i * 127 / max|x| + 0.5)`` -- the half-up rounding is
+    written as an explicit floor so the identical expression runs in the
+    SQL oracle (engine-native round() implementations disagree at
+    representation boundaries).  Map-only: no shuffle at any scale.
+    The per-element ``transform`` is a higher-order function
+    (interpreted, not codegen); at 64 dims that is still cheaper than an
+    Arrow round-trip, but >1k dims should switch to a Pandas UDF."""
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(ev, lambda x: F.abs(x)))
+    q = F.when(maxabs == 0, F.transform(ev, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            ev, lambda x: F.floor(x * F.lit(127) / maxabs + F.lit(0.5)).cast("int")
+        )
+    )
+    return embeddings.select(
+        id_col,
+        q.alias("qvec"),
+        (F.floor(maxabs / F.lit(127) * 10000 + F.lit(0.5)) / 10000.0).alias("scale"),
+    )

@@ -479,3 +479,33 @@ def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.1
     )
     return pagerank_quantized(pairs, n_iter=3)
+
+
+@_register(
+    "embedding_quantize",
+    """
+SELECT vec_id,
+       CAST(CASE WHEN ma = 0 THEN 0 ELSE
+         list_sum(list_transform(ev, x -> CAST(floor(x * 127 / ma + 0.5) AS BIGINT)))
+       END AS BIGINT) AS qsum,
+       floor(ma / 127 * 10000 + 0.5) / 10000.0 AS scale
+FROM (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+  FROM embeddings
+)""",
+    ref="extension: int8 embedding quantization (map-only storage compression)",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    # checksum the quantized array (stable scalar) instead of comparing
+    # array string formats across engines
+    return out.select(
+        "vec_id",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("qsum"),
+        "scale",
+    )

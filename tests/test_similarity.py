@@ -89,3 +89,17 @@ def test_lsh_topk_recall(emb, qvec):
     # signed-random-projection recall floor on the clustered fixture
     # (recall is data-dependent; sf0.01 measures ~0.5 at these params)
     assert len(exact & approx) >= 3
+
+
+def test_quantize_roundtrip_error(emb):
+    from mapreduce6240project_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(emb)
+    row = q.join(emb, "vec_id").filter("vec_id = 7").first()
+    orig = [float(x) for x in row.embedding]
+    maxabs = max(abs(x) for x in orig)
+    deq = [v * maxabs / 127 for v in row.qvec]
+    assert all(r.scale >= 0 for r in q.collect())
+    # symmetric int8: reconstruction error bounded by half a step
+    step = maxabs / 127
+    assert max(abs(a - b) for a, b in zip(orig, deq)) <= step / 2 + 1e-9
