@@ -1,0 +1,174 @@
+"""Embedding-space k-means (Lloyd's algorithm) over ``array<float>``.
+
+Extension operator: the reference's flagship is categorical k-medoids
+(Cluster.java, see operators.clustering); a training-data pipeline also
+needs the mean-centroid variant over dense embeddings -- for corpus
+clustering, IVF index construction, and diversity sampling.
+
+Spark-first physical shape (same doctrine as k-medoids):
+
+* **Assignment** is k literal squared-L2 expression columns over one
+  columnar scan -- centroids live on the driver (k x d floats), folded
+  in as ``F.array`` literals.  No join node, no shuffle, whole-stage
+  codegen.  One narrow pass per iteration at any scale.
+* **Update** is ``posexplode(vec)`` -> ``groupBy(cluster, pos).avg``:
+  the exchange carries HashAggregate *partial* rows -- k x d rows per
+  map partition, never the vectors themselves.  The final aggregate is
+  k x d rows total, collected to the driver (a few KB).
+* **Convergence** on the driver: max centroid L2 displacement <= tol.
+* At 100 TB: per iteration = 1 narrow scan + 1 partial-aggregated
+  shuffle whose payload is O(k * d * partitions), independent of row
+  count.  Persist the input once; iterations re-read the cache.
+
+The initial centroids are a deterministic LCG draw (same constants as
+operators.sampling.seed_hash), so a single assignment step is fully
+replayable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sq_l2_to_literal(vec_col: str | Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid as a fold over
+    ``zip_with`` -- left-to-right accumulation from 0.0, which the SQL
+    oracle mirrors term by term (identical float addition order)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid by squared L2,
+    first-minimum argmin (ties -> lowest cluster index, matching
+    ``array_position(arr, array_min(arr))``).  Adds ``cluster INT`` and
+    ``sq_dist DOUBLE``."""
+    dists = F.array(*[sq_l2_to_literal(vec_col, c) for c in centroids])
+    return (
+        embeddings.withColumn("_d", dists)
+        .withColumn(
+            "cluster", (F.array_position("_d", F.array_min("_d")) - 1).cast("int")
+        )
+        .withColumn("sq_dist", F.element_at("_d", F.col("cluster") + 1))
+        .drop("_d")
+    )
+
+
+def initial_centroids(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic seed pick: the k vectors with the lowest LCG hash of
+    their id (ties -> lowest id).  Replayable in SQL; no RNG state."""
+    from mapreduce6240project_spark.operators.sampling import seed_hash
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(seed_hash(id_col), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame  # input cols + cluster + sq_dist
+    centroids: list[list[float]]
+    iterations: int = 0
+    converged: bool = False
+    history: list[float] = field(default_factory=list)  # max shift per iter
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> KMeansResult:
+    """Full Lloyd's loop.  Driver holds only the k x d centroid matrix;
+    everything data-sized stays distributed (cf. Cluster.java's
+    config-string medoid broadcast, SURVEY.md section 1.4)."""
+    data = embeddings.select(id_col, vec_col).persist()
+    centroids = initial_centroids(data, k, id_col, vec_col)
+    dim = len(centroids[0])
+    result = KMeansResult(assignments=data, centroids=centroids)
+
+    for it in range(1, max_iter + 1):
+        result.iterations = it
+        assigned = kmeans_assign(data, centroids, id_col, vec_col)
+        # update: mean per (cluster, dimension); partial agg on the map
+        # side means the exchange carries k*d rows per partition
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster keeps old
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["mean"]
+        for ci, vec in means.items():
+            new_centroids[ci] = vec
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+            for old, new in zip(centroids, new_centroids)
+        )
+        result.history.append(shift)
+        centroids = new_centroids
+        if shift <= tol:
+            result.converged = True
+            break
+
+    result.assignments = kmeans_assign(data, centroids, id_col, vec_col)
+    result.centroids = centroids
+    return result
+
+
+def kmeans_summary(result: KMeansResult) -> DataFrame:
+    """Per-cluster size + inertia (sum of squared distances)."""
+    return result.assignments.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("sq_dist"), 4).alias("inertia"),
+    )
+
+
+def cosine_range_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Threshold similarity search: all vectors with cosine >= threshold
+    to a literal query.  One narrow projection + filter -- the filter is
+    on a computed column, so the scan still prunes via column projection
+    (only id + vec read).  Complements top-k: radius queries are the
+    primitive behind near-dup candidate pulls and retrieval sweeps."""
+    from mapreduce6240project_spark.operators.similarity import cosine
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.withColumn("sim", cosine(vec_col, q))
+        .filter(F.col("sim") >= threshold)
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )
