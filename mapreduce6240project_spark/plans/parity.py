@@ -28,8 +28,8 @@ from mapreduce6240project_spark.plans.registry import (
 )
 from mapreduce6240project_spark.sources.tables import load_table
 from mapreduce6240project_spark.sources.tweets import (
+    feature_store,
     ingest_tweets,
-    tweet_features_from_events,
     write_feature_store,
 )
 
@@ -92,7 +92,7 @@ def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref="S4 + S7: sorted feature-store parquet sink, pruned range scan back",
 )
 def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="sparkgraft_store_")
     write_feature_store(feats, out)
     back = spark.read.parquet(out)
@@ -110,7 +110,7 @@ def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashtag weight",
 )
 def q_cluster_assign_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     medoids = MEDOIDS_BY_K[3]
     dists = F.array(
         *[medoid_distance_literal(m, weighted=False) for m in medoids]
@@ -152,7 +152,7 @@ REGISTRY["cluster_assign_unweighted"] = QuerySpec(
     ref="A7 (Cluster.java:197-207): collect group members as a list",
 )
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     assigned = assign_clusters(
         range_scan(feats, "tweet_id", 0, 199), MEDOIDS_BY_K[3]
     )
@@ -186,7 +186,7 @@ REGISTRY["cluster_members"] = QuerySpec(
     "then per-(cluster, has_video) histogram",
 )
 def q_cluster_video_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     # materialized assignment table joined back to the feature store --
     # the reference's two-job shape (clustering output -> Analysis job)
     assignments = assign_clusters(feats, MEDOIDS_BY_K[3]).select("tweet_id", "cluster")
@@ -314,7 +314,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zscore_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.grouped import zscore_by_group
 
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     assigned = assign_clusters(feats, MEDOIDS_BY_K[3]).select(
         "tweet_id", "cluster", "like_count"
     )

@@ -18,7 +18,7 @@ from mapreduce6240project_spark.operators.sampling import bernoulli_sample
 from mapreduce6240project_spark.operators.similarity import cosine
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
-from mapreduce6240project_spark.sources.tweets import tweet_features_from_events
+from mapreduce6240project_spark.sources.tweets import feature_store
 
 
 @_register(
@@ -184,7 +184,7 @@ def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.clustering import assign_clusters
     from mapreduce6240project_spark.plans.registry import MEDOIDS_BY_K
 
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     assigned = assign_clusters(feats, MEDOIDS_BY_K[3]).select("tweet_id", "cluster")
     out = tempfile.mkdtemp(prefix="sparkgraft_tsv_")
     assigned.write.mode("overwrite").options(sep="\t").csv(out)
@@ -226,7 +226,7 @@ SELECT cluster, count(*) AS n FROM (
     ref="R1: unbiased Bernoulli sample (random.java:60-68, bias fixed)",
 )
 def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     return bernoulli_sample(feats, 0.6, seed=42).groupBy().agg(
         F.count("*").alias("n_sampled")
     )
@@ -238,7 +238,7 @@ def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref="C3: elbow sweep with full iterative kmedoids per k (Cluster2/4/5 + distanceCal)",
 )
 def q_kmedoids_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = tweet_features_from_events(spark, sf_dir)
+    feats = feature_store(spark, sf_dir)
     return elbow(feats, ks=(2, 3, 4), max_iter=5, tol=0.0)
 
 

@@ -152,6 +152,39 @@ def tweet_features_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped materialized feature stores, keyed by (session, dir)
+_FEATURE_STORE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature table as a *store*: derived once per session per
+    ``sf_dir``, persisted, and shared by every consumer.
+
+    This mirrors the reference architecture exactly: the ETL job
+    populates the HBase ``preprocess`` table once (kmeans.java:130-163)
+    and every later job -- clustering, analysis, evaluation -- reads
+    that table rather than re-parsing the CSV (Cluster.java:66-81,
+    Analysis.java:68-73).  Here the "table" is a persisted DataFrame;
+    at cluster scale it is the sorted/bucketed parquet written by
+    :func:`write_feature_store`.  ``ingest_featurize`` (the ETL query
+    itself) intentionally bypasses this cache so the derivation cost
+    stays measured."""
+    key = (id(spark), sf_dir)
+    df = _FEATURE_STORE_CACHE.get(key)
+    if df is None:
+        from mapreduce6240project_spark.operators.fanout import fan_out
+
+        # fan_out BEFORE persist: small test inputs arrive as one
+        # partition, and the one-time repartition cost is amortized --
+        # every consumer (including the iterative k-medoids loop) reads
+        # the already-wide cache.  At scale the scan is already wide and
+        # fan_out adds nothing (round-1 measurement showed fan-out on
+        # the *uncached* ingest path was a net loss; the cache flips it).
+        df = fan_out(tweet_features_from_events(spark, sf_dir)).persist()
+        _FEATURE_STORE_CACHE[key] = df
+    return df
+
+
 #: ANSI-SQL (DuckDB) mirror of :func:`tweet_features_from_events`, used as
 #: a CTE by every oracle query that consumes tweet features.
 TWEET_FEATURES_SQL_CTE = """
