@@ -38,6 +38,16 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient under a *vanilla* SparkSession (e.g. the driver
+    # harness): TIMESTAMP(NANOS) parquet columns are only readable with
+    # this legacy conf, which is runtime-settable.  Without it the read
+    # throws PARQUET_TYPE_ILLEGAL.  Setting it here (not only in
+    # session.get_spark) keeps every entry point working regardless of
+    # how the session was built.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf contexts: fall through, read may still work
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for col in TS_COLUMNS.get(name, ()):
