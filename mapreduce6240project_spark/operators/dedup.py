@@ -186,6 +186,42 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_verified_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-verification stage of candidate-based dedup: join candidate
+    (id_a, id_b) pairs back to the documents' distinct shingle sets and
+    keep pairs whose *exact* n-gram Jaccard >= threshold.
+
+    This is the standard LSH shape at scale -- the probabilistic stage
+    (MinHash bands, SimHash chunks) prunes the O(n^2) pair space down to
+    candidates, then the exact measure runs only on those few pairs: two
+    hash equi-joins on doc id plus a narrow per-pair array intersection.
+    It also makes the output independent of the hash function, so the
+    result is checkable against the relational Jaccard ground truth
+    (:func:`ngram_jaccard_pairs`) by any SQL engine."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(docs: DataFrame, transitive: bool = False, **kw) -> DataFrame:
     """Survivor set after MinHash near-dup removal.
 
@@ -211,30 +247,54 @@ def minhash_dedup(docs: DataFrame, transitive: bool = False, **kw) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: usable fingerprint bits per token-hash choice (both keep the
+#: assembled bigint positive)
+SIMHASH_BITS = {"xxhash64": 63, "md5": 60}
+
+
+def _token_hash(token_col: str, token_hash: str) -> F.Column:
+    if token_hash == "xxhash64":
+        return F.xxhash64(token_col)
+    if token_hash == "md5":
+        # first 15 hex chars of md5 -> 60-bit non-negative long.  Any
+        # SQL engine reproduces this bit-for-bit (md5 + hex-to-int are
+        # universal), which makes the md5 variant oracle-checkable;
+        # xxhash64 is Spark-internal but faster, the default for
+        # production pipelines.
+        return F.conv(F.substring(F.md5(token_col), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash bigint): sign-sum over token hashes.
 
     Plan shape mirrors :func:`minhash_signatures`: explode distinct
-    tokens -> one codegen ``xxhash64`` per token -> ``groupBy(doc_id)``
-    with 63 per-bit ``sum(bit)`` aggregates + a count, then assemble the
-    fingerprint (bit b set iff the majority of token hashes have bit b
-    set).  Whole-stage-codegen end to end; partial aggregation shuffles
-    63 longs per doc per partition, never the text."""
+    tokens -> one codegen hash per token -> ``groupBy(doc_id)`` with one
+    per-bit ``sum(bit)`` aggregate per fingerprint bit + a count, then
+    assemble the fingerprint (bit b set iff the majority of token hashes
+    have bit b set).  Whole-stage-codegen end to end; partial
+    aggregation shuffles ~64 longs per doc per partition, never the
+    text.  ``token_hash="md5"`` trades some hash throughput for a
+    fingerprint any SQL engine can replicate (see :func:`_token_hash`)."""
     from mapreduce6240project_spark.operators.fanout import fan_out
 
+    bits = SIMHASH_BITS[token_hash]
     ex = fan_out(docs).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t")
     )
-    hashed = ex.select(F.col(id_col), F.xxhash64("t").alias("h"))
+    hashed = ex.select(F.col(id_col), _token_hash("t", token_hash).alias("h"))
     aggs = [F.count("*").alias("_n")] + [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(bits - 1)  # 63 bits: keep the result positive
+        for b in range(bits)
     ]
     per_doc = hashed.groupBy(id_col).agg(*aggs)
     total = F.lit(0).cast("bigint")
-    for b in range(bits - 1):
+    for b in range(bits):
         total = total + F.when(
             F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(2**b).cast("bigint")
         ).otherwise(F.lit(0))
@@ -247,13 +307,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.  Candidates
-    must share one of ``chunks`` 16-bit chunks (pigeonhole: any pair
-    within Hamming 3 shares at least one of 4 chunks), so the join is an
-    equi-join on (chunk_idx, chunk_value) -- linear, not O(n^2)."""
-    sh = simhash(docs, text_col, id_col)
-    chunk_bits = 64 // chunks
+    must share one of ``chunks`` bit chunks, so the join is an equi-join
+    on (chunk_idx, chunk_value) -- linear, not O(n^2).  By pigeonhole
+    the chunk filter is *lossless* whenever ``max_hamming < chunks``
+    (<= chunks-1 flipped bits cannot touch every chunk); with a larger
+    ``max_hamming`` it is a recall-vs-cost heuristic."""
+    sh = simhash(docs, text_col, id_col, token_hash)
+    fp_bits = SIMHASH_BITS[token_hash]
+    chunk_bits = -(-fp_bits // chunks)  # ceil: chunks must cover all bits
     mask = (1 << chunk_bits) - 1
     chunked = sh.select(
         id_col,

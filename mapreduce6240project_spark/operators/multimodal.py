@@ -20,6 +20,7 @@ worker per core, no per-row pickling); frame/patch outputs explode
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -90,16 +91,21 @@ def decode_and_featurize(
                     "run with decode_stub=True in this environment"
                 )
             payloads = pdf["payload"]
-            # deterministic fake decode: bytes -> uint8 "pixels"
+            # deterministic fake decode: bytes -> uint8 "pixels".
+            # Round half-up (not pandas' half-even): byte means of
+            # power-of-two-sized payloads land on exact .xxxx5 ties,
+            # and SQL engines round those away from zero.
             feat_mean = payloads.map(
-                lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                lambda b: math.floor((sum(b) / len(b)) * 10000 + 0.5) / 10000
+                if len(b)
+                else 0.0
             )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(len).astype("int32"),
-                    "feat_mean": feat_mean.round(4),
+                    "feat_mean": feat_mean,
                     "feat_dim": 64,
                 }
             )

@@ -5,11 +5,14 @@ Oracle philosophy: everything whose kernel is reproducible in ANSI SQL
 gets a full DuckDB oracle (exact dedup via md5, relational n-gram
 Jaccard, cosine top-k in explicit double arithmetic, the full IVF
 pipeline -- LCG centroid draw, argmax cell assignment, probe & search --
-window/session analytics in epoch seconds).  The xxhash64-based
-probabilistic methods (MinHash-LSH, SimHash) have no
-DuckDB-reproducible hash, so they get rows-only checks here and exact
-ground-truth comparisons in tests/test_dedup.py (LSH results validated
-against the relational Jaccard oracle on planted near-duplicates).
+window/session analytics in epoch seconds).  The probabilistic dedup
+methods are oracle-backed through hash-independent contracts:
+``dedup_minhash_lsh`` exact-verifies its LSH candidates against the
+n-gram Jaccard ground truth (so its output equals the relational
+oracle whenever band recall is complete, which tests/test_dedup.py
+asserts on the planted duplicates), and ``dedup_simhash`` runs the
+md5-hash variant whose 60-bit fingerprint any SQL engine reproduces
+bit-for-bit (the xxhash64 variant stays the production default).
 """
 
 from __future__ import annotations
@@ -48,9 +51,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@_register(
-    "dedup_ngram_jaccard",
-    f"""
+def _ngram_jaccard_sql(threshold: float) -> str:
+    """Exact word-3-gram Jaccard pairs >= threshold (the relational
+    ground truth the probabilistic dedup methods approximate)."""
+    return f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
@@ -72,7 +76,41 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1""",
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}"""
+
+
+def _simhash_md5_sql(max_hamming: int) -> str:
+    """All-pairs Hamming <= max_hamming over the md5-variant 60-bit
+    SimHash -- a bit-for-bit replica of operators.dedup.simhash with
+    token_hash="md5" (hex-to-int on md5's first 15 nibbles, majority
+    vote per bit).  The Spark side restricts candidates to pairs sharing
+    a 15-bit chunk, which by pigeonhole loses nothing at Hamming <= 3,
+    so no chunk condition is needed here."""
+    bit_sums = ",\n         ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN 2*b{b} > n THEN {1 << b} ELSE 0 END" for b in range(60))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard_sql(0.1),
     ref="extension: exact n-gram-set Jaccard (relational ground truth for LSH)",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,24 +121,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_minhash_lsh",
-    None,  # xxhash64 signatures not reproducible in DuckDB; validated
-    # against the relational Jaccard ground truth in tests/test_dedup.py
-    ref="extension: MinHash(64) + 16-band LSH near-dup candidates",
+    # candidate generation (MinHash bands) is xxhash64-based, but the
+    # exact-verify stage makes the *output* hash-independent: LSH pairs
+    # whose true n-gram Jaccard >= 0.5, i.e. the relational ground
+    # truth whenever band recall is complete (asserted on the planted
+    # duplicates in tests/test_dedup.py).
+    _ngram_jaccard_sql(0.5),
+    ref="extension: MinHash(64) + 16-band LSH candidates, exact-verified",
     headline=True,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.3
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, threshold=0.3)
+    return D.jaccard_verified_pairs(docs, cand, threshold=0.5)
 
 
 @_register(
     "dedup_simhash",
-    None,  # xxhash64-based; validated in tests/test_dedup.py
-    ref="extension: 64-bit SimHash + chunked Hamming near-dup pairs",
+    _simhash_md5_sql(3),
+    ref="extension: SimHash + chunked Hamming near-dup pairs (md5 variant)",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        token_hash="md5",
+    )
 
 
 @_register(
@@ -545,7 +591,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "multimodal_decode",
-    None,  # mapInPandas fake-decode; asserted in tests/test_multimodal.py
+    # the stub decoder is deterministic (mean byte value of the UTF-8
+    # payload), so the whole mapInPandas path is oracle-checkable: the
+    # documents are ASCII, hence byte mean == codepoint mean.
+    """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       round(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+             ELSE list_sum(list_transform(generate_series(1, length(text)),
+                                          i -> ord(text[i])))::DOUBLE
+                  / octet_length(encode(text)) END, 4) AS feat_mean,
+       CAST(64 AS INT) AS feat_dim
+FROM documents""",
     ref="extension: Arrow-batched decode/feature plumbing (stubbed codec)",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
