@@ -60,14 +60,17 @@ def cosine_topk(
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via IVF-bucketed
-    candidate generation: vectors are assigned to their nearest centroid
+    candidate generation: vectors are assigned to their nearest k-means
     cell and only same-cell pairs are compared.  Approximate (cross-cell
-    near-dups are missed -- standard IVF recall trade-off)."""
-    cells = ivf_assign(embeddings, n_cells=16, id_col=id_col, vec_col=vec_col)
+    near-dups are missed -- standard IVF recall trade-off).  With
+    sqrt(N) cells the within-cell pair work is O(N^1.5) expected, not
+    O(N^2), and k-means balance keeps the worst cell small."""
+    cells = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     a, b = cells.alias("a"), cells.alias("b")
     sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
@@ -85,73 +88,183 @@ def embedding_cosine_pairs(
     )
 
 
-def _deterministic_centroids(
-    embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
-) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid pick: the n_cells vectors with the lowest
-    multiplicative-hash of their id (same LCG as operators.sampling).
-    A k-means refinement would improve cell balance; for a seed-stable
-    index this single pass suffices and never re-reads the data."""
+#: fixed-point scale for the integer k-means: 6 decimals.  Components
+#: are unit-ish (|x| < 1), so quantized values stay ~1e6 and 64-dim
+#: squared distances stay ~1e14 -- far inside bigint range.
+_QSCALE = 1_000_000
+
+
+def _int_vec(vec_col) -> Column:
+    """Quantize array<float> -> array<bigint> by half-up fixed-point
+    rounding (floor(x*1e6 + 0.5), the expression every SQL engine
+    reproduces bit-for-bit)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * _QSCALE + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _int_l2(a, b) -> Column:
+    """Integer squared-L2 distance between two array<bigint>."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def default_n_cells(n_vectors: int) -> int:
+    """sqrt(N) cells, clamped to [4, 4096] -- the standard IVF sizing:
+    with sqrt(N) balanced cells both the centroid scan and the probed
+    cells stay O(sqrt(N)) per query, and same-cell pair generation is
+    O(N^1.5) total instead of O(N^2/C)."""
+    import math
+
+    return max(4, min(4096, math.ceil(math.sqrt(max(1, n_vectors)))))
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero (SQL `div` semantics;
+    Python's // floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """K-means (Lloyd) centroids in 6-decimal fixed-point *integer*
+    arithmetic.  Seeds are the n_cells lowest-LCG-hash vectors (a
+    deterministic draw, same constants as operators.sampling); each
+    iteration assigns every vector to its integer-L2-nearest centroid
+    (ties -> lowest cell) and recomputes centroids as the truncating
+    integer mean per (cell, dim); empty cells keep their centroid.
+
+    Integer sums are associative, so every step is bit-exact under any
+    partitioning, partial-aggregation order, or engine -- which is what
+    keeps the *refined* index oracle-checkable in plain SQL, unlike
+    float k-means where summation order perturbs borderline
+    assignments.  Two iterations by default: the refinement is about
+    cell balance, not convergence.
+
+    Scale shape: assignment broadcasts the C <= 4096 centroids and the
+    update is one posexplode + (cell, dim) partial-agg sum -- the same
+    plan as operators.vectors.kmeans_embeddings; only C*dim integers
+    ever reach the driver per iteration."""
     from mapreduce6240project_spark.operators.sampling import seed_hash
 
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(seed_hash(id_col), F.col(id_col))
+    spark = embeddings.sparkSession
+    if n_cells is None:
+        n_cells = default_n_cells(embeddings.count())
+    qv = embeddings.select(
+        F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv")
+    ).persist()
+    seed_rows = (
+        embeddings.select(F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv"))
+        .orderBy(seed_hash("_id"), F.col("_id"))
         .limit(n_cells)
         .collect()
     )
-    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+    cents: list[list[int]] = [[int(x) for x in r["_iv"]] for r in seed_rows]
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], "cell int, cv array<bigint>"
+            )
+        )
+        best = (
+            qv.crossJoin(cdf)
+            .select(
+                "_id",
+                F.struct(
+                    _int_l2("_iv", "cv").alias("dist"), F.col("cell").alias("cell")
+                ).alias("dc"),
+            )
+            .groupBy("_id")
+            .agg(F.min("dc").alias("m"))
+            .select("_id", F.col("m.cell").alias("cell"))
+        )
+        upd = (
+            qv.join(best, "_id")
+            .select("cell", F.posexplode("_iv").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in upd:
+            nxt[r["cell"]][r["d"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        cents = nxt
+    qv.unpersist()
+    return cents
 
 
 def ivf_assign(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
-    """Assign every vector to its nearest (by cosine) centroid cell.
-    Centroids are collected to the driver (n_cells rows) and folded in as
-    literal arrays -- same broadcast-literal pattern as the k-medoids
-    assignment: narrow projection, no join, no shuffle."""
-    cents = _deterministic_centroids(embeddings, n_cells, id_col, vec_col)
-    sims = F.array(
-        *[
-            cosine(vec_col, F.array(*[F.lit(x) for x in vec]))
-            for _, vec in cents
-        ]
+    """Assign every vector to its integer-L2-nearest k-means cell
+    (ties -> lowest cell).  Centroids ride as a broadcast C-row table;
+    the assignment itself is one narrow pass over the data -- no
+    shuffle of the vectors."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cell int, cv array<bigint>"
+        )
     )
-    return embeddings.withColumn(
-        "cell", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    best = (
+        embeddings.select(F.col(id_col), _int_vec(vec_col).alias("_iv"))
+        .crossJoin(cdf)
+        .select(
+            id_col,
+            F.struct(
+                _int_l2("_iv", "cv").alias("dist"), F.col("cell").alias("cell")
+            ).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("dc").alias("m"))
+        .select(F.col(id_col), F.col("m.cell").alias("cell"))
     )
+    return embeddings.join(best, id_col)
 
 
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe the n_probe cells whose centroids are
-    most similar to the query; exact cosine within probed cells.  At
-    scale the cell assignment is precomputed and partitioned by cell, so
-    a query touches n_probe/n_cells of the data."""
+    """Approximate top-k: probe the n_probe cells whose (k-means)
+    centroids are integer-L2-nearest to the query; exact cosine within
+    probed cells.  At scale the cell assignment is precomputed and
+    partitioned by cell, so a query touches ~n_probe/n_cells of the
+    data."""
     import math
 
-    cents = _deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+    cents = ivf_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    qint = [math.floor(float(x) * _QSCALE + 0.5) for x in query_vec]
 
-    def py_cos(a: Sequence[float], b: Sequence[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
+    def int_l2(c: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(qint, c))
 
-    probe = sorted(
-        range(len(cents)), key=lambda i: -py_cos(query_vec, cents[i][1])
-    )[:n_probe]
-    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    probe = sorted(range(len(cents)), key=lambda i: (int_l2(cents[i]), i))[:n_probe]
+    assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("cell").isin(probe))

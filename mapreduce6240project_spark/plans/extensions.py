@@ -196,77 +196,116 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-# The IVF pipeline is fully deterministic (LCG centroid draw -> argmax
-# cell assignment -> probe/search), so the *whole* approximate index is
-# SQL-expressible: the oracle rebuilds the same 16 centroids (lowest LCG
-# hash, same constants as operators.sampling), assigns every vector to
-# its max-cosine cell (ties -> lowest cell, matching array_position's
-# first-match), and replays the probe/pair logic in double arithmetic.
-_IVF_CELLS = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-ranked AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
-         ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+# The IVF pipeline is fully deterministic (LCG seed draw -> integer
+# Lloyd refinement -> integer-L2 cell assignment -> probe/search), so
+# the *whole* approximate index is SQL-expressible.  The k-means runs
+# in 6-decimal fixed-point integer arithmetic (operators.similarity):
+# integer sums are associative, so the oracle reproduces every
+# centroid, assignment, and probe bit-for-bit regardless of engine or
+# partitioning; only the final within-cell cosine runs in doubles
+# (identical left-to-right 64-element folds on both sides).
+
+
+def _ivf_cells_sql(iters: int = 2) -> str:
+    """CTE chain replicating operators.similarity.ivf_centroids +
+    ivf_assign: quantize, seed by lowest LCG hash, ``iters`` unrolled
+    integer-Lloyd rounds (assign by integer L2, tie -> lowest cell;
+    truncating integer mean; empty cells keep their centroid), final
+    assignment ``af`` and double-typed vectors ``vecs``/``q``."""
+    ctes = [
+        """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
   FROM embeddings
 ),
-cents AS (
-  SELECT cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
-  FROM ranked ORDER BY h, vec_id LIMIT 16
+vl AS (SELECT vec_id, unnest(q) AS x, unnest(generate_series(1, len(q))) AS d FROM iv),
+nc AS (SELECT CAST(least(4096, greatest(4, ceil(sqrt(count(*))))) AS BIGINT) AS c
+       FROM embeddings),
+sr AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                    vec_id) AS rn
+  FROM embeddings
 ),
+c0 AS (
+  SELECT sr.rn - 1 AS cell, v.d, v.x AS cx
+  FROM sr JOIN vl v USING (vec_id) WHERE sr.rn <= (SELECT c FROM nc)
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""",
+d{i} AS (SELECT v.vec_id, c.cell, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+       FROM vl v JOIN {prev} c ON v.d = c.d GROUP BY 1, 2),
+a{i} AS (SELECT vec_id, cell FROM (
+       SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       FROM d{i}) WHERE rn = 1),
+u{i} AS (SELECT a.cell, v.d, sum(v.x) AS s, count(*) AS n
+       FROM a{i} a JOIN vl v USING (vec_id) GROUP BY 1, 2),
+c{i} AS (SELECT {prev}.cell, {prev}.d, COALESCE(u{i}.s // u{i}.n, {prev}.cx) AS cx
+       FROM {prev} LEFT JOIN u{i} ON u{i}.cell = {prev}.cell AND u{i}.d = {prev}.d)"""
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f""",
+df AS (SELECT v.vec_id, c.cell, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+       FROM vl v JOIN {prev} c ON v.d = c.d GROUP BY 1, 2),
+af AS (SELECT vec_id, cell FROM (
+       SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       FROM df) WHERE rn = 1),
 vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-csims AS (
-  SELECT v.vec_id, v.ev, c.cell,
-         list_dot_product(v.ev, c.cv)
-         / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-  FROM vecs v CROSS JOIN cents c
-),
-assign AS (
-  SELECT vec_id, ev, cell FROM (
-    SELECT vec_id, ev, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
-    FROM csims) WHERE rn = 1
-)
-"""
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"""
+    )
+    return "".join(ctes)
 
 
 @_register(
     "ann_ivf_topk",
-    _IVF_CELLS
+    _ivf_cells_sql()
     + """,
-probe AS (
-  SELECT c.cell FROM cents c, q
-  ORDER BY list_dot_product(c.cv, qv)
-           / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qv, qv))) DESC,
-           c.cell
-  LIMIT 4
-),
+qi AS (SELECT unnest(q) AS x, unnest(generate_series(1, len(q))) AS d
+       FROM iv WHERE vec_id = 0),
+pd AS (SELECT c.cell, sum((c.cx - t.x) * (c.cx - t.x)) AS dist
+       FROM c2 c JOIN qi t ON c.d = t.d GROUP BY 1),
+probe AS (SELECT cell FROM (
+       SELECT cell, row_number() OVER (ORDER BY dist, cell) AS rn FROM pd)
+       WHERE rn <= 4),
 sims AS (
   SELECT a.vec_id,
-         list_dot_product(a.ev, qv)
-         / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(qv, qv))) AS sim_raw
-  FROM assign a, q
+         list_dot_product(v.ev, qv)
+         / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(qv, qv))) AS sim_raw
+  FROM af a JOIN vecs v USING (vec_id), q
   WHERE a.cell IN (SELECT cell FROM probe)
 )
 SELECT vec_id, round(sim_raw, 4) AS sim
 FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10""",
-    ref="extension: IVF-bucketed approximate top-k (scale path)",
+    ref="extension: IVF approximate top-k (integer k-means cells, scale path)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=16, n_probe=4)
+    return S.ann_ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_probe=4)
 
 
 @_register(
     "embedding_dup_pairs",
-    _IVF_CELLS
+    _ivf_cells_sql()
     + """
 SELECT id_a, id_b, cos_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.ev, b.ev)
-               / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 4) AS cos_sim
-  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         round(list_dot_product(va.ev, vb.ev)
+               / (sqrt(list_dot_product(va.ev, va.ev))
+                  * sqrt(list_dot_product(vb.ev, vb.ev))), 4) AS cos_sim
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN vecs va ON va.vec_id = a.vec_id
+  JOIN vecs vb ON vb.vec_id = b.vec_id
 ) WHERE cos_sim >= 0.35""",
-    ref="extension: embedding-cosine near-dup pairs (IVF candidates)",
+    ref="extension: embedding-cosine near-dup pairs (k-means IVF candidates)",
 )
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_cosine_pairs(
