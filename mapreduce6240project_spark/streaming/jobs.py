@@ -3,12 +3,14 @@
 The batch window operators in ``operators.windows`` declare the logical
 plan; these wrappers run the same aggregations as streams:
 ``readStream`` over the parquet directory (file source), watermarked
-event-time windows, memory sink for tests / foreachBatch for real sinks.
+event-time windows, ``foreachBatch`` into epoch-partitioned parquet as
+the sink (exactly-once by epoch overwrite; results re-read from the
+files, so nothing is ever collected to the driver -- a memory sink
+would hold the full result in driver memory, unbounded at scale).
 
 Local smoke path: a one-shot ``processAllAvailable()`` drains the
-parquet files through the streaming engine and the memory sink holds the
-complete result -- deterministic, so the tumbling stream shares the
-batch query's DuckDB oracle.
+parquet files through the streaming engine -- deterministic, so the
+tumbling stream shares the batch query's DuckDB oracle.
 
 Scale notes: the file source is a stand-in for Kafka (swap
 ``.format("kafka")`` + ``from_json``); watermark bounds state for late
@@ -19,12 +21,45 @@ custom stateful logic beyond windows/sessions.
 
 from __future__ import annotations
 
-import uuid
+import glob
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.sources.tables import load_table
+
+
+def _drain_to_parquet(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
+    """Drain a bounded stream through ``foreachBatch`` into
+    epoch-partitioned parquet and return the sink contents as a batch
+    DataFrame.
+
+    This is the scale-safe materialization: each micro-batch writes
+    ``epoch=<id>`` (idempotent on replay -- same epoch, same path,
+    overwrite), and the result is *read back from the files*, never
+    collected to the driver.  ``complete``-mode aggregates rewrite the
+    whole result each batch, so only the last epoch is read;
+    ``append``/``update`` modes emit disjoint/augmenting rows, so all
+    epochs are read."""
+    out = tempfile.mkdtemp(prefix="sparkgraft_sink_")
+    schema = sdf.schema
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = sdf.writeStream.outputMode(mode).foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = sorted(
+        glob.glob(f"{out}/epoch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    paths = epochs[-1:] if mode == "complete" else epochs
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,18 +148,9 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    name = f"out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("update").format("memory").queryName(name).start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    result = spark.table(name)
+    emitted = _drain_to_parquet(spark, agg, "update")
     # keep the last emitted row per user (cumulative -> max n)
-    final = result.groupBy("user_id").agg(F.max("n").alias("n"))
-    return spark.createDataFrame(final.collect(), "user_id long, n long")
+    return emitted.groupBy("user_id").agg(F.max("n").alias("n"))
 
 
 def streaming_sliding(
@@ -179,45 +205,23 @@ def streaming_foreach_batch_sink(
     finally:
         q.stop()
     # last epoch wins (complete mode rewrites the aggregate every batch)
-    import glob as _glob
-
-    epochs = sorted(_glob.glob(f"{out_dir}/epoch=*"))
+    epochs = sorted(
+        glob.glob(f"{out_dir}/epoch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
     return spark.read.parquet(epochs[-1]).select("event_type", "n", "sum_value")
 
 
 def run_streaming_batch(spark: SparkSession, agg: DataFrame) -> DataFrame:
-    """Drain a bounded stream through the engine into a memory sink and
-    return the completed result as a batch DataFrame."""
-    name = f"out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # materialize before the sink table goes away
-    result = spark.table(name)
-    result = spark.createDataFrame(result.collect(), result.schema)
-    return result
+    """Drain a bounded complete-mode stream into the parquet epoch sink
+    and return the completed result as a batch DataFrame."""
+    return _drain_to_parquet(spark, agg, "complete")
 
 
 def run_streaming_append(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Drain a bounded append-mode stream (joins, dedup passthrough)
-    into a memory sink and return the rows as a batch DataFrame."""
-    name = f"out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode("append").format("memory").queryName(name).start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    result = spark.table(name)
-    return spark.createDataFrame(result.collect(), result.schema)
+    into the parquet epoch sink and return the rows as a batch
+    DataFrame."""
+    return _drain_to_parquet(spark, df, "append")
 
 
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
