@@ -109,7 +109,6 @@ def kmeans_embeddings(
     config-string medoid broadcast, SURVEY.md section 1.4)."""
     data = embeddings.select(id_col, vec_col).persist()
     centroids = initial_centroids(data, k, id_col, vec_col)
-    dim = len(centroids[0])
     result = KMeansResult(assignments=data, centroids=centroids)
 
     for it in range(1, max_iter + 1):
@@ -123,10 +122,17 @@ def kmeans_embeddings(
             .agg(F.avg(F.col("val").cast("double")).alias("mean"))
             .collect()
         )
-        new_centroids = [list(c) for c in centroids]  # empty cluster keeps old
+        # empty clusters keep their old centroid; so does any (cluster,
+        # pos) whose mean is NULL (all-null embedding components) --
+        # seeding from the old centroid means a null never reaches the
+        # float arithmetic below
+        new_centroids = [list(c) for c in centroids]
         means: dict[int, list[float]] = {}
         for r in rows:
-            means.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["mean"]
+            if r["mean"] is not None:
+                means.setdefault(r["cluster"], list(centroids[r["cluster"]]))[
+                    r["pos"]
+                ] = r["mean"]
         for ci, vec in means.items():
             new_centroids[ci] = vec
         shift = max(
@@ -139,7 +145,11 @@ def kmeans_embeddings(
             result.converged = True
             break
 
-    result.assignments = kmeans_assign(data, centroids, id_col, vec_col)
+    # iteration cache released before returning (same discipline as
+    # clustering.py / graph.py); the final lazy assignment recomputes
+    # one scan from source, which downstream consumers pay once
+    data.unpersist(blocking=False)
+    result.assignments = kmeans_assign(embeddings.select(id_col, vec_col), centroids, id_col, vec_col)
     result.centroids = centroids
     return result
 

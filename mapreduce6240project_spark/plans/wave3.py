@@ -54,22 +54,27 @@ assign AS (
 
 @_register(
     "kmeans_assign_embeddings",
+    # inertia sums per-row distances in 6-decimal fixed point: integer
+    # sums are associative, so the total is identical under any
+    # partial-aggregation order (a raw double sum rounded to 4 digits
+    # can flip its last digit with partition count).
     _KMEANS_ASSIGN_CTE
     + """
 SELECT CAST(cell AS INT) AS cluster, count(*) AS n_vectors,
-       round(sum(d), 4) AS inertia
+       round(sum(CAST(floor(d * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS inertia
 FROM assign WHERE rn = 1 GROUP BY cell""",
     ref="extension: Lloyd assignment step (literal-centroid squared-L2 argmin)",
 )
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = V.initial_centroids(emb, k=8)
+    micro = F.floor(F.col("sq_dist") * 1000000 + F.lit(0.5)).cast("bigint")
     return (
         V.kmeans_assign(emb, cents)
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.sum("sq_dist"), 4).alias("inertia"),
+            F.round(F.sum(micro) / 1000000.0, 4).alias("inertia"),
         )
     )
 

@@ -15,6 +15,8 @@ layout gave the reference's prefix scans (Cluster.java:66-81).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -152,8 +154,15 @@ def tweet_features_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: session-scoped materialized feature stores, keyed by (session, dir)
-_FEATURE_STORE_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: session-scoped materialized feature stores: a weak-keyed map from
+#: the live SparkSession to {sf_dir: persisted DataFrame}.  Weak keys
+#: (rather than id(spark)) mean a stopped, garbage-collected session
+#: drops its whole entry -- no stale DataFrames bound to dead sessions
+#: when CPython reuses the id, no executor-cache leak across sessions
+#: in long-lived drivers.
+_FEATURE_STORE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,8 +178,8 @@ def feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`write_feature_store`.  ``ingest_featurize`` (the ETL query
     itself) intentionally bypasses this cache so the derivation cost
     stays measured."""
-    key = (id(spark), sf_dir)
-    df = _FEATURE_STORE_CACHE.get(key)
+    per_session = _FEATURE_STORE_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
     if df is None:
         from mapreduce6240project_spark.operators.fanout import fan_out
 
@@ -181,7 +190,7 @@ def feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fan_out adds nothing (round-1 measurement showed fan-out on
         # the *uncached* ingest path was a net loss; the cache flips it).
         df = fan_out(tweet_features_from_events(spark, sf_dir)).persist()
-        _FEATURE_STORE_CACHE[key] = df
+        per_session[sf_dir] = df
     return df
 
 
