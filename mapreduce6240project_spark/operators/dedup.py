@@ -134,18 +134,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    threshold: float = 0.5,
+    carry_sigs: bool = False,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded LSH, verified by the
-    signature-estimated Jaccard.  Returns (id_a, id_b, est_jaccard) with
-    id_a < id_b and est_jaccard >= threshold."""
+    """Raw banded-LSH candidate pairs: (id_a, id_b) with id_a < id_b
+    sharing at least one band hash.  ``carry_sigs=True`` additionally
+    carries both signatures (sig_a, sig_b) through the join for
+    estimated-Jaccard scoring -- a wider shuffle, only worth it when the
+    consumer needs the estimate rather than an exact verify."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
     # materialize once: both sides of the banded self-join share this
@@ -158,9 +160,16 @@ def minhash_lsh_pairs(
         "band_hash",
         F.xxhash64(F.col("band"), F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)),
     )
+    if not carry_sigs:
+        banded = banded.drop("sig")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    carried = (
+        [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
+        if carry_sigs
+        else []
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -170,10 +179,26 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            *carried,
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, scored by the
+    signature-estimated Jaccard.  Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b and est_jaccard >= threshold."""
+    cand = minhash_candidate_pairs(
+        docs, text_col, id_col, n_hashes, bands, shingle_n, carry_sigs=True
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
@@ -200,21 +225,34 @@ def jaccard_verified_pairs(
 
     This is the standard LSH shape at scale -- the probabilistic stage
     (MinHash bands, SimHash chunks) prunes the O(n^2) pair space down to
-    candidates, then the exact measure runs only on those few pairs: two
-    hash equi-joins on doc id plus a narrow per-pair array intersection.
-    It also makes the output independent of the hash function, so the
-    result is checkable against the relational Jaccard ground truth
-    (:func:`ngram_jaccard_pairs`) by any SQL engine."""
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
+    candidates, then the exact measure runs only on those few pairs.
+    Candidate docs are a tiny fraction of the corpus, so the docs table
+    is first semi-joined down to ids that appear in any candidate pair
+    and only *those* docs get shingled; the (small) shingle table is
+    then broadcast to both sides of the pair join -- no shuffle of the
+    corpus, no full-table shingle computation.  The output is
+    independent of the hash function, so it is checkable against the
+    relational Jaccard ground truth (:func:`ngram_jaccard_pairs`) by
+    any SQL engine."""
+    pairs = candidates.select("id_a", "id_b").persist()
+    pairs.count()  # eager: the two broadcast subtrees below read the cache
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh = (
+        docs.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
+        )
+    )
+    a = F.broadcast(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
+    b = F.broadcast(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.select("id_a", "id_b")
-        .join(a, "id_a")
+        pairs.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)

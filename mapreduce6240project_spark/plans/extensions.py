@@ -132,7 +132,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = D.minhash_lsh_pairs(docs, threshold=0.3)
+    # raw banded candidates (no est-Jaccard scoring pass: the exact
+    # verify subsumes it, and skipping it keeps the signature arrays
+    # out of the pair join)
+    cand = D.minhash_candidate_pairs(docs)
     return D.jaccard_verified_pairs(docs, cand, threshold=0.5)
 
 
