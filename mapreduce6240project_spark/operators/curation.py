@@ -129,6 +129,62 @@ def assign_split(
     return docs.withColumn("split", split)
 
 
+def source_cap(
+    docs: DataFrame,
+    max_per_source: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap -- the web-curation "at most N pages per
+    domain" rule.  Keeps the ``max_per_source`` lowest-LCG-hash docs per
+    source (a deterministic uniform draw, stable across re-runs and
+    repartitionings), annotated with their within-source rank.
+
+    Plan: one hash shuffle on ``source_col`` + a rank window.  At 100 TB
+    a mega-domain skews the window partition; the mitigation is a
+    pre-filter pass -- ``hash_sample`` each heavy domain down to ~10x
+    the cap before ranking (the hash draw composes: the lowest-hash
+    survivors are identical) -- or AQE skew-split, since rank only needs
+    sorted runs."""
+    from mapreduce6240project_spark.operators.sampling import seed_hash
+
+    w = Window.partitionBy(source_col).orderBy(seed_hash(id_col), F.col(id_col))
+    return (
+        docs.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= max_per_source)
+    )
+
+
+def training_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data output:
+    every doc gets a shard (LCG hash mod n_shards) and a position within
+    its shard (rank by a second-round hash), so writing
+    ``partitionBy(shard) ORDER BY pos`` yields byte-identical training
+    files on every run -- the reproducibility contract a 100 TB corpus
+    build needs.
+
+    Plan: one shuffle on shard + a rank window per shard; shard counts
+    are balanced by the hash, so the windows are even.  Integer
+    arithmetic end to end -> the same assignment is expressible in ANSI
+    SQL."""
+    from mapreduce6240project_spark.operators.sampling import seed_hash
+
+    h = seed_hash(id_col)
+    # second LCG round decorrelates within-shard order from shard choice
+    h2 = ((h % F.lit(_MOD)) * F.lit(_MULT) + F.lit(_INC)) % F.lit(_MOD)
+    shard = (h % F.lit(n_shards)).cast("int")
+    w = Window.partitionBy(shard).orderBy(h2, F.col(id_col))
+    return docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
 def bigram_topk(
     docs: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

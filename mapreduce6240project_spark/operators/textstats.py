@@ -107,6 +107,43 @@ def quality_score(
     )
 
 
+def token_frequency_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-statistics quality proxy (the integer-exact cousin of a
+    unigram LM score): for every document, the mean corpus frequency of
+    its tokens and the fraction of tokens that are corpus-rare
+    (frequency <= 2).  Gibberish and boilerplate sit at the two
+    extremes -- gibberish is rare-token-heavy, boilerplate is
+    common-token-heavy -- so both tails are filterable.
+
+    Two passes, both single-shuffle: token explode -> corpus frequency
+    table; explode again -> join frequencies (broadcast: vocabularies
+    are tiny relative to corpora) -> per-doc integer sums.  All
+    aggregates are integer, so results are bit-identical under any
+    partitioning and in ANSI SQL (a log-prob variant would hinge on the
+    engines' ulp-level log() agreement)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("t")
+    )
+    freqs = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    scored = (
+        tok.join(F.broadcast(freqs), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("freq_sum"),
+            F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("freq_sum") / F.col("n_tokens"), 4).alias("mean_token_freq"),
+        F.round(F.col("n_rare") / F.col("n_tokens"), 4).alias("rare_ratio"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -274,3 +274,68 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 curation wave: per-source caps, deterministic training shards,
+# corpus-statistics quality scoring
+# ---------------------------------------------------------------------------
+
+#: SQL fragment: normalized text (mirror of operators.dedup.normalize_text)
+_NORM3 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: SQL fragment: the LCG draw shared with operators.sampling.seed_hash
+_LCG = "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+
+
+@_register(
+    "source_cap_50",
+    f"""
+SELECT doc_id, source, source_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {_LCG}, doc_id)
+           AS source_rank
+  FROM documents) WHERE source_rank <= 50""",
+    ref="extension: per-source document cap (web-curation domain quota)",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.curation import source_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_cap(docs, max_per_source=50).select(
+        "doc_id", "source", "source_rank"
+    )
+
+
+@_register(
+    "training_shards",
+    f"""
+SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+       row_number() OVER (
+         PARTITION BY h % 16
+         ORDER BY ((h % 2147483648) * 1103515245 + 12345) % 2147483648, doc_id)
+         AS pos
+FROM (SELECT doc_id, {_LCG} AS h FROM documents)""",
+    ref="extension: deterministic shuffle + sharding for training output",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.curation import training_shards
+
+    return training_shards(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+@_register(
+    "token_frequency_score",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split({_NORM3}, ' ')) AS t FROM documents),
+freqs AS (SELECT t, count(*) AS freq FROM tok GROUP BY t)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(freq)::DOUBLE / count(*), 4) AS mean_token_freq,
+       round(sum(CASE WHEN freq <= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS rare_ratio
+FROM tok JOIN freqs USING (t) GROUP BY doc_id""",
+    ref="extension: corpus-frequency quality proxy (integer-exact unigram score)",
+)
+def q_token_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.textstats import token_frequency_score
+
+    return token_frequency_score(load_table(spark, sf_dir, "documents"))

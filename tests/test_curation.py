@@ -66,3 +66,55 @@ def test_bigram_topk(spark):
     df = _docs(spark, [(1, "to be or not to be"), (2, "to be is to do")])
     top = C.bigram_topk(df, k=2).collect()
     assert [(r.bigram, r.n) for r in top] == [("to be", 3), ("be is", 1)]
+
+
+def test_source_cap_respects_quota(spark):
+    from mapreduce6240project_spark.operators.curation import source_cap
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    capped = source_cap(docs, max_per_source=5)
+    per_src = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src and all(n <= 5 for n in per_src.values())
+    # deterministic: the same draw survives a re-run and a repartition
+    again = source_cap(docs.repartition(7), max_per_source=5)
+    assert {tuple(r) for r in capped.select("doc_id").collect()} == {
+        tuple(r) for r in again.select("doc_id").collect()
+    }
+
+
+def test_training_shards_cover_and_balance(spark):
+    from mapreduce6240project_spark.operators.curation import training_shards
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    shards = training_shards(docs, n_shards=8)
+    assert shards.count() == n
+    rng = shards.agg(F.min("shard"), F.max("shard")).first()
+    assert rng[0] >= 0 and rng[1] < 8
+    # pos is a contiguous 1..k ranking within each shard
+    tops = {
+        (r["shard"], r["mx"], r["cnt"])
+        for r in shards.groupBy("shard")
+        .agg(F.max("pos").alias("mx"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert all(mx == cnt for _, mx, cnt in tops)
+
+
+def test_token_frequency_score_bounds(spark):
+    from mapreduce6240project_spark.operators.textstats import token_frequency_score
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = token_frequency_score(docs)
+    assert scored.count() == docs.count()
+    bounds = scored.agg(
+        F.min("rare_ratio"), F.max("rare_ratio"), F.min("mean_token_freq")
+    ).first()
+    assert 0.0 <= bounds[0] and bounds[1] <= 1.0
+    assert bounds[2] >= 1.0  # every token occurs at least once (itself)
