@@ -97,3 +97,51 @@ def test_whole_stage_codegen_covers_distance(spark):
     assigned = assign_clusters(feats, MEDOIDS_BY_K[3])
     # "*(n)" prefix marks whole-stage-codegen spans in the simple plan
     assert "*(" in _plan(assigned)
+
+def test_verify_stage_broadcasts_candidate_shingles(spark):
+    """The exact-verify stage of LSH dedup must broadcast the (small)
+    candidate-doc shingle table, never shuffle the corpus into a
+    sort-merge join -- the invariant that keeps verify O(|candidates|)
+    at 100 TB."""
+    from mapreduce6240project_spark.operators.dedup import (
+        jaccard_verified_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cand = minhash_candidate_pairs(docs)
+    plan = _plan(jaccard_verified_pairs(docs, cand, threshold=0.5))
+    assert plan.count("BroadcastHashJoin") >= 2  # sh_a and sh_b sides
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    """IVF cell assignment is a broadcast of the <=4096-row centroid
+    table + one narrow pass over the vectors: no vector shuffle."""
+    from mapreduce6240project_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(ivf_assign(emb, n_cells=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_band_recall_complete_on_planted_dups(spark):
+    """The dedup_minhash_lsh oracle (exact n-gram Jaccard >= 0.5) is
+    valid only while banded candidates recall every true pair; assert
+    that containment directly so a band/row retune that silently drops
+    recall fails here, not in the external gate."""
+    from mapreduce6240project_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b) for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert truth and truth <= cand
