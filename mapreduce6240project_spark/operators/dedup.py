@@ -260,8 +260,19 @@ def jaccard_verified_pairs(
     )
 
 
-def minhash_dedup(docs: DataFrame, transitive: bool = False, **kw) -> DataFrame:
-    """Survivor set after MinHash near-dup removal.
+def minhash_dedup(
+    docs: DataFrame,
+    transitive: bool = False,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    **kw,
+) -> DataFrame:
+    """Survivor set after MinHash near-dup removal.  Pairs are banded-
+    LSH candidates *exact-verified* at the true n-gram Jaccard
+    ``threshold`` (see :func:`jaccard_verified_pairs`), so the survivor
+    set is hash-independent whenever band recall is complete.
 
     ``transitive=False`` (default): drop the higher id of every pair --
     one anti-join, but over-keeps on open triangles (A~C and B~C with no
@@ -270,8 +281,12 @@ def minhash_dedup(docs: DataFrame, transitive: bool = False, **kw) -> DataFrame:
     components (operators.graph) and keep the min id per component --
     the semantically correct dedup, a few extra iterative joins.
     """
-    id_col = kw.get("id_col", "doc_id")
-    pairs = minhash_lsh_pairs(docs, **kw)
+    cand = minhash_candidate_pairs(
+        docs, text_col, id_col, shingle_n=shingle_n, **kw
+    )
+    pairs = jaccard_verified_pairs(
+        docs, cand, text_col, id_col, shingle_n, threshold
+    )
     if transitive:
         from mapreduce6240project_spark.operators.graph import dedup_by_components
 
@@ -404,6 +419,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     window: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 -- the MOSS
     scheme): hash every n-gram shingle, slide a ``window`` over the hash
@@ -429,7 +445,7 @@ def winnow_fingerprints(
         F.col(id_col),
         F.posexplode(shingles(text_col, shingle_n)).alias("pos", "s"),
     )
-    h = ex.select(F.col(id_col), "pos", F.xxhash64("s").alias("h"))
+    h = ex.select(F.col(id_col), "pos", _token_hash("s", token_hash).alias("h"))
     w_roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     rolled = h.select(
         F.col(id_col),

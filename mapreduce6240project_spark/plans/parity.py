@@ -285,10 +285,57 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_subwords"))
 
 
+# Shared CTE text: exact word-3-gram Jaccard pairs over an arbitrary
+# doc relation (the hash-independent contract the verified MinHash
+# stages reduce to; mirrors extensions._ngram_jaccard_sql but
+# parameterized on the source relation for pipeline composition).
+def _jaccard_pairs_cte(src: str, threshold: float) -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [concat_ws(' ', w)] END) AS s
+    FROM (SELECT doc_id, string_split({norm}, ' ') AS w FROM {src})
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+)"""
+
+
 @_register(
     "dedup_pipeline",
-    None,  # composition of hash-based stages; stage equivalences tested
-    ref="extension: full dedup pipeline (exact md5 -> MinHash-LSH "
+    # both stages are hash-independent contracts: stage 1 keeps the min
+    # id per md5 group; stage 2 drops the higher id of every exact
+    # Jaccard >= 0.5 pair among stage-1 survivors (the verified-LSH
+    # output, valid while band recall is complete).
+    """
+WITH s1 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+docs1 AS (SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
+"""
+    + _jaccard_pairs_cte("docs1", 0.5)
+    + """
+SELECT count(*) AS n_survivors, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM docs1 WHERE doc_id NOT IN (SELECT id_b FROM pairs)""",
+    ref="extension: full dedup pipeline (exact md5 -> verified MinHash-LSH "
     "survivors), the training-data-pipeline composition",
 )
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,14 +388,51 @@ REGISTRY["zscore_by_cluster"] = QuerySpec(
 
 @_register(
     "winnow_fingerprint_pairs",
-    None,  # xxhash64-based fingerprints; invariants in tests/test_dedup.py
+    # md5-variant fingerprints (60-bit hex-to-int, like dedup_simhash)
+    # replayed in SQL: positional shingles, rolling 4-window min, full
+    # windows plus the first truncated one, distinct mins per doc, then
+    # overlap-coefficient pairs.
+    """
+WITH shl AS (
+  SELECT doc_id, unnest(sh) AS s, unnest(generate_series(1, len(sh))) AS pos
+  FROM (SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN list_transform(
+                      generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                    ELSE [concat_ws(' ', w)] END AS sh
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents))
+),
+h AS (SELECT doc_id, pos, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shl),
+rolled AS (
+  SELECT doc_id, pos, min(h) OVER w AS wmin, count(*) OVER w AS wlen
+  FROM h
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+),
+fp AS (SELECT DISTINCT doc_id, wmin FROM rolled WHERE wlen = 4 OR pos = 1),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_shared::DOUBLE / least(sa.n_fp, sb.n_fp), 4) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_shared::DOUBLE / least(sa.n_fp, sb.n_fp), 4) >= 0.3""",
     ref="extension: winnowing rolling-hash fingerprints (MOSS scheme) "
     "+ shared-fingerprint candidate pairs",
 )
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.dedup import winnow_overlap_pairs
 
-    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+    return winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3, token_hash="md5"
+    )
 
 
 @_register(
@@ -414,7 +498,25 @@ def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_cc_survivors",
-    None,  # minhash-pair-driven; CC semantics proven in tests/test_graph.py
+    # edges are the exact-verified pairs (hash-independent); a survivor
+    # is a node from which no smaller node is reachable -- exactly the
+    # min-id-per-component rule label propagation converges to.  The
+    # recursive CTE materializes (node, smaller-reachable-node) facts.
+    "WITH RECURSIVE "
+    + _jaccard_pairs_cte("documents", 0.5).lstrip()
+    + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, l) AS (
+  SELECT u, v FROM edges WHERE v < u
+  UNION
+  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v WHERE r.l < e.u
+)
+SELECT count(*) AS n_survivors, min(doc_id) AS min_id
+FROM documents WHERE doc_id NOT IN (SELECT u FROM reach)""",
     ref="extension: transitive dedup via iterative connected components "
     "(label propagation; correct on open triangles where greedy over-keeps)",
 )
