@@ -89,12 +89,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "streaming_stateful_counts",
     "streaming_dedup",
     "streaming_foreach_batch",
-    "user_running_value",
     "time_rollup_multires",
-    "props_json_stats",
-    "customers_no_orders",
+    "winnow_fingerprint_pairs",
+    "dedup_cc_survivors",
+    "dedup_pipeline",
     # ---- driver budget boundary (50) ----
     # Next tier: still-unverified queries, in case the budget grows.
+    "user_running_value",
+    "props_json_stats",
+    "customers_no_orders",
     "zscore_by_cluster",
     "lang_id_accuracy",
     "streaming_sliding",
@@ -117,9 +120,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "large_orders",
     "disjunctive_parts_revenue",
     "idle_rich_customers",
-    "winnow_fingerprint_pairs",
-    "dedup_cc_survivors",
-    "dedup_pipeline",
     "approx_distinct_users",
     "bernoulli_sample_count",
     "kmedoids_elbow",
