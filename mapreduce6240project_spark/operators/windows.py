@@ -90,3 +90,61 @@ def sessionize(
         )
         .select(key_col, "session_start", "n_events", "duration_s")
     )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    width_s: int = 600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled resampling with last-observation-carried-forward --
+    the hypertable `time_bucket_gapfill + locf` pattern: every
+    (key, bucket) cell of the dense time grid gets a row; buckets with
+    no events carry the previous bucket's aggregate (NULL before the
+    key's first observation) and n = 0.
+
+    Plan shape: one bucketed partial aggregate (the only data-sized
+    shuffle), then a *generated* spine -- sequence(min_bucket,
+    max_bucket) exploded against the distinct keys, both tiny inputs
+    derived from the aggregate, never from raw events -- left-joined
+    back and patched with a last(ignorenulls) window per key.  The
+    spine size is (time_range / width) x #keys: bounded by clock time,
+    not data volume, so at 100 TB the spine is still thousands of rows.
+    The LOCF window scans one key's buckets serially; with many years x
+    sub-second buckets, partition additionally by coarse time and stitch
+    the boundary value -- at the widths real rollups use, serial per-key
+    is the right plan."""
+    bucket = (F.unix_timestamp(F.col(ts_col)) / width_s).cast("bigint") * width_s
+    agg = (
+        events.groupBy(bucket.alias("bucket"), F.col(key_col).alias("k"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(value_col), 4).alias("sum_value"))
+        .persist()
+    )
+    rng = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = (
+        agg.select("k")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(width_s))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["k", "bucket"], "left")
+        .select(
+            F.col("bucket").alias("window_start"),
+            F.col("k").alias(key_col),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+    )

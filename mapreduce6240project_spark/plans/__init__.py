@@ -95,6 +95,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_pipeline",
     # ---- driver budget boundary (50) ----
     # Next tier: still-unverified queries, in case the budget grows.
+    "gapfill_locf",
+    "source_cap_50",
+    "training_shards",
+    "token_frequency_score",
     "user_running_value",
     "props_json_stats",
     "customers_no_orders",

@@ -691,6 +691,32 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gapfill_locf",
+    """
+WITH agg AS (
+  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket,
+         event_type AS k, count(*) AS n, round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+spine AS (
+  SELECT k, unnest(generate_series(lo, hi, 600)) AS bucket
+  FROM (SELECT DISTINCT k FROM agg), rng
+)
+SELECT s.bucket AS window_start, s.k AS event_type,
+       COALESCE(a.n, 0) AS n,
+       last_value(a.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.k ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+FROM spine s LEFT JOIN agg a ON a.k = s.k AND a.bucket = s.bucket""",
+    ref="extension: gap-filled resampling + LOCF (hypertable "
+    "time_bucket_gapfill/locf pattern)",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "sliding_window",
     """
 SELECT window_start, count(*) AS n,

@@ -62,3 +62,24 @@ def test_streaming_sessions_agree_with_batch_sessionize(spark, events):
     stream = {(r.user_id, r.session_start): r.n_events
               for r in streaming_sessions(spark, SF).collect()}
     assert batch == stream
+
+
+def test_gapfill_locf_dense_grid(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.windows import gapfill_locf
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    filled = gapfill_locf(ev, width_s=600).persist()
+    # dense grid: every key has one row per bucket between global min/max
+    span = filled.agg(
+        F.min("window_start"), F.max("window_start"), F.countDistinct("event_type")
+    ).first()
+    n_buckets = (span[1] - span[0]) // 600 + 1
+    assert filled.count() == n_buckets * span[2]
+    # empty buckets exist (n=0) and still carry a non-null LOCF value
+    empties = filled.filter(F.col("n") == 0)
+    if empties.count() > 0:
+        carried = empties.filter(F.col("sum_value_locf").isNotNull())
+        assert carried.count() > 0
+    filled.unpersist()
