@@ -1,4 +1,4 @@
-"""Sketch operators: Bloom-filter membership.
+"""Sketch operators: Bloom-filter membership and a portable HyperLogLog.
 
 Spark's own runtime bloom-filter join injection
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``) covers the
@@ -94,3 +94,115 @@ def bloom_semi_filter(
     bloom pre-filter then prunes the shuffle."""
     bitmap = build_bloom(build, build_col, m, k, int_keys)
     return probe.filter(bloom_might_contain(bitmap, probe_col, m, k, int_keys))
+
+
+# ===========================================================================
+# Portable HyperLogLog
+# ===========================================================================
+
+def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """Approximate distinct count as a *portable* HyperLogLog: every step
+    is deterministic, engine-neutral arithmetic, so a SQL oracle (DuckDB)
+    replays the exact estimate bit-for-bit -- unlike
+    ``approx_count_distinct``, whose HLL++ sketch is engine-internal.
+
+    Construction (Flajolet et al. 2007, the plain HLL estimator):
+
+    * 60-bit hash ``h`` = first 15 hex nibbles of ``md5(cast(key as
+      string))`` -- the same SQL-replayable hash family the SimHash and
+      winnowing operators use (``operators.dedup``).
+    * bucket ``j`` = top ``b`` bits of ``h``; remainder ``w`` = low
+      ``60-b`` bits; rank ``rho`` = leading-zero count of ``w`` within
+      its ``60-b``-bit width, plus one (``w == 0`` -> width+1), computed
+      as ``width + 1 - length(bin(w))`` -- both Spark and DuckDB render
+      ``bin`` minimal-width.
+    * register ``M_j = max(rho)`` per bucket: ONE map-side-partial
+      ``groupBy`` whose exchange carries at most ``m = 2^b`` rows.
+    * harmonic mean in *integer* fixed point: each register contributes
+      ``2^(width+1-M_j)`` (empty registers ``2^(width+1)``), summed as
+      exact bigints -- associative, so bit-identical under any
+      partitioning or executor count; floats appear only in the final
+      scalar estimate.
+    * small-range (linear-counting) correction per the paper when
+      ``E <= 2.5m`` and empty registers exist.
+
+    Scale: the only exchange is the m-row register agg; the estimate is
+    a 1-row scalar after it.  Returns one row: ``n_approx`` (bigint).
+    """
+    assert 4 <= b <= 16
+    m = 1 << b
+    width = 60 - b
+    scale = width + 1  # max possible rho; 2^(scale-M) >= 1 stays integral
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # alpha_m for m >= 128 (paper)
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = h.bitwiseAND(F.lit((1 << width) - 1))
+    bucket = F.call_function("shiftright", h, F.lit(width).cast("int"))
+    rho = F.when(w == 0, F.lit(scale)).otherwise(
+        F.lit(scale) - F.length(F.call_function("bin", w))
+    )
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("M"))
+    )
+    summed = regs.agg(
+        F.count("*").alias("used"),
+        # coalesce: zero rows (empty/all-null input) must estimate 0, not null
+        F.coalesce(
+            F.sum(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    (F.lit(scale) - F.col("M")).cast("int"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("sp"),
+    )
+    empty = F.lit(m) - F.col("used")
+    total = F.col("sp") + empty * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return summed.select(F.round(est).cast("bigint").alias("n_approx"))
+
+
+def hll_oracle_sql(table: str, col: str, b: int = 8) -> str:
+    """The DuckDB replay of :func:`hll_distinct` -- identical hash,
+    identical integer register math, identical correction branch."""
+    m = 1 << b
+    width = 60 - b
+    scale = width + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    mask = (1 << width) - 1
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table} WHERE {col} IS NOT NULL
+),
+r AS (
+  SELECT h >> {width} AS j,
+         CASE WHEN (h & {mask}) = 0 THEN {scale}
+              ELSE {scale} - length(bin(h & {mask})) END AS rho
+  FROM h
+),
+regs AS (SELECT j, max(rho) AS M FROM r GROUP BY j),
+s AS (
+  SELECT count(*) AS used,
+         COALESCE(sum((1::BIGINT << ({scale} - M))::BIGINT), 0) AS sp
+  FROM regs
+)
+SELECT CAST(round(
+  CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(1 << scale)!r} AS DOUBLE)
+             / (sp + ({m} - used) * ({1 << scale})::BIGINT)) <= {2.5 * m}
+            AND ({m} - used) > 0
+       THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - used))
+       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(1 << scale)!r} AS DOUBLE)
+            / (sp + ({m} - used) * ({1 << scale})::BIGINT)
+  END) AS BIGINT) AS n_approx
+FROM s"""

@@ -95,6 +95,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_pipeline",
     # ---- driver budget boundary (50) ----
     # Next tier: still-unverified queries, in case the budget grows.
+    "hll_distinct_users",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

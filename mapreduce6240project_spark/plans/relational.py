@@ -16,6 +16,7 @@ from mapreduce6240project_spark.operators.clustering import elbow
 from mapreduce6240project_spark.operators.joins import as_of_join, interval_join
 from mapreduce6240project_spark.operators.sampling import bernoulli_sample
 from mapreduce6240project_spark.operators.similarity import cosine
+from mapreduce6240project_spark.operators.sketch import hll_distinct, hll_oracle_sql
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
 from mapreduce6240project_spark.sources.tweets import feature_store
@@ -144,12 +145,23 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "approx_distinct_users",
-    None,  # HLL sketch values are engine-specific; bounds checked in tests
-    ref="extension: approximate distinct (HyperLogLog++ sketch)",
+    None,  # HLL++ sketch values are engine-specific; bounds checked in tests
+    ref="extension: approximate distinct (engine-native HyperLogLog++ sketch)",
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+
+
+@_register(
+    "hll_distinct_users",
+    hll_oracle_sql("events", "user_id"),
+    ref="extension: approximate distinct (portable HyperLogLog, md5 hash; "
+    "fully oracle-replayable unlike approx_count_distinct)",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id")
 
 
 @_register(

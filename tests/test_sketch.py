@@ -8,6 +8,8 @@ from mapreduce6240project_spark.operators.sketch import (
     bloom_might_contain,
     bloom_semi_filter,
     build_bloom,
+    hll_distinct,
+    hll_oracle_sql,
 )
 from mapreduce6240project_spark.sources.tables import load_table
 
@@ -40,3 +42,51 @@ def test_membership_expression_is_narrow(spark):
     probed = o.filter(bloom_might_contain(bitmap, "o_custkey"))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # probe is a pure filter over the scan
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # standard error of plain HLL is ~1.04/sqrt(m); allow 5 sigma
+    n = 5000
+    keys = spark.range(n).withColumnRenamed("id", "k")
+    est = hll_distinct(keys, "k", b=8).collect()[0].n_approx
+    sigma = 1.04 / (256**0.5)
+    assert abs(est - n) / n < 5 * sigma
+
+
+def test_hll_matches_duckdb_oracle(spark, duck):
+    got = hll_distinct(load_table(spark, SF, "events"), "user_id").collect()[0].n_approx
+    want = duck.sql(hll_oracle_sql("events", "user_id")).fetchone()[0]
+    assert got == want
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.range(1000).select(
+        F.when(F.col("id") < 100, F.col("id") % 10).alias("k")  # nulls for id>=100
+    )
+    est = hll_distinct(base, "k").collect()[0].n_approx
+    assert est == 10  # linear-counting regime is exact-ish at tiny cardinality
+
+
+def test_hll_single_register_exchange(spark):
+    regs = hll_distinct(load_table(spark, SF, "events"), "user_id")
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    # exactly the two agg exchanges (register table, then 1-row final);
+    # no join, no sort, nothing proportional to input size crosses the wire
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_hll_empty_and_all_null_estimate_zero(spark, duck):
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    assert hll_distinct(empty, "k").collect()[0].n_approx == 0
+    allnull = spark.range(100).select(F.lit(None).cast("string").alias("k"))
+    assert hll_distinct(allnull, "k").collect()[0].n_approx == 0
+    duck.sql("CREATE OR REPLACE VIEW _hll_empty AS SELECT CAST(NULL AS VARCHAR) AS k WHERE false")
+    assert duck.sql(hll_oracle_sql("_hll_empty", "k")).fetchone()[0] == 0
