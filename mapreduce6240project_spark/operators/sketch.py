@@ -206,3 +206,123 @@ SELECT CAST(round(
             / (sp + ({m} - used) * ({1 << scale})::BIGINT)
   END) AS BIGINT) AS n_approx
 FROM s"""
+
+
+# ===========================================================================
+# Portable Count-Min Sketch (heavy-hitter counts)
+# ===========================================================================
+
+def cms_params(d: int = 4) -> list[tuple[int, int]]:
+    """The d Carter-Wegman (a, b) rows shared by the Spark build/estimate
+    and the DuckDB oracle replay."""
+    return [(a, b) for a, b in _CW[:d]]
+
+
+def _cms_base(col: Column) -> Column:
+    """60-bit md5 token hash reduced mod P -- the per-key input to every
+    CMS row hash.  Same replayable md5 family as hll_distinct."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"), F.lit(_P)
+    )
+
+
+def cms_build(items: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
+    """Count-Min sketch over one occurrence column: d x w counters as a
+    (i, p, c) table with at most d*w rows.
+
+    This is the 100 TB shape for frequency estimation: the exchange
+    carries at most d*w (i, p) partial counts per map partition -- a few
+    KiB -- no matter how large the vocabulary is, where an exact
+    ``groupBy(token)`` shuffles the whole distinct vocabulary.  Counts
+    are integer-exact and the hash is engine-neutral, so a SQL oracle
+    rebuilds the identical sketch (see :func:`cms_oracle_sql`).
+    """
+    base = _cms_base(F.col(col))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    F.pmod(base * F.lit(a) + F.lit(b), F.lit(_P)), F.lit(w)
+                ).alias("p"),
+            )
+            for i, (a, b) in enumerate(cms_params(d))
+        ]
+    )
+    return (
+        items.filter(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("r"))
+        .select("r.i", "r.p")
+        .groupBy("i", "p")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Point estimates ``n_cms = min_i sketch[i][h_i(key)]`` for each
+    candidate row; never underestimates the true count.  The sketch is
+    at most d*w rows -- broadcast it, so estimation is shuffle-free on
+    the candidate side.  A candidate none of whose d counters exist
+    (key never seen AND no colliding keys) drops out of the inner join
+    rather than estimating 0; the oracle replays the same semantics."""
+    from pyspark.sql.functions import broadcast
+
+    base = _cms_base(F.col(col))
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(
+                        F.pmod(base * F.lit(a) + F.lit(b), F.lit(_P)), F.lit(w)
+                    ).alias("p"),
+                )
+                for i, (a, b) in enumerate(cms_params(d))
+            ]
+        )
+    ).alias("r")
+    expanded = candidates.select("*", pos).select("*", "r.i", "r.p").drop("r")
+    others = [c for c in candidates.columns]
+    return (
+        expanded.join(broadcast(sketch), ["i", "p"])
+        .groupBy(*others)
+        .agg(F.min("c").alias("n_cms"))
+    )
+
+
+def cms_oracle_sql(
+    occurrences_cte: str, col: str, topk: int, w: int = 1024, d: int = 4
+) -> str:
+    """DuckDB replay of sketch build + top-k estimate.
+
+    ``occurrences_cte`` is a SQL subquery producing one row per
+    occurrence with column ``col``.  Returns (token, n_exact, n_cms)
+    for the exact top-``topk`` keys (ties broken by key) -- the same
+    ground-truth-vs-sketch comparison the Spark query emits."""
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(cms_params(d)))
+    return f"""
+WITH occ AS ({occurrences_cte}),
+params(i, a, b) AS (VALUES {params}),
+h AS (
+  SELECT {col}, ('0x' || substr(md5({col}), 1, 15))::BIGINT % {_P} AS base
+  FROM occ WHERE {col} IS NOT NULL
+),
+sketch AS (
+  SELECT i, ((a * base + b) % {_P}) % {w} AS p, count(*) AS c
+  FROM h CROSS JOIN params GROUP BY 1, 2
+),
+top AS (
+  SELECT {col}, count(*) AS n_exact FROM occ WHERE {col} IS NOT NULL
+  GROUP BY 1 ORDER BY n_exact DESC, {col} LIMIT {topk}
+),
+cand AS (
+  SELECT t.{col}, t.n_exact, p.i,
+         ((p.a * (('0x' || substr(md5(t.{col}), 1, 15))::BIGINT % {_P}) + p.b)
+          % {_P}) % {w} AS p
+  FROM top t CROSS JOIN params p
+)
+SELECT c.{col}, c.n_exact, min(s.c) AS n_cms
+FROM cand c JOIN sketch s USING (i, p)
+GROUP BY 1, 2"""

@@ -96,6 +96,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # ---- driver budget boundary (50) ----
     # Next tier: still-unverified queries, in case the budget grows.
     "hll_distinct_users",
+    "cms_heavy_hitters",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

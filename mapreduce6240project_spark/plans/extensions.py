@@ -25,6 +25,7 @@ from mapreduce6240project_spark.operators import multimodal as M
 from mapreduce6240project_spark.operators import similarity as S
 from mapreduce6240project_spark.operators import textstats as TX
 from mapreduce6240project_spark.operators import windows as W
+from mapreduce6240project_spark.operators.sketch import cms_oracle_sql
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
 
@@ -417,6 +418,32 @@ ORDER BY n DESC, token LIMIT 50""",
 )
 def q_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@_register(
+    "cms_heavy_hitters",
+    cms_oracle_sql(
+        f"SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents",
+        "token",
+        topk=20,
+    ),
+    ref="extension: Count-Min sketch heavy hitters (token frequency "
+    "estimates vs exact ground truth; sketch + estimate fully "
+    "oracle-replayable)",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(D.tokens("text")).alias("token"))
+    sketch = cms_build(occ, "token")
+    top = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, "token")
 
 
 @_register(

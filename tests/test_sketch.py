@@ -8,6 +8,9 @@ from mapreduce6240project_spark.operators.sketch import (
     bloom_might_contain,
     bloom_semi_filter,
     build_bloom,
+    cms_build,
+    cms_estimate,
+    cms_oracle_sql,
     hll_distinct,
     hll_oracle_sql,
 )
@@ -90,3 +93,47 @@ def test_hll_empty_and_all_null_estimate_zero(spark, duck):
     assert hll_distinct(allnull, "k").collect()[0].n_approx == 0
     duck.sql("CREATE OR REPLACE VIEW _hll_empty AS SELECT CAST(NULL AS VARCHAR) AS k WHERE false")
     assert duck.sql(hll_oracle_sql("_hll_empty", "k")).fetchone()[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    # 26 distinct keys into 4x1024 counters: collisions are unlikely, so
+    # estimates should be exact; the >= invariant must hold regardless
+    occ = spark.createDataFrame(
+        [(chr(97 + i % 26),) for i in range(2600)], ["k"]
+    )
+    sk = cms_build(occ, "k")
+    exact = occ.groupBy("k").count().withColumnRenamed("count", "n_exact")
+    est = cms_estimate(sk, exact, "k").collect()
+    assert len(est) == 26
+    for r in est:
+        assert r.n_cms >= r.n_exact
+        assert r.n_cms == r.n_exact  # no collisions at this load factor
+
+
+def test_cms_build_bounded_rows_and_single_exchange(spark):
+    docs = load_table(spark, SF, "documents")
+    occ = docs.select(F.explode_outer(F.split(F.lower("text"), " ")).alias("t"))
+    sk = cms_build(occ, "t", w=64, d=4)
+    assert sk.count() <= 64 * 4  # sketch size independent of vocabulary
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one partial-agg shuffle, d*w rows
+
+
+def test_cms_matches_duckdb_oracle_on_custom_relation(spark, duck):
+    occ = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3 + [(None,)], ["k"])
+    sk = cms_build(occ, "k")
+    cand = spark.createDataFrame([("x", 5), ("y", 3)], ["k", "n_exact"])
+    got = {r.k: r.n_cms for r in cms_estimate(sk, cand, "k").collect()}
+    sql = cms_oracle_sql(
+        "SELECT * FROM (VALUES ('x'),('x'),('x'),('x'),('x'),('y'),('y'),('y'),"
+        "(CAST(NULL AS VARCHAR))) AS t(k)",
+        "k",
+        topk=2,
+    )
+    want = {r[0]: r[2] for r in duck.sql(sql).fetchall()}
+    assert got == want == {"x": 5, "y": 3}
