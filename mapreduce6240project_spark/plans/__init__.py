@@ -97,6 +97,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # Next tier: still-unverified queries, in case the budget grows.
     "hll_distinct_users",
     "cms_heavy_hitters",
+    "kmedoids_elbow",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",
@@ -128,7 +129,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "idle_rich_customers",
     "approx_distinct_users",
     "bernoulli_sample_count",
-    "kmedoids_elbow",
     "kmeans_embeddings",
 )
 

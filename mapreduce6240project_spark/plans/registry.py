@@ -306,9 +306,109 @@ def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_count(load_table(spark, sf_dir, "lineitem"))
 
 
+def _pair_dist_sql(a: str, b: str, weighted: bool = True) -> str:
+    """SQL mirror of functions.distance.feature_distance between two row
+    prefixes -- identical operand order and association as the Column
+    expression, so both engines evaluate the same IEEE doubles."""
+    w = HASHTAG_WEIGHT if weighted else 1.0
+    return (
+        f"sqrt(power({a}.time_bucket - {b}.time_bucket, 2)"
+        f" + power(({a}.num_hashtags - {b}.num_hashtags) * {w}, 2)"
+        f" + (CASE WHEN {a}.language <> {b}.language THEN 1.0 ELSE 0.0 END)"
+        f" + power({a}.has_video - {b}.has_video, 2))"
+    )
+
+
+_SEED_KEY = "((tweet_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+
+_FEAT4 = "time_bucket, num_hashtags, language, has_video"
+
+
+def _kmedoids_oracle_sql(k: int = 3, iters: int = 10, with_k_col: bool = False) -> str:
+    """Full SQL replay of the k-medoids convergence loop
+    (operators.clustering.kmedoids with tol=0.0).
+
+    The loop is SQL-expressible because every step is deterministic:
+    LCG seed draw (sampling.seed_hash), first-min assignment argmin,
+    combo-compressed pairwise update with (total, tweet_id) tie-break.
+    With tol=0.0 the update is a *fixed point* once medoids stop moving
+    -- applying it again returns the same medoids -- so early
+    convergence and running all ``iters`` steps produce identical final
+    medoids, and the loop unrolls into ``iters`` chained CTEs with no
+    termination test.  Empty clusters keep their previous medoid, as in
+    the engine."""
+    prefix = f"k{k}_" if with_k_col else ""
+    parts = [
+        f"""{prefix}combos AS MATERIALIZED (
+  SELECT {_FEAT4}, count(*) AS n, min(tweet_id) AS tweet_id
+  FROM features GROUP BY {_FEAT4}
+),
+{prefix}m0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {_SEED_KEY}, tweet_id) - 1 AS cluster,
+         {_FEAT4}
+  FROM features ORDER BY {_SEED_KEY}, tweet_id LIMIT {k}
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""{prefix}asg{t} AS MATERIALIZED (
+  SELECT tweet_id, {_FEAT4}, n, cluster FROM (
+    SELECT c.*, m.cluster,
+           row_number() OVER (PARTITION BY c.tweet_id
+                              ORDER BY {_pair_dist_sql('c', 'm')}, m.cluster) AS rk
+    FROM {prefix}combos c CROSS JOIN {prefix}m{t} m
+  ) WHERE rk = 1
+),
+{prefix}win{t} AS MATERIALIZED (
+  SELECT cluster, tweet_id FROM (
+    SELECT cluster, tweet_id,
+           row_number() OVER (PARTITION BY cluster ORDER BY total, tweet_id) AS rk
+    FROM (
+      SELECT x.cluster, x.tweet_id,
+             sum({_pair_dist_sql('x', 'y')} * y.n) AS total
+      FROM {prefix}asg{t} x JOIN {prefix}asg{t} y ON x.cluster = y.cluster
+      GROUP BY x.cluster, x.tweet_id
+    )
+  ) WHERE rk = 1
+),
+{prefix}m{t + 1} AS MATERIALIZED (
+  SELECT p.cluster,
+         CASE WHEN nc.cluster IS NULL THEN p.time_bucket ELSE nc.time_bucket END AS time_bucket,
+         CASE WHEN nc.cluster IS NULL THEN p.num_hashtags ELSE nc.num_hashtags END AS num_hashtags,
+         CASE WHEN nc.cluster IS NULL THEN p.language ELSE nc.language END AS language,
+         CASE WHEN nc.cluster IS NULL THEN p.has_video ELSE nc.has_video END AS has_video
+  FROM {prefix}m{t} p LEFT JOIN (
+    SELECT w.cluster, c.time_bucket, c.num_hashtags, c.language, c.has_video
+    FROM {prefix}win{t} w JOIN {prefix}combos c ON w.tweet_id = c.tweet_id
+  ) nc ON p.cluster = nc.cluster
+)"""
+        )
+    k_col = f"{k} AS k, " if with_k_col else ""
+    parts.append(
+        f"""{prefix}final AS MATERIALIZED (
+  SELECT tweet_id, cluster, d FROM (
+    SELECT f.tweet_id, m.cluster, {_pair_dist_sql('f', 'm')} AS d,
+           row_number() OVER (PARTITION BY f.tweet_id
+                              ORDER BY {_pair_dist_sql('f', 'm')}, m.cluster) AS rk
+    FROM features f CROSS JOIN {prefix}m{iters} m
+  ) WHERE rk = 1
+)"""
+    )
+    select = (
+        f"SELECT {k_col}CAST(cluster AS INT) AS cluster, count(*) AS n_members, "
+        f"round(sum(d), 4) AS total_cost FROM {prefix}final GROUP BY cluster"
+    )
+    return ",\n".join(parts), select
+
+
+def _kmedoids_k3_oracle() -> str:
+    ctes, select = _kmedoids_oracle_sql(k=3, iters=10)
+    return _with_features(f", {ctes} {select}")
+
+
 @_register(
     "kmedoids_k3",
-    None,  # iterative driver loop -- not SQL-expressible; rows-only check
+    None,  # replaced right below (needs the SQL builders defined first)
     ref="Cluster.java:310-386 (C1/C2 full k-medoids, intended semantics)",
     headline=True,
 )
@@ -321,6 +421,15 @@ def q_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_cost(res.assignments, res.medoids).select(
         "cluster", "n_members", "total_cost"
     )
+
+
+REGISTRY["kmedoids_k3"] = QuerySpec(
+    "kmedoids_k3",
+    q_kmedoids,
+    _kmedoids_k3_oracle(),
+    REGISTRY["kmedoids_k3"].ref,
+    headline=True,
+)
 
 
 # ===========================================================================

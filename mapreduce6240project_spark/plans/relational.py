@@ -244,14 +244,43 @@ def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmedoids_elbow_oracle() -> str:
+    """UNION ALL of the unrolled k-medoids loop replay per k -- the same
+    generator that oracle-backs the flagship kmedoids_k3."""
+    from mapreduce6240project_spark.plans.registry import (
+        _kmedoids_oracle_sql,
+        _with_features,
+    )
+
+    ctes, selects = [], []
+    for k in (2, 3, 4):
+        c, sel = _kmedoids_oracle_sql(k=k, iters=5, with_k_col=True)
+        ctes.append(c)
+        selects.append(sel)
+    return _with_features(
+        ", " + ",\n".join(ctes) + " " + " UNION ALL ".join(selects)
+    )
+
+
 @_register(
     "kmedoids_elbow",
-    None,  # iterative multi-k sweep (C3) with real kmedoids runs
+    None,  # replaced right below (needs the registry SQL builders)
     ref="C3: elbow sweep with full iterative kmedoids per k (Cluster2/4/5 + distanceCal)",
 )
 def q_kmedoids_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = feature_store(spark, sf_dir)
     return elbow(feats, ks=(2, 3, 4), max_iter=5, tol=0.0)
+
+
+from mapreduce6240project_spark.plans.registry import REGISTRY as _REG
+from mapreduce6240project_spark.plans.registry import QuerySpec as _QS
+
+_REG["kmedoids_elbow"] = _QS(
+    "kmedoids_elbow",
+    q_kmedoids_elbow,
+    _kmedoids_elbow_oracle(),
+    _REG["kmedoids_elbow"].ref,
+)
 
 
 @_register(

@@ -81,7 +81,9 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "kmeans_embeddings",
-    None,  # iterative driver loop -- rows-only check (cf. kmedoids_k3)
+    None,  # rows-only: float centroid means compound across iterations
+    # (sum-order-sensitive), unlike the discrete medoid trajectory that
+    # lets kmedoids_k3 unroll into an exact SQL replay
     ref="extension: full Lloyd's k-means over the embedding corpus",
 )
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
