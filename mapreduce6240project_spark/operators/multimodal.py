@@ -172,18 +172,26 @@ def resize(
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Video-style frame sampling, stubbed over byte offsets: emit one
-    row per sampled "frame" (offset stride) with a per-frame digest.
+    row per sampled "frame" (one per ``every_n_bytes`` stride) with a
+    digest of the bytes AT that offset, so frames of one blob differ.
     Explodes AFTER any metadata filter -- at scale the explode multiplies
-    rows, so it must sit above the pruned scan, and does."""
+    rows, so it must sit above the pruned scan, and does.  The substring
+    runs on the binary payload directly (no string round-trip)."""
     n_frames = F.greatest(
         (F.octet_length("payload") / every_n_bytes).cast("int"), F.lit(1)
     )
     return media.select(
         "media_id",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "offset_blk"),
+        "payload",
+    ).select(
+        "media_id",
+        "frame_idx",
         F.md5(
             F.substring(
-                F.col("payload").cast("string"), 1, every_n_bytes
+                "payload",
+                F.col("offset_blk") * every_n_bytes + 1,
+                F.lit(every_n_bytes),
             )
         ).alias("frame_digest"),
-    ).select("media_id", "frame_idx", "frame_digest")
+    )

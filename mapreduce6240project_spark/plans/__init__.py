@@ -98,6 +98,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "hll_distinct_users",
     "cms_heavy_hitters",
     "kmedoids_elbow",
+    "multimodal_frames",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

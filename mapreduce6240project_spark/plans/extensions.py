@@ -697,6 +697,31 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_frames",
+    # per-frame md5 over the byte stride at each frame offset.  The
+    # engine slices the BINARY payload; DuckDB lacks blob slicing, so
+    # the oracle slices the source text -- equal because the documents
+    # are ASCII (char == byte), the same precondition multimodal_decode
+    # already relies on.
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         greatest(octet_length(encode(text)) // 64, 1) AS nf
+  FROM documents
+), x AS (
+  SELECT media_id, text, unnest(generate_series(0, nf - 1)) AS i FROM m
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_digest
+FROM x""",
+    ref="extension: video frame sampling plumbing (stride digest stub)",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.frame_sample(media, every_n_bytes=64)
+
+
 # ---------------------------------------------------------------------------
 # event windows (batch) + streaming twins
 # ---------------------------------------------------------------------------

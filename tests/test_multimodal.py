@@ -54,6 +54,25 @@ def test_frame_sample_row_explosion(media):
     assert all(r["count"] >= 1 for r in per)
 
 
+def test_frame_sample_digests_each_offset(media):
+    # the digest must cover the bytes AT the frame offset, not block 0:
+    # a multi-frame blob with non-repeating content has distinct digests
+    from pyspark.sql import functions as F
+
+    frames = frame_sample(media, every_n_bytes=64).cache()
+    multi = (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("frame_digest").alias("nd"),
+        )
+        .filter("n >= 2")
+        .collect()
+    )
+    assert multi, "fixture should contain blobs longer than one frame"
+    assert all(r["nd"] >= 2 for r in multi)
+
+
 def test_resize_payload_sizing(media):
     from pyspark.sql import functions as F
 
