@@ -152,12 +152,20 @@ def cluster_cost(
     distance, the elbow-method cost.  Pure groupBy-sum over the same
     literal distance expressions -- one shuffle of k rows."""
     dists = F.array(*[medoid_distance_literal(m, weighted) for m in medoids])
+    # fixed-point sum: each member's cost is quantized to integer
+    # micro-units BEFORE aggregation, so the total is associative --
+    # identical under any partial-agg order or partition count.  A raw
+    # double sum rounded to 4 digits can flip its last digit with
+    # summation order, which an exact-match oracle gate cannot absorb.
+    micro = F.floor(
+        F.element_at(dists, F.col("cluster") + 1) * 1_000_000 + F.lit(0.5)
+    ).cast("bigint")
     return (
-        assigned.withColumn("_cost", F.element_at(dists, F.col("cluster") + 1))
+        assigned.withColumn("_cost_micro", micro)
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),
-            F.round(F.sum("_cost"), 4).alias("total_cost"),
+            F.round(F.sum("_cost_micro") / 1_000_000.0, 4).alias("total_cost"),
         )
     )
 

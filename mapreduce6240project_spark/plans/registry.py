@@ -222,7 +222,8 @@ REGISTRY["cluster_assign_k3"] = QuerySpec(
         ""
         """
 SELECT cluster, count(*) AS n_members,
-       round(sum(CASE cluster WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END), 4) AS total_cost
+       round(sum(CAST(floor((CASE cluster WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END)
+                            * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS total_cost
 FROM assigned GROUP BY cluster"""
     ),
     ref="distanceCal.java:75-101 (A4 per-cluster WCSS cost)",
@@ -255,7 +256,7 @@ def _elbow_oracle() -> str:
         case = " ".join(f"WHEN {i} THEN d{i}" for i in range(k))
         parts.append(
             f"""SELECT {k} AS k, cluster, count(*) AS n_members,
-round(sum(CASE cluster {case} END), 4) AS total_cost
+round(sum(CAST(floor((CASE cluster {case} END) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS total_cost
 FROM (SELECT *, CAST({_argmin_case_sql(k)} AS INT) AS cluster FROM
   (SELECT *, {", ".join(f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[k]))}
    FROM features)) GROUP BY cluster"""
@@ -396,7 +397,8 @@ def _kmedoids_oracle_sql(k: int = 3, iters: int = 10, with_k_col: bool = False) 
     )
     select = (
         f"SELECT {k_col}CAST(cluster AS INT) AS cluster, count(*) AS n_members, "
-        f"round(sum(d), 4) AS total_cost FROM {prefix}final GROUP BY cluster"
+        f"round(sum(CAST(floor(d * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4)"
+        f" AS total_cost FROM {prefix}final GROUP BY cluster"
     )
     return ",\n".join(parts), select
 
