@@ -118,3 +118,33 @@ def mixture_resample(
         s: min(1.0, share * total / counts[s]) for s, share in present.items()
     }
     return stratified_hash_sample(df, fractions, strata_col, key)
+
+
+def weighted_priority_sample(
+    df: DataFrame, k: int, weight_col: str, key: str
+) -> DataFrame:
+    """Weighted sample without replacement: draw ``k`` rows with
+    inclusion probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis A-ES priority sampling, a published algorithm): each row
+    gets priority ``u^(1/w)`` with ``u`` uniform in (0,1), and the k
+    highest priorities win.
+
+    ``u`` comes from the keyed LCG hash (``(h+1) / (2^31+1)``), so the
+    draw is a pure function of the key -- re-run-stable, append-stable
+    (new rows compete on their own priority without reshuffling prior
+    winners), and expressible in ANSI SQL for the oracle.  Rows with
+    non-positive weight are excluded (their inclusion probability is 0).
+
+    Scale: one narrow projection + ``orderBy().limit(k)`` =
+    TakeOrderedAndProject -- per-partition top-k then a k-row driver
+    merge; no global sort, no shuffle of the data.  Ties (impossible for
+    distinct keys, since u is injective below 2^31) break on the key."""
+    u = (seed_hash(key) + 1) / F.lit(float(_MOD + 1))
+    priority = F.pow(u, 1.0 / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_priority", priority)
+        .orderBy(F.col("_priority").desc(), F.col(key))
+        .limit(k)
+        .drop("_priority")
+    )

@@ -99,6 +99,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cms_heavy_hitters",
     "kmedoids_elbow",
     "multimodal_frames",
+    "weighted_sample_orders",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

@@ -532,6 +532,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus")
 
 
+@_register(
+    "weighted_sample_orders",
+    # A-ES priority sampling replayed in SQL: identical u (integer LCG
+    # hash), identical priority expression u^(1/w).  Cross-engine pow
+    # differs by <=1 ulp (~2e-16) while adjacent priority gaps at this
+    # k are ~1e-8, so the selected set is stable.
+    f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         power(({_LCG.format(k='o_orderkey')} + 1) / 2147483649.0,
+               1.0 / o_totalprice) AS p
+  FROM orders WHERE o_totalprice > 0
+) ORDER BY p DESC, o_orderkey LIMIT 200""",
+    ref="extension: weighted sample w/o replacement (Efraimidis-Spirakis A-ES)",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_priority_sample(
+        orders, k=200, weight_col="o_totalprice", key="o_orderkey"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 _MIX_TARGETS = {"en": 0.5, "es": 0.25, "fr": 0.25}
 
 

@@ -165,3 +165,41 @@ def test_mixture_resample_empty_targets(spark):
 
     docs = load_table(spark, SF, "documents")
     assert mixture_resample(docs, {"xx": 1.0}, "lang", "doc_id").count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from mapreduce6240project_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    k = 200
+    picked = weighted_priority_sample(
+        orders, k=k, weight_col="o_totalprice", key="o_orderkey"
+    ).cache()
+    assert picked.count() == min(k, n)
+    # inclusion probability rises with weight: the sampled mean price
+    # must exceed the population mean by a clear margin
+    pop = orders.agg(F.avg("o_totalprice")).first()[0]
+    got = picked.agg(F.avg("o_totalprice")).first()[0]
+    assert got > pop * 1.1
+    # deterministic: a re-run draws the identical set
+    again = weighted_priority_sample(
+        orders.repartition(7), k=k, weight_col="o_totalprice", key="o_orderkey"
+    )
+    a = {r.o_orderkey for r in picked.collect()}
+    b = {r.o_orderkey for r in again.collect()}
+    assert a == b
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from mapreduce6240project_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, 20.0)], "id long, w double"
+    )
+    got = {r.id for r in weighted_priority_sample(df, 10, "w", "id").collect()}
+    assert got == {1, 4}
