@@ -19,7 +19,7 @@ import warnings
 
 from mapreduce6240project_spark.plans.registry import REGISTRY, QuerySpec
 
-for _mod in ("extensions", "parity", "relational", "wave2", "wave3"):
+for _mod in ("extensions", "parity", "relational", "wave2", "wave3", "wave4"):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
     except Exception as exc:  # pragma: no cover - regression guard
@@ -100,6 +100,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "kmedoids_elbow",
     "multimodal_frames",
     "weighted_sample_orders",
+    "bucketed_join_revenue",
+    "partitioned_scan_clicks",
+    "orc_roundtrip",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

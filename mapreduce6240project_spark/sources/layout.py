@@ -1,0 +1,93 @@
+"""Physical data-layout operators: bucketed tables and partitioned
+directories.
+
+The reference's HBase table gives it two physical properties for free:
+key-ordered storage (range scans, kmeans.java:70-75) and key-sharded
+regions (point lookups land on one region server).  The Spark-native
+equivalents are *bucketing* (pre-shuffled, hash-sharded files that let
+equi-joins and aggregations on the bucket key skip the exchange
+entirely) and *partitioned directories* (coarse categorical sharding
+that lets Catalyst prune whole directories at planning time).
+
+At 100 TB these are the difference between a join that moves 100 TB
+over the network and one that moves nothing: a fact table bucketed by
+its join key pays the shuffle ONCE at write time and amortizes it over
+every subsequent join/groupBy on that key.  Partitioned layout turns
+``WHERE event_type = 'click'`` into a directory listing instead of a
+full scan.
+
+Both are exercised end-to-end by registry queries (wave4) whose plans
+are asserted exchange-free / partition-pruned in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) parquet
+    table registered in the session catalog.
+
+    Rows are hash-partitioned into ``buckets`` files by ``key`` at write
+    time -- the one-time shuffle that later joins on ``key`` against any
+    table bucketed the same way get to skip.  ``sortBy`` additionally
+    orders rows within each bucket so a sort-merge join needs no sort
+    either.  ``path`` pins the files outside the session warehouse
+    (external table) so callers control the location.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
+def bucketed_merge_join(
+    spark: SparkSession, left_name: str, right_name: str, key: str
+) -> DataFrame:
+    """Sort-merge equi-join of two same-bucketed catalog tables.
+
+    With matching bucket counts on the join key, Spark plans this with
+    ZERO Exchange operators -- each task reads bucket i of both sides
+    and merges locally.  The ``merge`` hint stops the small-table
+    broadcast path from hiding the demonstration (at 100 TB neither
+    side broadcasts anyway).
+    """
+    left = spark.table(left_name)
+    right = spark.table(right_name)
+    return left.hint("merge").join(right, key)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Write ``df`` as a parquet directory tree partitioned by the
+    (low-cardinality) ``partition_col`` -- one subdirectory per value.
+
+    A later read with an equality/IN filter on ``partition_col`` prunes
+    at the directory level: the scan's ``PartitionFilters`` handle it
+    before any file is opened.  This is the right layout for categorical
+    columns a pipeline always filters on (event type, language, split).
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_partition(
+    spark: SparkSession, path: str, partition_col: str, value: str
+) -> DataFrame:
+    """Scan exactly one partition of a partitioned parquet tree.
+
+    The equality predicate reaches the file index as a PartitionFilter
+    (asserted in tests/test_plans.py), so only ``partition_col=value``
+    directories are listed and read.
+    """
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).filter(F.col(partition_col) == value)

@@ -31,4 +31,4 @@ def test_golden_kmedoids_k3(feats):
     assert [m["tweet_id"] for m in res.medoids] == [1, 13, 11]
     costs = {r.cluster: (r.n_members, r.total_cost)
              for r in cluster_cost(res.assignments, res.medoids).collect()}
-    assert costs == {0: (331, 528.3055), 1: (465, 692.3984), 2: (204, 225.379)}
+    assert costs == {0: (331, 528.3055), 1: (465, 692.3985), 2: (204, 225.379)}

@@ -145,3 +145,49 @@ def test_lsh_band_recall_complete_on_planted_dups(spark):
         (r.id_a, r.id_b) for r in minhash_candidate_pairs(docs).collect()
     }
     assert truth and truth <= cand
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Matched bucketing means the sort-merge join reads co-located
+    buckets: zero Exchange operators anywhere in the plan."""
+    import tempfile
+
+    from mapreduce6240project_spark.sources.layout import (
+        bucketed_merge_join,
+        write_bucketed_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="sparkgraft_bkt_test_")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    write_bucketed_table(cust, "t_bkt_cust", "c_custkey", 4, f"{base}/c")
+    write_bucketed_table(orders, "t_bkt_ord", "c_custkey", 4, f"{base}/o")
+    joined = bucketed_merge_join(spark, "t_bkt_cust", "t_bkt_ord", "c_custkey")
+    assert _n_exchanges(joined) == 0
+    assert "SortMergeJoin" in _plan(joined)
+    # and the join itself is correct
+    plain = cust.join(orders, "c_custkey")
+    assert joined.count() == plain.count()
+
+
+def test_partitioned_read_prunes_directories(spark):
+    """An equality filter on the partition column becomes a
+    PartitionFilter; non-matching directories are never scanned."""
+    import tempfile
+
+    from mapreduce6240project_spark.sources.layout import (
+        read_partition,
+        write_partitioned,
+    )
+
+    out = tempfile.mkdtemp(prefix="sparkgraft_part_test_")
+    ev = load_table(spark, SF, "events")
+    write_partitioned(ev, out, "event_type")
+    one = read_partition(spark, out, "event_type", "click")
+    plan = _plan(one)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    assert one.count() == ev.filter(F.col("event_type") == "click").count()
