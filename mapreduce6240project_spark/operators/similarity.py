@@ -400,3 +400,129 @@ def quantize_embeddings(
         q.alias("qvec"),
         (F.floor(maxabs / F.lit(127) * 10000 + F.lit(0.5)) / 10000.0).alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) -- the memory-compression ANN path: vectors
+# become m small codes, queries scan codes via a lookup table instead of
+# touching floats.  At 100 TB this is the index that fits in RAM: 64
+# float32 dims (256 B) compress to m=4 one-byte codes.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Per-subspace codebooks: the vector's ``dim`` components split
+    into ``m`` contiguous subspaces, each clustered independently with
+    the same fixed-point *integer* Lloyd refinement as ``ivf_centroids``
+    (seeds = the ``n_codes`` lowest-LCG-hash vectors' subvectors, the
+    one global draw shared by every subspace; integer sums are
+    associative, so every codebook is bit-exact under any partitioning
+    and replays in ANSI SQL).  Returns ``m`` lists of ``n_codes``
+    integer centroid subvectors.
+
+    Scale shape: one pass per Lloyd iteration over (id, subvector)
+    slices; only m * n_codes * (dim/m) integers ever reach the driver.
+    """
+    sub = dim // m
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        books.append(
+            ivf_centroids(
+                sliced, n_cells=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
+            )
+        )
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` code indices: per subspace, the
+    integer-L2-nearest codebook entry (ties -> lowest code).
+
+    The codebooks ride as literal arrays, so encoding is ONE narrow
+    projection -- no join, no shuffle, whole-stage codegen.  Output:
+    ``(id, codes array<int>)`` -- the compressed representation a real
+    deployment persists (bucketed by coarse cell) instead of floats."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    iv = _int_vec(vec_col)
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(iv, s * sub + 1, sub)
+        cands = [
+            F.struct(
+                _int_l2(sl, F.array(*[F.lit(int(x)) for x in cv])).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cv in enumerate(codebooks[s])
+        ]
+        code_cols.append(F.least(*cands)["c"].cast("int"))
+    return embeddings.select(id_col, F.array(*code_cols).alias("codes"))
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    query's distance to each codebook entry is precomputed into an
+    m x n_codes lookup table of exact integers, and a row's approximate
+    distance is the sum of m LUT entries picked by its codes.
+
+    Plan: encode (narrow) + m literal ``element_at`` lookups + one
+    TakeOrderedAndProject -- the scan never touches the float vectors.
+    Distances are exact bigints (quantized query vs integer codebooks),
+    so ranking is engine- and partitioning-independent, and the full
+    index replays in the SQL oracle."""
+    import math
+
+    books = pq_codebooks(
+        embeddings, m=m, n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    sub = dim // m
+    qint = [math.floor(float(x) * _QSCALE + 0.5) for x in query_vec]
+    lut = [
+        [
+            sum(
+                (qint[s * sub + d] - cv[d]) * (qint[s * sub + d] - cv[d])
+                for d in range(sub)
+            )
+            for cv in books[s]
+        ]
+        for s in range(m)
+    ]
+    coded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    total = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in lut[s]]),
+            F.col("codes")[s] + 1,
+        )
+        total = term if total is None else total + term
+    return (
+        coded.withColumn("adc_dist", total.cast("bigint"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+        .select(id_col, "adc_dist")
+    )

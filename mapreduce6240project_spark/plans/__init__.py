@@ -103,6 +103,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "bucketed_join_revenue",
     "partitioned_scan_clicks",
     "orc_roundtrip",
+    "ann_pq_topk",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

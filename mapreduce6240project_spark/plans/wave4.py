@@ -109,3 +109,91 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.sum(cents).alias("total_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the whole index (global seed draw -> per-subspace
+# integer Lloyd -> code assignment -> integer ADC) is exact bigint
+# arithmetic, so the oracle replays every codebook entry, code, and
+# distance bit-for-bit -- same convention as the IVF oracle it
+# generalizes (one extra `s` grouping key threads the subspace through
+# the CTE chain).
+# ---------------------------------------------------------------------------
+
+
+def _pq_sql(m: int = 4, n_codes: int = 16, iters: int = 2) -> str:
+    sub = 64 // m
+    ctes = [
+        f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+vs AS (SELECT vec_id, unnest(q) AS x, unnest(generate_series(1, len(q))) AS d,
+              CAST((unnest(generate_series(1, len(q))) - 1) // {sub} AS INT) AS s
+       FROM iv),
+sr AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                    vec_id) AS rn
+  FROM embeddings
+),
+c0 AS (
+  SELECT sr.rn - 1 AS code, v.s, v.d, v.x AS cx
+  FROM sr JOIN vs v USING (vec_id) WHERE sr.rn <= {n_codes}
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""",
+d{i} AS (SELECT v.vec_id, c.s, c.code, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+       FROM vs v JOIN {prev} c ON v.d = c.d GROUP BY 1, 2, 3),
+a{i} AS (SELECT vec_id, s, code FROM (
+       SELECT vec_id, s, code,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       FROM d{i}) WHERE rn = 1),
+u{i} AS (SELECT a.s, a.code, v.d, sum(v.x) AS sm, count(*) AS n
+       FROM a{i} a JOIN vs v ON v.vec_id = a.vec_id AND v.s = a.s
+       GROUP BY 1, 2, 3),
+c{i} AS (SELECT p.s, p.code, p.d, COALESCE(u{i}.sm // u{i}.n, p.cx) AS cx
+       FROM {prev} p LEFT JOIN u{i}
+         ON u{i}.s = p.s AND u{i}.code = p.code AND u{i}.d = p.d)"""
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f""",
+df AS (SELECT v.vec_id, c.s, c.code, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+       FROM vs v JOIN {prev} c ON v.d = c.d GROUP BY 1, 2, 3),
+af AS (SELECT vec_id, s, code FROM (
+       SELECT vec_id, s, code,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       FROM df) WHERE rn = 1),
+qi AS (SELECT s, d, x FROM vs WHERE vec_id = 0),
+lut AS (SELECT c.s, c.code, sum((c.cx - t.x) * (c.cx - t.x)) AS dist
+       FROM {prev} c JOIN qi t ON c.d = t.d GROUP BY 1, 2)"""
+    )
+    return "".join(ctes)
+
+
+@_register(
+    "ann_pq_topk",
+    _pq_sql()
+    + """
+SELECT vec_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+FROM af a JOIN lut l ON l.s = a.s AND l.code = a.code
+GROUP BY vec_id
+ORDER BY adc_dist, vec_id LIMIT 10""",
+    ref="extension: product-quantization ANN (per-subspace integer "
+    "codebooks, LUT-based asymmetric distance; the RAM-resident index "
+    "shape -- 64 floats become m=4 byte codes)",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.similarity import ann_pq_topk
+    from mapreduce6240project_spark.plans.extensions import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_pq_topk(emb, _query_vec(spark, sf_dir), k=10)

@@ -103,3 +103,43 @@ def test_quantize_roundtrip_error(emb):
     # symmetric int8: reconstruction error bounded by half a step
     step = maxabs / 127
     assert max(abs(a - b) for a, b in zip(orig, deq)) <= step / 2 + 1e-9
+
+
+def test_pq_encode_is_narrow_and_complete(spark):
+    from mapreduce6240project_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb, m=4, n_codes=8, dim=64)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    coded = pq_encode(emb, books)
+    # one code per subspace, every vector encoded, codes in range
+    assert coded.count() == emb.count()
+    from pyspark.sql import functions as F
+
+    bad = coded.filter(
+        (F.size("codes") != 4)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 8))
+    )
+    assert bad.count() == 0
+    # encoding is one narrow projection: no Exchange in the plan
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_topk_recall_against_exact(spark):
+    from mapreduce6240project_spark.operators.similarity import (
+        ann_pq_topk,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in ann_pq_topk(emb, q, k=10).collect()}
+    # PQ is lossy; demand meaningful overlap with the exact answer and
+    # that the query point itself (distance 0) is always found
+    assert 0 in approx
+    assert len(exact & approx) >= 4
