@@ -148,3 +148,72 @@ def weighted_priority_sample(
         .limit(k)
         .drop("_priority")
     )
+
+
+def weighted_priority_sample_per_group(
+    df: DataFrame, k: int, weight_col: str, key: str, group_col: str
+) -> DataFrame:
+    """Per-group weighted sample without replacement: within every
+    ``group_col`` value, the ``k`` rows with the highest A-ES priorities
+    (``u^(1/w)``, same keyed-LCG ``u`` as
+    :func:`weighted_priority_sample`) win.
+
+    Plan: one hash shuffle on the group key, then Spark's
+    WindowGroupLimit pushes the ``rank <= k`` bound below the window
+    sort -- each task keeps a k-row heap per group instead of fully
+    sorting its partition, so per-group cost is O(n log k).  Skewed
+    groups parallelize across the window's spill; there is no driver
+    funnel at any k."""
+    from pyspark.sql import Window
+
+    u = (seed_hash(key) + 1) / F.lit(float(_MOD + 1))
+    w = Window.partitionBy(group_col).orderBy(
+        F.pow(u, 1.0 / F.col(weight_col)).desc(), F.col(key)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: target shares proportional
+    to ``count^alpha`` (alpha < 1 upweights small strata relative to
+    their natural frequency -- the standard multilingual / multi-source
+    rebalancing used when assembling training mixtures), then the same
+    no-upsampling downsample as :func:`mixture_resample`.
+
+    For cross-engine exactness the ``n^alpha`` weights are quantized to
+    6-decimal fixed point (``floor(n^alpha * 1e6 + 0.5)``) before
+    normalizing: the share denominator is then an exact integer sum
+    (associative), so the oracle recomputes identical IEEE doubles for
+    every threshold.  ``alpha=0.5`` uses ``sqrt`` explicitly (correctly
+    rounded in every IEEE engine, unlike general ``pow``).
+
+    Same scale shape as mixture_resample: one tiny per-stratum count
+    aggregate to the driver, then a single narrow keyed-hash filter."""
+    import math
+
+    counts = {
+        r[strata_col]: r.n
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[strata_col] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    q = {
+        s: math.floor(
+            (math.sqrt(n) if alpha == 0.5 else n**alpha) * 1_000_000 + 0.5
+        )
+        for s, n in counts.items()
+    }
+    sumq = sum(q.values())
+    targets = {s: qs / sumq for s, qs in q.items()}
+    return mixture_resample(df, targets, strata_col=strata_col, key=key)

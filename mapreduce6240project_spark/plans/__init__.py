@@ -104,6 +104,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "partitioned_scan_clicks",
     "orc_roundtrip",
     "ann_pq_topk",
+    "weighted_sample_by_status",
+    "temperature_resample_langs",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

@@ -197,3 +197,70 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_pq_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# sampling extensions: per-group weighted draws and temperature mixing
+# ---------------------------------------------------------------------------
+
+from mapreduce6240project_spark.plans.extensions import _LCG  # noqa: E402
+
+
+@_register(
+    "weighted_sample_by_status",
+    f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY power(({_LCG.format(k='o_orderkey')} + 1) / 2147483649.0,
+                          1.0 / o_totalprice) DESC,
+                    o_orderkey) AS rk
+  FROM orders WHERE o_totalprice > 0
+) WHERE rk <= 50""",
+    ref="extension: per-group weighted sample w/o replacement "
+    "(A-ES priorities under a WindowGroupLimit rank bound)",
+)
+def q_weighted_sample_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import (
+        weighted_priority_sample_per_group,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_priority_sample_per_group(
+        orders, k=50, weight_col="o_totalprice", key="o_orderkey",
+        group_col="o_orderstatus",
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@_register(
+    "temperature_resample_langs",
+    # replays the driver's threshold math: fixed-point sqrt weights
+    # (exact integer sum), then the same IEEE double op order as the
+    # mixture oracle -- share = qs/sumq; total = min(n/share);
+    # frac = least(1, share*total/n); threshold = trunc(frac * 2^31)
+    f"""
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+             WHERE lang IS NOT NULL GROUP BY lang),
+q AS (SELECT lang, n,
+             CAST(floor(sqrt(n) * 1000000 + 0.5) AS BIGINT) AS qs FROM cnt),
+sq AS (SELECT CAST(sum(qs) AS BIGINT) AS sumq FROM q),
+shr AS (SELECT lang, n, CAST(qs AS DOUBLE) / sumq AS share FROM q, sq),
+tot AS (SELECT min(n / share) AS total FROM shr),
+thr AS (
+  SELECT lang,
+         CAST(trunc(LEAST(1.0, share * total / n) * 2147483648) AS BIGINT) AS t
+  FROM shr, tot
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE {_LCG.format(k='d.doc_id')} < t""",
+    ref="extension: temperature-flattened corpus mixing "
+    "(count^alpha shares, alpha=0.5; multilingual rebalancing)",
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(docs, alpha=0.5, strata_col="lang", key="doc_id").select(
+        "doc_id", "lang"
+    )

@@ -203,3 +203,44 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = {r.id for r in weighted_priority_sample(df, 10, "w", "id").collect()}
     assert got == {1, 4}
+
+
+def test_weighted_sample_per_group_counts_and_plan(spark):
+    from mapreduce6240project_spark.operators.sampling import (
+        weighted_priority_sample_per_group,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    got = weighted_priority_sample_per_group(
+        orders, k=20, weight_col="o_totalprice", key="o_orderkey",
+        group_col="o_orderstatus",
+    )
+    per = {r.o_orderstatus: r.n for r in
+           got.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    pop = {r.o_orderstatus: r.n for r in
+           orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    for status, n in per.items():
+        assert n == min(20, pop[status])
+    # the rank bound is pushed below the window sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_temperature_resample_flattens_lang_mixture(spark):
+    from mapreduce6240project_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, SF, "documents").filter(F.col("lang").isNotNull())
+    before = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r.lang: r.n for r in
+             temperature_resample(docs, 0.5, "lang", "doc_id")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # no stratum upsampled, every input stratum survives
+    assert set(after) == set(before)
+    for lang, n in after.items():
+        assert n <= before[lang]
+    # the mixture is flatter: max/min share ratio strictly shrinks
+    def spread(d):
+        return max(d.values()) / min(d.values())
+
+    assert spread(after) < spread(before)
