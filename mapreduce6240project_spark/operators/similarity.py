@@ -526,3 +526,71 @@ def ann_pq_topk(
         .limit(k)
         .select(id_col, "adc_dist")
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein '98):
+    greedily pick ``k`` items maximizing ``lam * rel(v) - (1 - lam) *
+    max_{s in S} cos(v, s)`` -- relevance to the query traded against
+    redundancy with what's already selected.  The diversity-aware top-k
+    used when curating exemplars / dedup-aware retrieval, where plain
+    top-k returns k near-copies.
+
+    Execution is the literal-broadcast iterative pattern (same shape as
+    the k-medoids loop): the selected set lives on the driver (k rows),
+    each round is ONE narrow scan scoring all candidates against literal
+    selected vectors (cos terms under ``greatest``), and the argmax is
+    TakeOrderedAndProject.  k scans total, no shuffle, no pairwise join;
+    at 100 TB you'd pre-filter to an ANN candidate pool first, then run
+    the same loop over the pool.
+
+    Deterministic: cosine folds are in-order, max is exact, ties break
+    on the id -- so the whole greedy trajectory replays in ANSI SQL
+    (see plans.wave4's unrolled oracle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pool = embeddings.select(
+        F.col(id_col), F.col(vec_col), cosine(vec_col, q).alias("_rel")
+    ).persist()
+    om = 1.0 - lam
+    picked: list = []
+    for _ in range(k):
+        cand = pool
+        if picked:
+            cand = cand.filter(
+                ~F.col(id_col).isin([r[id_col] for r in picked])
+            )
+            redund = F.greatest(
+                *[
+                    cosine(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+                    )
+                    for r in picked
+                ]
+            ) if len(picked) > 1 else cosine(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in picked[0][vec_col]]),
+            )
+            score = F.lit(lam) * F.col("_rel") - F.lit(om) * redund
+        else:
+            score = F.col("_rel")
+        row = (
+            cand.withColumn("_score", score)
+            .orderBy(F.desc("_score"), id_col)
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(row)
+    pool.unpersist(blocking=False)
+    out = embeddings.sparkSession.createDataFrame(
+        [(i + 1, r[id_col], float(r["_score"])) for i, r in enumerate(picked)],
+        f"rank int, {id_col} long, score double",
+    )
+    return out.select("rank", id_col, F.round("score", 4).alias("score"))

@@ -106,6 +106,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_pq_topk",
     "weighted_sample_by_status",
     "temperature_resample_langs",
+    "mmr_select_diverse",
     "gapfill_locf",
     "source_cap_50",
     "training_shards",

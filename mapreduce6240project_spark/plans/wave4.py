@@ -264,3 +264,66 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_resample(docs, alpha=0.5, strata_col="lang", key="doc_id").select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR: the greedy trajectory is deterministic (in-order cosine folds,
+# exact max, id tie-breaks), so the oracle unrolls all k selection
+# rounds into a CTE chain -- the same replay technique as the
+# k-medoids oracle.
+# ---------------------------------------------------------------------------
+
+_DCOS = (
+    "(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+    om = repr(1.0 - lam)  # the exact double the driver computes
+    lam_s = repr(lam)
+    cos_rs = _DCOS.format(a="r.ev", b="s.ev")
+    cos_ms = _DCOS.format(a="m.ev", b="s.ev")
+    parts = [
+        f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+q AS (SELECT ev AS qv FROM vecs WHERE vec_id = 0),
+rel AS (SELECT vec_id, ev, {_DCOS.format(a="ev", b="qv")} AS rel FROM vecs, q),
+s1 AS (SELECT vec_id, ev, rel, rel AS score
+       FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+m1 AS (SELECT r.vec_id, r.ev, r.rel, {cos_rs} AS msim
+       FROM rel r, s1 s WHERE r.vec_id <> s.vec_id)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT vec_id, ev, rel, msim,
+              {lam_s} * rel - {om} * msim AS score
+       FROM m{i - 1} ORDER BY score DESC, vec_id LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f""",
+m{i} AS (SELECT m.vec_id, m.ev, m.rel, greatest(m.msim, {cos_ms}) AS msim
+       FROM m{i - 1} m, s{i} s WHERE m.vec_id <> s.vec_id)"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, round(score, 4) AS score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@_register(
+    "mmr_select_diverse",
+    _mmr_sql(k=5, lam=0.7),
+    ref="extension: maximal-marginal-relevance diverse top-k "
+    "(Carbonell-Goldstein greedy, literal-broadcast iterative plan)",
+)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.similarity import mmr_select
+    from mapreduce6240project_spark.plans.extensions import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, _query_vec(spark, sf_dir), k=5, lam=0.7)

@@ -143,3 +143,33 @@ def test_pq_topk_recall_against_exact(spark):
     # that the query point itself (distance 0) is always found
     assert 0 in approx
     assert len(exact & approx) >= 4
+
+
+def test_mmr_is_more_diverse_than_topk(spark):
+    from mapreduce6240project_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        mmr_select,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def avg_pairwise_cos(ids):
+        sub = emb.filter(F.col("vec_id").isin(list(ids)))
+        a, b = sub.alias("a"), sub.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c")
+        )
+        return pairs.agg(F.avg("c")).first()[0]
+
+    top = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    mmr = mmr_select(emb, q, k=5, lam=0.3)
+    picked = [r.vec_id for r in mmr.orderBy("rank").collect()]
+    assert len(picked) == 5 and len(set(picked)) == 5
+    # greedy first pick is the relevance argmax (the query itself)
+    assert picked[0] == top[0]
+    # with strong diversity pressure the set departs from plain top-k
+    # and is no more self-similar than it
+    assert picked != top
+    assert avg_pairwise_cos(picked) <= avg_pairwise_cos(top)
