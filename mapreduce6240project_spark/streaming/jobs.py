@@ -71,9 +71,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table's parquet through the events schema, yielding all-null ghost
     # rows that poison non-window aggregations
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parq*")
-    # same ns->us normalization as the batch loader
-    if dict(stream.dtypes)["ts"] == "bigint":
+    # same ns->us / NTZ normalization as the batch loader; watermarks
+    # require TIMESTAMP (with tz), so NTZ must be cast before windowing
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type.startswith("timestamp_ntz"):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(*batch.columns)
 
 
