@@ -534,3 +534,93 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs shingle-set Jaccard >= ``threshold`` via *prefix
+    filtering* (SSJoin / PPJoin family: Chaudhuri et al. ICDE'06,
+    Bayardo et al. WWW'07) -- the exact-similarity-join shape that
+    scales where the naive shared-token join does not.
+
+    Operates on the same distinct word-``shingle_n``-gram sets as
+    :func:`ngram_jaccard_pairs` (so the two are directly comparable:
+    identical output, different candidate-generation strategy).
+    Order every document's distinct shingles by ascending global
+    frequency (rarest first, token tiebreak).  If Jaccard(A, B) >= t
+    then |A ∩ B| >= ceil(t·|A|), and under a shared total order the
+    pair must collide within each side's first ``|X| - ceil(t·|X|) + 1``
+    tokens -- so candidate generation joins only on *prefix* tokens
+    (the rarest few per doc), then an exact array-intersection verify
+    keeps real pairs.  Output is identical to the unfiltered exact
+    join; the prefix only prunes candidate work.  At 100 TB: the
+    frequency table is vocabulary-sized (broadcast), prefix tokens are
+    rare by construction so the candidate join avoids the hot-token
+    blowup that kills the naive plan.
+
+    The ceil is computed as ``ceil(t*n - 1e-9)``: a float-rounding
+    *undershoot* only lengthens the prefix (more candidates, never a
+    missed pair), so exactness survives IEEE boundary cases.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(text_col, shingle_n))
+        ).alias("t"),
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("gf"))
+    w = Window.partitionBy(id_col).orderBy("gf", "t")
+    ranked = (
+        tok.join(F.broadcast(freq), "t")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "t")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("t")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

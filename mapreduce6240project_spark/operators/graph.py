@@ -131,3 +131,44 @@ def pagerank_quantized(
     edges.unpersist()
     deg.unpersist()
     return ranks
+
+
+def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Global triangle count over an undirected edge set, returned as a
+    one-row DataFrame ``(n_triangles)``.
+
+    Uses *degree orientation* (the MapReduce triangle-counting trick of
+    Suri & Vassilvitskii, WWW'11): direct every edge from its lower-
+    (degree, id) endpoint to the higher one, build wedges u->v, u->w
+    (v < w in the orientation order), and close them against the
+    directed edge v->w.  Every triangle is counted exactly once, and
+    wedge generation is quadratic only in the *oriented out-degree*,
+    which is O(sqrt(m)) even for hub nodes -- the difference between a
+    skew-killed and a scalable plan on a power-law graph.  Two
+    shuffles: the degree join and the wedge-closing join.
+    """
+    edges = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).dropDuplicates(["u", "v"])
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    # orient: keep (u, v) iff (du, u) < (dv, v) lexicographically
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    ).union(oriented.select(F.col("v").alias("w1"), F.col("u").alias("w2")))
+    tri = wedges.join(closing, ["w1", "w2"])
+    return tri.agg(F.count("*").alias("n_triangles"))

@@ -1,0 +1,137 @@
+"""Sparse retrieval over the documents table: BM25 ranking and
+reciprocal-rank fusion of ranked lists.
+
+The reference's analytics surface stops at group-by aggregation
+(Analysis.java); retrieval is part of the LLM-pipeline extension
+surface: BM25 is the standard sparse ranker for training-data
+curation (query-focused corpus slices, hard-negative mining), and RRF
+is the standard way to merge a sparse and a dense (embedding) ranking
+into one list.
+
+Scale shape: BM25's model statistics (document frequencies) are
+vocabulary-sized -- orders of magnitude smaller than the corpus at
+100 TB -- so they broadcast; the per-document term frequencies come
+from one explode + partial-aggregated shuffle, the same shape as
+``textstats.tfidf_top_terms``.  Nothing here collects the corpus.
+
+Float determinism: per-term BM25 contributions are rounded to integer
+micros *before* the per-document sum, so partial aggregation order
+cannot change the result (the same fixed-point convention as the
+cluster-cost queries); ranking sorts on the integer score with a
+doc-id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators.dedup import tokens
+from mapreduce6240project_spark.operators.fanout import fan_out
+
+#: BM25 free parameters (Robertson et al.; the values everybody uses).
+K1 = 1.2
+B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document containing at least one query term with
+    BM25, returning ``(doc_id, score_micros)``.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the Lucene
+    variant: always positive), ``tf`` part uses document-length
+    normalization against the corpus mean length.
+
+    Plan: explode tokens -> filter to query terms *before* the
+    aggregation (the shuffle carries only query-term hits, a tiny
+    fraction of the corpus) -> per-(doc, term) counts with map-side
+    partials -> broadcast-join the vocabulary-sized df table ->
+    per-doc sum of micro-quantized term contributions.  N and the
+    mean document length are exact integer aggregates (sum/count of
+    token counts), so the derived doubles are partition-order
+    independent.
+    """
+    term_lits = F.array(*[F.lit(t) for t in query_terms])
+    toks = fan_out(docs).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    # exact corpus stats: one small aggregate job, folded into literals
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
+    ).first()
+    n_docs, n_toks = int(stats["n_docs"]), int(stats["n_toks"])
+    avgdl = float(n_toks) / float(n_docs)  # ratio of exact ints
+
+    ex = toks.select(
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).filter(F.array_contains(term_lits, F.col("term")))
+    tf = ex.groupBy(id_col, "term", "dl").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / denom
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "c_micros", F.floor(contrib * 1000000 + F.lit(0.5)).cast("bigint")
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c_micros").alias("score_micros")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: list[str], k: int = 10, **kw
+) -> DataFrame:
+    """Top-k BM25 hits: TakeOrderedAndProject over the scored docs
+    (per-partition heads, k-row driver merge -- no global sort)."""
+    s = bm25_scores(docs, query_terms, **kw)
+    return s.orderBy(F.desc("score_micros"), "doc_id").limit(k)
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al.):
+    ``rrf(d) = sum_i 1 / (k + rank_i(d))``, documents missing from a
+    list contribute nothing.
+
+    Inputs are (id, rank) DataFrames with dense 1-based ranks.  The
+    fusion is a full outer join on id -- both lists are top-k-sized
+    (driver-bounded), so at scale both sides broadcast; the sum is an
+    explicit two-term expression, not an aggregation, so double math
+    has a fixed evaluation order.  The fused score is micro-quantized
+    for engine-independent ordering.
+    """
+    a = rank_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = rank_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = a.join(b, id_col, "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k)) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(k)) + F.col("rank_b")), F.lit(0.0)
+    )
+    return fused.select(
+        F.col(id_col),
+        F.floor(score * 1000000 + F.lit(0.5)).cast("bigint").alias("rrf_micros"),
+        "rank_a",
+        "rank_b",
+    )

@@ -292,3 +292,70 @@ def pack_chunks(
         .withColumn("chunk_id", F.expr(f"cum_before DIV {int(budget)}"))
         .select(F.col(id_col), "n_tokens", "chunk_id")
     )
+
+
+def charlm_doc_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained character-trigram language-model score per
+    document: ``(doc_id, n_tri, logprob_micros)`` where
+    ``logprob_micros`` is the summed ln P(c3 | c1 c2) over the doc's
+    trigram instances, micro-quantized per distinct trigram.
+
+    This is the perplexity-proxy quality filter of large-corpus
+    curation (a KenLM stand-in trained on the corpus itself): docs
+    whose character statistics diverge from the corpus (boilerplate,
+    mojibake, key-mash) score low.  Two-phase plan: (1) train -- one
+    explode + partial-aggregated count per distinct trigram; the
+    conditional ``P(z | xy) = n3(xyz) / sum_z n3(xy z)`` derives the
+    bigram-prefix normalizer *from the trigram table itself*, so the
+    model is a single vocabulary-sized table (char-trigram vocab is
+    bounded ~|charset|^3, independent of corpus size -> broadcast);
+    (2) score -- per-(doc, trigram) counts joined against the
+    broadcast model, integer dot product per doc.
+
+    Determinism: trigram/prefix counts are exact integers; ln of their
+    ratio is one IEEE op; quantized to integer micros before any
+    reorderable summation (the repo's fixed-point convention).
+    """
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    norm = fan_out(docs).select(
+        F.col(id_col), normalize_text(text_col).alias("nt")
+    )
+    # guard: sequence(1, 0) is a *descending* [1, 0], not empty
+    tri = norm.filter(F.length("nt") >= 3).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(nt) - 2),"
+                " i -> substring(nt, i, 3))"
+            )
+        ).alias("g"),
+    )
+    c3 = tri.groupBy("g").agg(F.count("*").alias("n3"))
+    c2 = c3.groupBy(F.substring("g", 1, 2).alias("p")).agg(
+        F.sum("n3").alias("n2")
+    )
+    model = (
+        c3.join(F.broadcast(c2), F.substring("g", 1, 2) == F.col("p"))
+        .select(
+            "g",
+            F.floor(
+                F.log(F.col("n3").cast("double") / F.col("n2")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    dt = tri.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    return (
+        dt.join(F.broadcast(model), "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tri"),
+            F.sum(F.col("c") * F.col("lp")).alias("logprob_micros"),
+        )
+    )

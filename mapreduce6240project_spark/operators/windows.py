@@ -148,3 +148,53 @@ def gapfill_locf(
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
         )
     )
+
+
+def decayed_rolling_value(
+    events: DataFrame,
+    alpha: float = 0.9,
+    depth: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially-decayed rolling feature: for each event,
+    ``sum_{i=0}^{depth-1} alpha^i * value[t-i]`` over that key's last
+    ``depth`` events in time order -- the streaming-feature shape
+    (recency-weighted engagement) behind ranking/feed models.
+
+    A *bounded* frame (ROWS BETWEEN depth-1 PRECEDING AND CURRENT ROW)
+    rather than the cumulative ``alpha^t * sum(v_i * alpha^-i)``
+    factorization: the cumulative trick overflows ``alpha^-i`` after a
+    few hundred events per key, so it cannot survive a 100x scale-up.
+    The frame's values are gathered with collect_list over the ordered
+    window (frame order is the window order: deterministic under the
+    unique (ts, event_id) sort key) and folded positionally -- each
+    term micro-quantized before the fixed-order fold, so the result is
+    engine- and partition-independent.  One shuffle on the key; state
+    per row is ``depth`` doubles.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(-(depth - 1), 0)
+    )
+    vals = F.collect_list(val_col).over(w)
+    n = F.size("frame")
+    # frame is oldest-first; element j (1-based) gets alpha^(n-j)
+    term = lambda j: F.floor(  # noqa: E731
+        F.element_at("frame", j)
+        * F.pow(F.lit(alpha), (n - F.lit(j)).cast("double"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    decayed = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc + term(j),
+    )
+    return (
+        events.withColumn("frame", vals)
+        .withColumn("decayed_micros", decayed)
+        .select("event_id", key_col, "decayed_micros")
+    )

@@ -19,7 +19,15 @@ import warnings
 
 from mapreduce6240project_spark.plans.registry import REGISTRY, QuerySpec
 
-for _mod in ("extensions", "parity", "relational", "wave2", "wave3", "wave4"):
+for _mod in (
+    "extensions",
+    "parity",
+    "relational",
+    "wave2",
+    "wave3",
+    "wave4",
+    "wave5",
+):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
     except Exception as exc:  # pragma: no cover - regression guard
@@ -139,6 +147,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "approx_distinct_users",
     "bernoulli_sample_count",
     "kmeans_embeddings",
+    # -- wave 5: retrieval, similarity join, graph, LM quality, layout --
+    "bm25_top_docs",
+    "rrf_fuse_topk",
+    "jaccard_prefix_pairs",
+    "triangle_count_simgraph",
+    "charlm_quality",
+    "zorder_rectangle",
+    "user_value_ewma",
 )
 
 _ordered: dict[str, QuerySpec] = {}
