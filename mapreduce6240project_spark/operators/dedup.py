@@ -569,12 +569,14 @@ def jaccard_prefix_pairs(
     """
     from pyspark.sql import Window
 
+    # read three times (global frequencies, prefix ranking, verify
+    # arrays): persist so the corpus scan + shingle explode runs once
     tok = docs.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles(text_col, shingle_n))
         ).alias("t"),
-    )
+    ).persist()
     freq = tok.groupBy("t").agg(F.count("*").alias("gf"))
     w = Window.partitionBy(id_col).orderBy("gf", "t")
     ranked = (

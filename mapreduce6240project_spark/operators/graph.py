@@ -147,9 +147,14 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     skew-killed and a scalable plan on a power-law graph.  Two
     shuffles: the degree join and the wedge-closing join.
     """
-    edges = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).dropDuplicates(["u", "v"])
+    # the edge set (often itself an expensive similarity join) feeds
+    # degree counting, orientation, and wedge closing -- persist it so
+    # the upstream lineage runs once, not once per consumer
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
     und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     du = deg.select(F.col("u"), F.col("d").alias("du"))
@@ -163,6 +168,7 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .persist()  # read by wedge generation (twice) + closing (twice)
     )
     w1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
@@ -171,4 +177,11 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
         F.col("u").alias("w1"), F.col("v").alias("w2")
     ).union(oriented.select(F.col("v").alias("w1"), F.col("u").alias("w2")))
     tri = wedges.join(closing, ["w1", "w2"])
-    return tri.agg(F.count("*").alias("n_triangles"))
+    # one-row result: materialize eagerly so the iteration caches can be
+    # released here instead of leaking into the caller's session
+    n = tri.agg(F.count("*").alias("n_triangles")).first()["n_triangles"]
+    oriented.unpersist(blocking=False)
+    edges.unpersist(blocking=False)
+    return pairs.sparkSession.createDataFrame(
+        [(int(n),)], "n_triangles bigint"
+    )
