@@ -96,6 +96,45 @@ class KMeansResult:
     history: list[float] = field(default_factory=list)  # max shift per iter
 
 
+#: vector count below which the Lloyd loop runs driver-side.  100k x
+#: 64-dim float64 is ~50 MB -- trivial driver state; above it the
+#: distributed loop takes over.  Same adaptive doctrine as
+#: operators.clustering.kmedoids (DRIVER_COMBO_THRESHOLD).
+DRIVER_VECTOR_THRESHOLD = 100_000
+
+
+def _iterate_lloyd_local(mat, centroids, max_iter, tol, result) -> list[list[float]]:
+    """Driver-local Lloyd iterations over an n x d float64 matrix.
+
+    Same math as the distributed loop (squared-L2 argmin with
+    first-minimum ties, member-mean update, empty clusters keep their
+    centroid, max-L2-displacement convergence); float summation order
+    differs (numpy pairwise vs fold), which only matters for exact-tie
+    assignments -- the operator's oracle is rows-only for that reason.
+    Distances use the ||x||^2 - 2x.c + ||c||^2 expansion so the temp is
+    an n x k matmul, never an n x k x d broadcast."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    x_sq = (mat * mat).sum(axis=1)[:, None]  # n x 1, reused every iter
+    for it in range(1, max_iter + 1):
+        result.iterations = it
+        d = x_sq - 2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)  # first minimum on ties, like the SQL
+        new_c = c.copy()
+        for ci in range(c.shape[0]):
+            members = mat[assign == ci]
+            if len(members):  # empty clusters keep their old centroid
+                new_c[ci] = members.mean(axis=0)
+        shift = float(np.sqrt(((new_c - c) ** 2).sum(axis=1)).max())
+        result.history.append(shift)
+        c = new_c
+        if shift <= tol:
+            result.converged = True
+            break
+    return [[float(v) for v in row] for row in c]
+
+
 def kmeans_embeddings(
     embeddings: DataFrame,
     k: int = 8,
@@ -103,13 +142,39 @@ def kmeans_embeddings(
     tol: float = 1e-4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_vector_threshold: int = DRIVER_VECTOR_THRESHOLD,
 ) -> KMeansResult:
     """Full Lloyd's loop.  Driver holds only the k x d centroid matrix;
     everything data-sized stays distributed (cf. Cluster.java's
-    config-string medoid broadcast, SURVEY.md section 1.4)."""
+    config-string medoid broadcast, SURVEY.md section 1.4).
+
+    Adaptive physical strategy (mirrors kmedoids): when the corpus fits
+    comfortably on the driver (< ``driver_vector_threshold`` vectors,
+    all components non-null) the iterations run in local numpy -- the
+    per-iteration cost is then a matmul instead of re-analyzing a k x d
+    literal expression tree and scheduling two Spark jobs, which
+    dominates wall-clock at small n.  The *final* assignment is always
+    the distributed plan, so downstream consumers get the same lazy
+    DataFrame either way; at scale the distributed loop takes over."""
     data = embeddings.select(id_col, vec_col).persist()
+    n = data.count()  # materializes the iteration cache
     centroids = initial_centroids(data, k, id_col, vec_col)
     result = KMeansResult(assignments=data, centroids=centroids)
+
+    if n <= driver_vector_threshold:
+        import numpy as np
+
+        vecs = [r[vec_col] for r in data.select(vec_col).collect()]
+        if all(v is not None and all(x is not None for x in v) for v in vecs):
+            mat = np.asarray([[float(x) for x in v] for v in vecs], dtype=np.float64)
+            centroids = _iterate_lloyd_local(mat, centroids, max_iter, tol, result)
+            data.unpersist(blocking=False)
+            result.assignments = kmeans_assign(
+                embeddings.select(id_col, vec_col), centroids, id_col, vec_col
+            )
+            result.centroids = centroids
+            return result
+        # nulls present: fall through to the null-tolerant distributed loop
 
     for it in range(1, max_iter + 1):
         result.iterations = it
