@@ -359,3 +359,55 @@ def charlm_doc_logprob(
             F.sum(F.col("c") * F.col("lp")).alias("logprob_micros"),
         )
     )
+
+
+#: Overlapping-window chunking parameters: 30-word chunks, stride 20
+#: (10-word overlap) -- the RAG-ingest shape, distinct from
+#: :func:`pack_chunks` (which packs *whole* documents into fixed token
+#: budgets for training).
+CHUNK_WORDS = 30
+CHUNK_STRIDE = 20
+
+
+def make_chunk_udtf():
+    """Python UDTF (Spark 4 table function) emitting overlapping word
+    windows per document: rows of (chunk_idx, n_words, chunk).
+
+    The UDTF API is the right tool when one input row expands into a
+    *variable* number of typed rows mid-query (lateral join); here each
+    text yields ceil-divided overlapping windows.  Per-row Python is
+    the slow path (SURVEY.md section 4 doctrine) -- this surface exists
+    for API parity; the same expansion is expressible JVM-side as
+    ``sequence() + transform() + explode`` (see the registered oracle),
+    which is what the 100 TB path should use.  Built lazily so merely
+    importing the module never touches the UDTF machinery."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_words int, chunk string")
+    class ChunkWords:
+        def eval(self, text):  # noqa: D102 - contract in outer docstring
+            words = (text or "").split(" ")
+            start, idx = 0, 0
+            while start < len(words) or idx == 0:
+                chunk = words[start : start + CHUNK_WORDS]
+                yield idx, len(chunk), " ".join(chunk)
+                if start + CHUNK_WORDS >= len(words):
+                    break
+                start += CHUNK_STRIDE
+                idx += 1
+
+    return ChunkWords
+
+
+def chunk_documents_udtf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lateral-join the chunking UDTF against the documents table.
+    Returns (doc_id, chunk_idx, n_words, chunk)."""
+    spark = docs.sparkSession
+    spark.udtf.register("chunk_words", make_chunk_udtf())
+    docs.select("doc_id", text_col).createOrReplaceTempView("_chunk_docs_in")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk
+        FROM _chunk_docs_in d, LATERAL chunk_words(d.{text_col}) c
+        """
+    )

@@ -198,3 +198,126 @@ def decayed_rolling_value(
         .withColumn("decayed_micros", decayed)
         .select("event_id", key_col, "decayed_micros")
     )
+
+
+def interpolate_linear_grid(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Linear interpolation of a per-key signal onto a dense one-minute
+    grid (the hypertable `time_bucket_gapfill + interpolate` pattern;
+    complements :func:`gapfill_locf`, which carries the last value flat).
+
+    Per key, grid points run from ceil(first obs, minute) to
+    floor(last obs, minute); each grid value is
+    ``pv + (nv - pv) * (t - pt) / (nt - pt)`` from the bracketing
+    observations.  Returns per-key ``n_points`` and the fixed-point sum
+    of interpolated values (``sum_micros``), both exact integers.
+
+    Plan shape: NO range join -- observations and grid rows are
+    unioned and one window pass per key (ordered by (ts, tag), obs
+    before grid on ties) finds the bracketing obs with
+    last/first(ignorenulls).  One shuffle on the key; the grid is
+    generated from per-key min/max bounds (time-bounded, not
+    data-sized).  Every arithmetic step is the same IEEE op sequence in
+    any engine: integer epoch-micros deltas, one double divide, one
+    multiply-add, then micro-quantization before the reorderable sum.
+    Keys with long spans fan out via the same coarse-time split
+    documented on gapfill_locf."""
+    obs = events.select(
+        F.col(id_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        F.col(val_col).cast("double").alias("v"),
+        F.lit("a").alias("tag"),
+    )
+    bounds = events.groupBy(F.col(id_col).alias("k")).agg(
+        (F.date_trunc("minute", F.min(ts_col)) + F.expr("INTERVAL 1 MINUTE")).alias(
+            "s"
+        ),
+        F.date_trunc("minute", F.max(ts_col)).alias("e"),
+    )
+    grid = (
+        bounds.filter(F.col("s") <= F.col("e"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.col("s"), F.col("e"), F.expr("INTERVAL 1 MINUTE"))
+            ).alias("gts"),
+        )
+        .select(
+            "k",
+            F.unix_micros(F.col("gts")).alias("tus"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit("b").alias("tag"),
+        )
+    )
+    wp = (
+        Window.partitionBy("k")
+        .orderBy("tus", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("k")
+        .orderBy("tus", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("tag") == "a", F.col("tus"))
+    u = (
+        obs.unionByName(grid)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(wn))
+    )
+    frac = (F.col("tus") - F.col("pt")) / (F.col("nt") - F.col("pt")).cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return (
+        u.filter(
+            (F.col("tag") == "b")
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt"))
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.floor(interp * 1000000 + F.lit(0.5)).cast("bigint")).alias(
+                "sum_micros"
+            ),
+        )
+        .select(F.col("k").alias(id_col), "n_points", "sum_micros")
+    )
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Histogram of per-key inter-arrival gaps: lag() per key in
+    (ts, event_id) order -- a unique sort key, so the lag is
+    deterministic -- bucketed into fixed human-scale bands.  One
+    shuffle on the key; output is bounded by the bucket count.  The
+    bucket totals are exact integer micros."""
+    w = Window.partitionBy(id_col).orderBy(ts_col, "event_id")
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    g = F.col("gap_us")
+    bucket = (
+        F.when(g < 1_000_000, "lt_1s")
+        .when(g < 60_000_000, "1s_60s")
+        .when(g < 600_000_000, "1m_10m")
+        .when(g < 3_600_000_000, "10m_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        events.select(gap.alias("gap_us"))
+        .filter(g.isNotNull())
+        .select(bucket.alias("bucket"), "gap_us")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_us").alias("total_us"),
+        )
+    )

@@ -27,6 +27,7 @@ for _mod in (
     "wave3",
     "wave4",
     "wave5",
+    "wave6",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
