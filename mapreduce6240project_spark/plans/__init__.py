@@ -28,6 +28,7 @@ for _mod in (
     "wave4",
     "wave5",
     "wave6",
+    "wave7",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
