@@ -19,6 +19,8 @@ of changed labels -- the same driver-loop shape as kmedoids.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,4 +186,46 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     edges.unpersist(blocking=False)
     return pairs.sparkSession.createDataFrame(
         [(int(n),)], "n_triangles bigint"
+    )
+
+
+def degree_histogram(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Degree distribution of an undirected edge set: (degree,
+    n_nodes).  Two skinny shuffles (per-node degree, then the
+    degree-cardinality histogram -- bounded by max degree, tiny)."""
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
+        ["u", "v"]
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def global_clustering(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Global clustering coefficient: 3 * triangles / wedges, where
+    wedges = sum over nodes of C(degree, 2).  Triangles come from the
+    degree-oriented count (skew-safe); wedges are one integer aggregate
+    over the degree table.  Both inputs to the final ratio are exact
+    bigints, so the single double division is engine-identical; the
+    result is returned micro-quantized.  The edge set (often an
+    expensive similarity join) is persisted across the two consumers."""
+    pairs = pairs.persist()
+    tri = int(triangle_count(pairs, src, dst).first()["n_triangles"])
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
+        ["u", "v"]
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    wed = deg.agg(
+        F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
+    ).first()["w"]
+    pairs.unpersist(blocking=False)
+    wed = int(wed or 0)
+    gcc = int(math.floor(3.0 * tri / wed * 1000000 + 0.5)) if wed > 0 else None
+    return pairs.sparkSession.createDataFrame(
+        [(tri, wed, gcc)], "n_triangles bigint, n_wedges bigint, gcc_micros bigint"
     )

@@ -184,7 +184,10 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- triangle counting on the similarity graph -----------------------------
 
-_TRIANGLE_SQL = f"""
+#: shared sim-graph edge replay (jaccard >= 0.1 pairs over word
+#: trigram shingles); ends after the ``pairs`` CTE so consumers append
+#: further CTEs (leading comma) or the final SELECT.
+_SIMGRAPH_PAIRS_CTE = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
@@ -206,7 +209,9 @@ pairs AS (
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
-)
+)"""
+
+_TRIANGLE_SQL = _SIMGRAPH_PAIRS_CTE + """
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM pairs e1
 JOIN pairs e2 ON e2.id_a = e1.id_b
@@ -333,3 +338,66 @@ FROM fr"""
 )
 def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_rolling_value(load_table(spark, sf_dir, "events"))
+
+
+# -- graph metrics on the similarity graph ---------------------------------
+
+_DEGREE_HIST_SQL = _SIMGRAPH_PAIRS_CTE + """,
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+FROM deg GROUP BY degree"""
+
+
+@_register(
+    "degree_histogram_simgraph",
+    _DEGREE_HIST_SQL,
+    ref="extension: degree distribution of the near-dup graph; two "
+    "skinny shuffles, output bounded by max degree",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.graph import degree_histogram
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    return degree_histogram(pairs)
+
+
+_GCC_SQL = _SIMGRAPH_PAIRS_CTE + """,
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u),
+wed AS (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN CAST(floor(3.0 * n_triangles / n_wedges * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS gcc_micros
+FROM tri, wed"""
+
+
+@_register(
+    "clustering_coefficient",
+    _GCC_SQL,
+    ref="extension: global clustering coefficient (3*triangles/wedges); "
+    "exact bigint numerator and denominator, one engine-identical "
+    "double division",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.graph import global_clustering
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    return global_clustering(pairs)

@@ -66,3 +66,37 @@ def test_pagerank_partition_invariant(spark):
         for r in pagerank_quantized(pairs.repartition(13)).collect()
     )
     assert a == b  # integer arithmetic: bit-exact under any partitioning
+
+
+def test_degree_histogram_star(spark):
+    from mapreduce6240project_spark.operators.graph import degree_histogram
+
+    # star K1,3: center degree 3, leaves degree 1
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    got = {r.degree: r.n_nodes for r in degree_histogram(pairs).collect()}
+    assert got == {3: 1, 1: 3}
+
+
+def test_global_clustering_triangle_plus_tail(spark):
+    from mapreduce6240project_spark.operators.graph import global_clustering
+
+    # triangle 0-1-2 plus tail 2-3: T=1, wedges = C(2,2)+C(2,2)+C(3,2)+0
+    # = 1 + 1 + 3 = 5 -> gcc = 3/5 = 0.6
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "id_a long, id_b long"
+    )
+    r = global_clustering(pairs).first()
+    assert r.n_triangles == 1
+    assert r.n_wedges == 5
+    assert r.gcc_micros == 600000
+
+
+def test_global_clustering_no_wedges_is_null(spark):
+    from mapreduce6240project_spark.operators.graph import global_clustering
+
+    # single edge: no wedges, coefficient undefined (null)
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    r = global_clustering(pairs).first()
+    assert r.n_triangles == 0 and r.n_wedges == 0 and r.gcc_micros is None

@@ -191,3 +191,45 @@ def test_partitioned_read_prunes_directories(spark):
         "PartitionFilters"
     )[1].splitlines()[0]
     assert one.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    plan = _plan(REGISTRY["forecast_revenue"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns reach the scan
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in rs
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+def test_nation_pair_broadcasts_all_dims(spark):
+    plan = _plan(REGISTRY["nation_pair_revenue"].fn(spark, SF))
+    # supplier + both nation aliases ride broadcast joins; only the
+    # lineitem->orders->customer chain may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_unpivot_is_map_only(spark):
+    assert _n_exchanges(REGISTRY["unpivot_part_metrics"].fn(spark, SF)) == 0
+
+
+def test_dq_audit_profiles_in_one_scan_per_table(spark):
+    from mapreduce6240project_spark.operators.quality import column_profile
+
+    orders = load_table(spark, SF, "orders")
+    df = column_profile(orders, "orders", ["o_custkey", "o_totalprice"])
+    # one aggregate over one scan: a single pair of exchanges at most
+    # (partial/final for the global agg + the distinct expansions);
+    # crucially the parquet file is scanned ONCE
+    assert _plan(df).count("FileScan parquet") == 1
+
+
+def test_interpolation_single_data_shuffle(spark):
+    ev = load_table(spark, SF, "events")
+    from mapreduce6240project_spark.operators.windows import interpolate_linear_grid
+
+    plan = _plan(interpolate_linear_grid(ev))
+    # no cartesian/range join anywhere in the interpolation plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
