@@ -32,39 +32,112 @@ def as_of_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the ``value_cols`` of the latest right
-    row with ``right.ts <= left.ts`` and the same ``key`` (backward
-    as-of, inclusive).  Right rows with equal timestamps sort before
-    left rows, so a row can match itself when both sides share a table.
+    """For every left row, attach the ``value_cols`` of the matching
+    right row by time: ``backward`` (default) takes the latest right
+    row with ``right.ts <= left.ts``, ``forward`` the earliest with
+    ``right.ts >= left.ts``, ``nearest`` whichever side is closer in
+    time (ties -> backward).  All inclusive: right rows at the exact
+    left timestamp match in every direction, so a row can match itself
+    when both sides share a table.
+
+    Union + one window pass per key -- never a range join: right rows
+    are tagged so they sort inside the left stream (before left rows
+    for backward visibility, a second copy after for forward), then
+    last/first(ignorenulls) carries the bracketing values.  One shuffle
+    on the key, state per row is |value_cols| entries.
     """
-    l_tag = left.withColumn("_is_left", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r_cols = [F.col(c).alias(f"{c}{suffix}") for c in value_cols]
-    r_tag = (
-        right.select(key, F.col(right_ts).alias("_ts"), *r_cols)
-        .withColumn("_is_left", F.lit(0))
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction}")
+    want_prev = direction in ("backward", "nearest")
+    want_next = direction in ("forward", "nearest")
+
+    # _ord: right rows sort before left rows (0 < 1) so the *preceding*
+    # frame of a left row sees same-timestamp rights; a second right
+    # copy at _ord=2 sorts after, visible to the *following* frame.
+    l_tag = (
+        left.withColumn("_ord", F.lit(1))
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_rts", F.lit(None).cast("long"))
     )
-    for c in left.columns:
-        if c not in {key} and c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None))
+    r_cols = [F.col(c).alias(f"{c}{suffix}") for c in value_cols]
+    r_base = right.select(
+        key,
+        F.col(right_ts).alias("_ts"),
+        F.unix_micros(F.col(right_ts)).alias("_rts"),
+        *r_cols,
+    )
+    tagged = [l_tag]
+    if want_prev:
+        tagged.append(_conform(r_base.withColumn("_ord", F.lit(0)), l_tag, key))
+    if want_next:
+        tagged.append(_conform(r_base.withColumn("_ord", F.lit(2)), l_tag, key))
     for c in [f"{c}{suffix}" for c in value_cols]:
         if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(c, F.lit(None))
-    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
-    w = (
+            l_tag = tagged[0] = l_tag.withColumn(c, F.lit(None))
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t.select(*tagged[0].columns))
+
+    wp = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_ord")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *[c for c in left.columns],
-        "_is_left",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+    wn = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_ord")
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    return carried.filter(F.col("_is_left") == 1).drop("_is_left")
+    out_cols = list(left.columns) + ["_ord"]
+    carried = unioned.select(
+        *out_cols,
+        *(
+            [F.last("_rts", ignorenulls=True).over(wp).alias("_pts")]
+            + [
+                F.last(f"{c}{suffix}", ignorenulls=True).over(wp).alias(f"_p_{c}")
+                for c in value_cols
+            ]
+            if want_prev
+            else []
+        ),
+        *(
+            [F.first("_rts", ignorenulls=True).over(wn).alias("_nts")]
+            + [
+                F.first(f"{c}{suffix}", ignorenulls=True).over(wn).alias(f"_n_{c}")
+                for c in value_cols
+            ]
+            if want_next
+            else []
+        ),
+    ).filter(F.col("_ord") == 1)
+
+    if direction == "backward":
+        picked = [F.col(f"_p_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    elif direction == "forward":
+        picked = [F.col(f"_n_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    else:
+        lus = F.unix_micros(F.col(left_ts))
+        # closer side wins; ties and one-sided misses -> backward
+        use_prev = F.col("_nts").isNull() | (
+            F.col("_pts").isNotNull() & ((lus - F.col("_pts")) <= (F.col("_nts") - lus))
+        )
+        picked = [
+            F.when(use_prev, F.col(f"_p_{c}"))
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+    return carried.select(*left.columns, *picked)
+
+
+def _conform(r_tag: DataFrame, l_tag: DataFrame, key: str) -> DataFrame:
+    """Null-pad a tagged right side to the left side's column set."""
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None))
+    return r_tag
 
 
 def interval_join(

@@ -297,3 +297,80 @@ def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "s_name")
         .limit(10)
     )
+
+
+# -- as-of join variants (forward / nearest) --------------------------------
+
+
+@_register(
+    "asof_next_purchase",
+    """
+SELECT event_id,
+       min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         AS purchase_us
+FROM events""",
+    ref="extension: forward as-of join (earliest right row at-or-after "
+    "each left row; union + one window pass, no range join)",
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.joins import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "purchase_us", F.unix_micros("ts")
+    )
+    joined = as_of_join(
+        ev,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_us"],
+        suffix="",
+        direction="forward",
+    )
+    return joined.select("event_id", "purchase_us")
+
+
+@_register(
+    "asof_nearest_signup",
+    """
+WITH w AS (
+  SELECT event_id, epoch_us(ts) AS eus,
+         max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_us,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN next_us IS NULL THEN prev_us
+            WHEN prev_us IS NULL THEN next_us
+            WHEN eus - prev_us <= next_us - eus THEN prev_us
+            ELSE next_us END AS signup_us
+FROM w""",
+    ref="extension: nearest as-of join (closer of the bracketing right "
+    "rows, ties backward); same single-window-pass shape",
+)
+def q_asof_nearest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.joins import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").withColumn(
+        "signup_us", F.unix_micros("ts")
+    )
+    joined = as_of_join(
+        ev,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["signup_us"],
+        suffix="",
+        direction="nearest",
+    )
+    return joined.select("event_id", "signup_us")

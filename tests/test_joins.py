@@ -55,3 +55,51 @@ def test_interval_join_no_duplicate_pairs(spark):
     ).filter(F.col("id") < F.col("id_r"))
     rows = [(r.id, r.id_r) for r in pairs.collect()]
     assert len(rows) == len(set(rows)) == 45  # C(10,2), each exactly once
+
+
+def test_asof_forward_and_nearest(spark):
+    from mapreduce6240project_spark.operators.joins import as_of_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:10"), (2, 1, "2024-01-01 00:01:00"),
+         (3, 1, "2024-01-01 00:05:00"), (4, 2, "2024-01-01 00:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", 100.0), (1, "2024-01-01 00:04:00", 200.0)],
+        "user_id long, ts_s string, px double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "px")
+
+    fwd = {
+        r.event_id: r.px_asof
+        for r in as_of_join(
+            left, right, "user_id", "ts", "ts", ["px"], direction="forward"
+        ).collect()
+    }
+    # e1 @00:10 -> 00:30 (100); e2 @01:00 -> 04:00 (200); e3 @05:00 -> none
+    assert fwd == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+    near = {
+        r.event_id: r.px_asof
+        for r in as_of_join(
+            left, right, "user_id", "ts", "ts", ["px"], direction="nearest"
+        ).collect()
+    }
+    # e1: 20s back? no prev; next 00:30 -> 100. e2: prev 30s, next 180s -> 100.
+    # e3: prev 60s (200), no next -> 200. e4 (user 2): no rights -> None
+    assert near == {1: 100.0, 2: 100.0, 3: 200.0, 4: None}
+
+
+def test_asof_backward_unchanged_matches_inclusive_tie(spark):
+    from mapreduce6240project_spark.operators.joins import as_of_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:01:00")], "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 7.0)], "user_id long, ts_s string, px double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "px")
+    got = as_of_join(left, right, "user_id", "ts", "ts", ["px"]).first()
+    assert got.px_asof == 7.0  # inclusive: equal-timestamp right matches
