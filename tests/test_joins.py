@@ -103,3 +103,65 @@ def test_asof_backward_unchanged_matches_inclusive_tie(spark):
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "px")
     got = as_of_join(left, right, "user_id", "ts", "ts", ["px"]).first()
     assert got.px_asof == 7.0  # inclusive: equal-timestamp right matches
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """All three directions against pandas.merge_asof, an independent
+    reference implementation, on a deterministic pseudo-random input
+    with timestamp collisions across keys."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.joins import as_of_join
+
+    rng = [(i * 2654435761) % 97 for i in range(60)]
+    left_rows = [
+        (i, rng[i] % 3, 1_700_000_000_000_000 + (rng[i] % 13) * 7_000_000)
+        for i in range(30)
+    ]
+    right_rows = [
+        (rng[i + 30] % 3, 1_700_000_000_000_000 + (rng[i + 30] % 11) * 9_000_000,
+         float(i))
+        for i in range(30)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, k long, us long"
+    ).select("event_id", "k", F.timestamp_micros("us").alias("ts"))
+    right = (
+        spark.createDataFrame(right_rows, "k long, us long, px double")
+        .select("k", F.timestamp_micros("us").alias("ts"), "px")
+        # merge_asof picks the LAST right row among equal timestamps
+        # (and the first for forward); collapse ties so both engines
+        # resolve them identically
+        .groupBy("k", "ts")
+        .agg(F.max("px").alias("px"))
+    )
+    lpd = (
+        pd.DataFrame(
+            [(e, k, pd.Timestamp(us, unit="us")) for e, k, us in left_rows],
+            columns=["event_id", "k", "ts"],
+        )
+        .astype({"ts": "datetime64[us]"})
+        .sort_values("ts", kind="stable")
+    )
+    rpd = (
+        right.toPandas()
+        .astype({"ts": "datetime64[us]"})
+        .sort_values("ts", kind="stable")
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.event_id: r.px_asof
+            for r in as_of_join(
+                left, right, "k", "ts", "ts", ["px"], direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.px) else float(r.px))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"direction={direction}"
