@@ -321,3 +321,47 @@ def inter_event_gaps(
             F.sum("gap_us").alias("total_us"),
         )
     )
+
+
+def rolling_median(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    width: int = 7,
+) -> DataFrame:
+    """Per-key rolling median over the last ``width`` events (rows
+    frame) -- the median filter, the robust smoother for noisy
+    telemetry that a mean-based EWMA can't provide.
+
+    Spark has no median window aggregate, so the bounded frame is
+    gathered with ``collect_list`` over the ordered window (frame order
+    = window order under the unique (ts, event_id) sort key) and the
+    median is taken positionally on micro-quantized integers:
+    ``array_sort`` then exact middle (odd n) or the integer mean of the
+    two middles (even n, ``div 2`` after an integer sum -- no float in
+    the path, so any engine agrees bit-for-bit).  State per row is
+    ``width`` longs; one shuffle on the key.  The frame never grows
+    with data volume, so the plan survives any scale-up (same doctrine
+    as decayed_rolling_value's bounded frame)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(-(width - 1), 0)
+    )
+    micros = F.floor(F.col(val_col).cast("double") * 1000000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    frame = F.array_sort(F.collect_list(micros).over(w))
+    return (
+        events.withColumn("_frame", frame)
+        .withColumn("_n", F.size("_frame"))
+        .withColumn(
+            "_lo", F.element_at("_frame", F.expr("CAST((_n + 1) div 2 AS INT)"))
+        )
+        .withColumn(
+            "_hi", F.element_at("_frame", F.expr("CAST(_n div 2 + 1 AS INT)"))
+        )
+        .withColumn("median_micros", F.expr("(_lo + _hi) div 2"))
+        .select("event_id", id_col, "median_micros")
+    )

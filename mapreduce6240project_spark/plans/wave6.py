@@ -304,3 +304,31 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
 )
 def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter_event_gaps(load_table(spark, sf_dir, "events"))
+
+
+# -- rolling median (median filter) ----------------------------------------
+
+
+@_register(
+    "rolling_median_7",
+    """
+WITH m AS (
+  SELECT event_id, user_id,
+         list_sort(list(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS f
+  FROM events
+)
+SELECT event_id, user_id,
+       (f[CAST((len(f) + 1) // 2 AS INT)]
+        + f[CAST(len(f) // 2 + 1 AS INT)]) // 2 AS median_micros
+FROM m""",
+    ref="extension: per-key rolling median filter (bounded 7-row frame, "
+    "positional middle on micro-quantized integers -- the even-count "
+    "midpoint is an integer mean, no float in the path; values are "
+    "non-negative so floor-div equals trunc-div across engines)",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.windows import rolling_median
+
+    return rolling_median(load_table(spark, sf_dir, "events"), width=7)

@@ -83,3 +83,20 @@ def test_gapfill_locf_dense_grid(spark):
         carried = empties.filter(F.col("sum_value_locf").isNotNull())
         assert carried.count() > 0
     filled.unpersist()
+
+
+def test_rolling_median_odd_even_frames(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.windows import rolling_median
+
+    # one user, values 10, 30, 20: medians 10, (10+30)/2=20, 20
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:01", 10.0),
+         (2, 1, "2024-01-01 00:00:02", 30.0),
+         (3, 1, "2024-01-01 00:00:03", 20.0)],
+        "event_id long, user_id long, ts_s string, value double",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    got = {r.event_id: r.median_micros for r in rolling_median(df, width=7).collect()}
+    assert got == {1: 10_000_000, 2: 20_000_000, 3: 20_000_000}
