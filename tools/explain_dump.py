@@ -1,0 +1,81 @@
+"""Regenerate EXPLAIN.md: the formatted physical plan of every headline
+query (plus a few scale-critical extension queries) at sf0.01, so plan
+properties (pushdown, broadcast, exchange count, codegen spans) are
+reviewable without running Spark.
+
+Usage::
+
+    python tools/explain_dump.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+#: headline set + scale-representative extensions
+QUERIES = [
+    "ingest_featurize",
+    "cluster_assign_k3",
+    "kmedoids_k3",
+    "pricing_summary",
+    "top_customers",
+    "regional_revenue",
+    "forecast_revenue",
+    "nation_pair_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "asof_last_signup",
+    "tumbling_window",
+    "interp_linear_minute",
+    "dq_audit",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from mapreduce6240project_spark.plans import REGISTRY
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("explain-dump")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [
+        "# EXPLAIN — formatted physical plans (auto-generated)\n",
+        "Regenerate with `python tools/explain_dump.py`. Plans are built",
+        f"against `{SF}` with AQE initial plans (before runtime",
+        "re-optimization); Exchange/Broadcast/PushedFilters lines are the",
+        "review surface. Plan-shape regressions are separately asserted in",
+        "`tests/test_plans.py`.\n",
+    ]
+    for name in QUERIES:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"\n## {name}\n")
+        out.append(f"_{spec.ref}_\n")
+        out.append("```\n" + plan.rstrip() + "\n```\n")
+        print(f"dumped {name}")
+    with open("/root/repo/EXPLAIN.md", "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
