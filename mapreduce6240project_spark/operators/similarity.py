@@ -71,8 +71,26 @@ def embedding_cosine_pairs(
     sqrt(N) cells the within-cell pair work is O(N^1.5) expected, not
     O(N^2), and k-means balance keeps the worst cell small."""
     cells = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    a, b = cells.alias("a"), cells.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    # unit-normalize ONCE per vector before the within-cell pair stage:
+    # the quadratic stage then evaluates a single dot fold per pair
+    # instead of dot + both norms (3x less interpreted-expression work)
+    c = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    un = cells.select(
+        id_col, "cell", F.transform(c, lambda x: x.cast("double") / norm).alias("uv")
+    ).persist()
+    a, b = un.alias("a"), un.alias("b")
+    sim = F.aggregate(
+        F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(
             b,
@@ -594,3 +612,23 @@ def mmr_select(
         f"rank int, {id_col} long, score double",
     )
     return out.select("rank", id_col, F.round("score", 4).alias("score"))
+
+
+def unit_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pre-normalized (unit) vectors: each component divided by the L2
+    norm, computed ONCE per vector in a narrow projection.  Pairwise
+    cosine then degrades to a single dot-product fold -- at N vectors
+    the norms cost O(N*d) instead of O(N^2*d) inside a pair join, and
+    the per-pair expression work drops 3x (one fold, not three)."""
+    c = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    unit = F.transform(c, lambda x: x.cast("double") / norm)
+    return embeddings.select(F.col(id_col), unit.alias("uv"))

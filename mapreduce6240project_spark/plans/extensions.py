@@ -300,14 +300,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dup_pairs",
     _ivf_cells_sql()
     + """
+, un AS (
+  SELECT vec_id,
+         list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev))) AS uv
+  FROM vecs
+)
 SELECT id_a, id_b, cos_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(va.ev, vb.ev)
-               / (sqrt(list_dot_product(va.ev, va.ev))
-                  * sqrt(list_dot_product(vb.ev, vb.ev))), 4) AS cos_sim
+         round(list_dot_product(ua.uv, ub.uv), 4) AS cos_sim
   FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  JOIN vecs va ON va.vec_id = a.vec_id
-  JOIN vecs vb ON vb.vec_id = b.vec_id
+  JOIN un ua ON ua.vec_id = a.vec_id
+  JOIN un ub ON ub.vec_id = b.vec_id
 ) WHERE cos_sim >= 0.35""",
     ref="extension: embedding-cosine near-dup pairs (k-means IVF candidates)",
 )

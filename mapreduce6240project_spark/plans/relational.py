@@ -286,24 +286,32 @@ _REG["kmedoids_elbow"] = _QS(
 @_register(
     "embedding_pairs_exact",
     """
+WITH u AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           v -> v / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))) AS uv
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
-         AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4""",
-    ref="extension: exact embedding near-dup pairs (brute force; IVF variant is the scale path)",
+       round(list_dot_product(a.uv, b.uv), 4) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.uv, b.uv) >= 0.4""",
+    ref="extension: exact embedding near-dup pairs (brute force; IVF "
+    "variant is the scale path).  Vectors are unit-normalized ONCE in a "
+    "narrow projection, so the O(N^2) pair stage evaluates one dot fold "
+    "per pair instead of dot + both norms",
 )
 def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from mapreduce6240project_spark.operators.similarity import _dot, unit_vectors
+
+    # persist: both self-join branches share the lineage; uncached the
+    # narrow normalization runs twice (2N folds -- cheap, but free to skip)
+    emb = unit_vectors(load_table(spark, sf_dir, "embeddings")).persist()
     a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("_sim", sim)
+        .withColumn("_sim", _dot(F.col("a.uv"), F.col("b.uv")))
         .filter(F.col("_sim") >= 0.4)
         .select(
             F.col("a.vec_id").alias("id_a"),
