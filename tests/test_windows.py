@@ -100,3 +100,46 @@ def test_rolling_median_odd_even_frames(spark):
              "value")
     got = {r.event_id: r.median_micros for r in rolling_median(df, width=7).collect()}
     assert got == {1: 10_000_000, 2: 20_000_000, 3: 20_000_000}
+
+
+def test_streaming_checkpoint_recovery_is_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed stream over an unchanged source must
+    not reprocess: the file-source offsets live in the checkpoint, so
+    the second run emits zero rows (exactly-once across restarts)."""
+    from mapreduce6240project_spark.streaming.jobs import _stream_events
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    seen: list[tuple[int, int]] = []
+
+    def run_once():
+        counts = (
+            _stream_events(spark, "/root/testdata/sf0.001")
+            .groupBy("event_type")
+            .count()
+        )
+
+        def write_batch(df, epoch_id):
+            seen.append((epoch_id, df.count()))
+            df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+        q = (
+            counts.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert sum(n for _, n in seen) > 0  # first run processed the source
+    first_epochs = [e for e, _ in seen]
+    seen.clear()
+    run_once()
+    # restart: offsets are committed, so either no batch fires or only
+    # empty batches with epoch ids strictly after the first run's
+    assert all(n == 0 for _, n in seen)
+    assert all(e > max(first_epochs) for e, _ in seen)
