@@ -8,6 +8,7 @@ from mapreduce6240project_spark.streaming.jobs import (
     streaming_sessions,
     streaming_sliding,
     streaming_stateful_counts,
+    streaming_tws_running_sum,
     streaming_tumbling,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "streaming_sliding",
     "streaming_sessions",
     "streaming_stateful_counts",
+    "streaming_tws_running_sum",
     "streaming_tumbling",
 ]

@@ -284,3 +284,75 @@ def streaming_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     return run_streaming_append(
         spark, joined.select("click_id", "purchase_id")
     )
+
+
+def streaming_tws_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value total via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-stateful successor to applyInPandasWithState):
+    a ``StatefulProcessor`` holds one ValueState long per user and
+    emits the running total each micro-batch.
+
+    Values are micro-quantized JVM-side *before* the stateful operator,
+    so all state arithmetic is integer and the final per-user total on
+    a bounded stream equals batch ``sum(micros)`` exactly -- the
+    oracle.  transformWithState requires the RocksDB state-store
+    provider (set per-session below; in production it is also what you
+    want: state lives off-heap and snapshots incrementally to the
+    checkpoint).  State per user is one long; at scale the operator
+    shuffles once on the key and the store scales with distinct keys,
+    not events."""
+    import pandas as pd  # noqa: F401 (Arrow batches arrive as pandas)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    # transformWithState's state server speaks protobuf; PySpark only
+    # imports it lazily, so probe here and fail with a clear message in
+    # environments without the dependency (applyInPandasWithState --
+    # streaming_stateful_counts -- is the tested custom-state path there)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(PySpark imports pyspark.sql.streaming.proto lazily); install "
+            "protobuf or use streaming_stateful_counts "
+            "(applyInPandasWithState) instead"
+        ) from exc
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._total.get()[0] if self._total.exists() else 0
+            for pdf in rows:
+                total += int(pdf["micros"].sum())
+            self._total.update((total,))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "total_micros": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("micros"),
+    )
+    agg = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningSum(),
+        outputStructType="user_id long, total_micros long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    emitted = _drain_to_parquet(spark, agg, "update")
+    # running totals are monotone; the final state is the max emission
+    return emitted.groupBy("user_id").agg(
+        F.max("total_micros").alias("total_micros")
+    )

@@ -143,3 +143,42 @@ def test_streaming_checkpoint_recovery_is_exactly_once(spark, tmp_path):
     # empty batches with epoch ids strictly after the first run's
     assert all(n == 0 for _, n in seen)
     assert all(e > max(first_epochs) for e, _ in seen)
+
+
+def test_transform_with_state_gated_or_working(spark):
+    """transformWithStateInPandas needs protobuf (a PySpark lazy import);
+    without it the wrapper must fail fast with NotImplementedError, and
+    with it the bounded-stream result must equal the batch sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.sources.tables import load_table
+    from mapreduce6240project_spark.streaming import streaming_tws_running_sum
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_tws_running_sum(spark, "/root/testdata/sf0.001")
+        return
+
+    got = {
+        r.user_id: r.total_micros
+        for r in streaming_tws_running_sum(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        r.user_id: r.total
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("total")
+        )
+        .collect()
+    }
+    assert got == want
