@@ -213,7 +213,11 @@ def global_clustering(
     bigints, so the single double division is engine-identical; the
     result is returned micro-quantized.  The edge set (often an
     expensive similarity join) is persisted across the two consumers."""
-    pairs = pairs.persist()
+    # persist only if the caller hasn't (a session-cached edge set must
+    # survive this call for its other consumers)
+    was_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    if not was_cached:
+        pairs = pairs.persist()
     tri = int(triangle_count(pairs, src, dst).first()["n_triangles"])
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
         ["u", "v"]
@@ -223,9 +227,40 @@ def global_clustering(
     wed = deg.agg(
         F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
     ).first()["w"]
-    pairs.unpersist(blocking=False)
+    if not was_cached:
+        pairs.unpersist(blocking=False)
     wed = int(wed or 0)
     gcc = int(math.floor(3.0 * tri / wed * 1000000 + 0.5)) if wed > 0 else None
     return pairs.sparkSession.createDataFrame(
         [(tri, wed, gcc)], "n_triangles bigint, n_wedges bigint, gcc_micros bigint"
     )
+
+
+#: session-scoped similarity-graph cache: the jaccard pair join is the
+#: expensive shared input of pagerank / triangles / degree histogram /
+#: clustering coefficient; derive once per (session, sf_dir, threshold),
+#: persist, and share (same weak-keyed discipline as the feature store).
+_SIMGRAPH_CACHE = None
+
+
+def simgraph_pairs(spark, sf_dir: str, threshold: float = 0.1) -> DataFrame:
+    """Near-dup similarity graph edges (exact n-gram Jaccard >=
+    ``threshold``) over the documents table, materialized once per
+    session and reused by every graph consumer."""
+    global _SIMGRAPH_CACHE
+    import weakref
+
+    if _SIMGRAPH_CACHE is None:
+        _SIMGRAPH_CACHE = weakref.WeakKeyDictionary()
+    per_session = _SIMGRAPH_CACHE.setdefault(spark, {})
+    key = (sf_dir, threshold)
+    df = per_session.get(key)
+    if df is None:
+        from mapreduce6240project_spark.operators.dedup import ngram_jaccard_pairs
+        from mapreduce6240project_spark.sources.tables import load_table
+
+        df = ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=threshold
+        ).persist()
+        per_session[key] = df
+    return df

@@ -472,13 +472,12 @@ SELECT node, CAST(pr AS BIGINT) AS pr FROM it3"""
     ref="extension: iterative PageRank (integer-quantized) on the near-dup similarity graph",
 )
 def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.operators import dedup as D
-    from mapreduce6240project_spark.operators.graph import pagerank_quantized
-
-    pairs = D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.1
+    from mapreduce6240project_spark.operators.graph import (
+        pagerank_quantized,
+        simgraph_pairs,
     )
-    return pagerank_quantized(pairs, n_iter=3)
+
+    return pagerank_quantized(simgraph_pairs(spark, sf_dir), n_iter=3)
 
 
 @_register(

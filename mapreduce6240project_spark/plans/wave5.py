@@ -226,10 +226,9 @@ JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b"""
     "bounded by oriented out-degree, skew-safe on power-law graphs",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.1
-    )
-    return triangle_count(pairs)
+    from mapreduce6240project_spark.operators.graph import simgraph_pairs
+
+    return triangle_count(simgraph_pairs(spark, sf_dir))
 
 
 # -- corpus-trained char-trigram LM quality score --------------------------
@@ -359,12 +358,12 @@ FROM deg GROUP BY degree"""
     "skinny shuffles, output bounded by max degree",
 )
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.operators.graph import degree_histogram
-
-    pairs = D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.1
+    from mapreduce6240project_spark.operators.graph import (
+        degree_histogram,
+        simgraph_pairs,
     )
-    return degree_histogram(pairs)
+
+    return degree_histogram(simgraph_pairs(spark, sf_dir))
 
 
 _GCC_SQL = _SIMGRAPH_PAIRS_CTE + """,
@@ -395,9 +394,9 @@ FROM tri, wed"""
     "double division",
 )
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.operators.graph import global_clustering
-
-    pairs = D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.1
+    from mapreduce6240project_spark.operators.graph import (
+        global_clustering,
+        simgraph_pairs,
     )
-    return global_clustering(pairs)
+
+    return global_clustering(simgraph_pairs(spark, sf_dir))
