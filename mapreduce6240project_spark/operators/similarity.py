@@ -82,6 +82,9 @@ def embedding_cosine_pairs(
             lambda acc, v: acc + v,
         )
     )
+    # NOTE: the returned pair DataFrame is lazy over this cache, so the
+    # caller owns its lifetime (unpersist after materializing); one
+    # (id, cell, unit-vector) row per input vector, N-bounded
     un = cells.select(
         id_col, "cell", F.transform(c, lambda x: x.cast("double") / norm).alias("uv")
     ).persist()

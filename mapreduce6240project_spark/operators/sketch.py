@@ -326,3 +326,87 @@ cand AS (
 SELECT c.{col}, c.n_exact, min(s.c) AS n_cms
 FROM cand c JOIN sketch s USING (i, p)
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# integer-exact log-bucket quantile sketch (DDSketch-style)
+# ---------------------------------------------------------------------------
+
+#: rep/bid arithmetic shared by the Spark plan and the DuckDB oracle.
+#: Bucket id for micro-quantized m >= 0: m itself below 8 (exact), else
+#: 8*e + top-3-mantissa-bits where e = floor(log2 m) -- computed via
+#: length(bin(m)), pure integer ops, no libm (whose last-ulp log()
+#: differences could flip a bucket boundary between engines).
+#: Portability note: shifts are spelled as multiplication/division by
+#: power(2, k) -- exact doubles for k < 53 and valid syntax in BOTH
+#: Spark SQL and DuckDB (<< / >> and DIV are not portable between
+#: them).  Exact for micros below 2^53; beyond that (values over ~9e9
+#: in micro units) switch to the engine-native shift operators.
+QSKETCH_BID_SQL = (
+    "CASE WHEN {m} < 8 THEN {m} "
+    "ELSE 8 * (length(bin({m})) - 1) "
+    "+ CAST(floor({m} / power(2, length(bin({m})) - 4)) AS BIGINT) - 8 END"
+)
+
+#: representative value (bucket midpoint) from a bucket id; e = bid/8,
+#: t = bid%8, low = (8+t)*2^(e-3), midpoint adds 2^(e-4) when e > 3
+QSKETCH_REP_SQL = (
+    "CASE WHEN {b} < 8 THEN CAST({b} AS BIGINT) "
+    "ELSE CAST((8 + {b} % 8) * power(2, CAST(floor({b} / 8) AS BIGINT) - 3) "
+    "+ CASE WHEN CAST(floor({b} / 8) AS BIGINT) > 3 "
+    "THEN power(2, CAST(floor({b} / 8) AS BIGINT) - 4) ELSE 0 END AS BIGINT) END"
+)
+
+
+def quantile_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch over a non-negative value
+    column: (bid, n) bucket counts.
+
+    DDSketch's idea (log-width buckets -> bounded *relative* error)
+    made integer-exact: the bucket key is the binary exponent plus the
+    top 3 mantissa bits of the micro-quantized value, so relative error
+    is <= 1/16 per bucket and every step is integer arithmetic -- no
+    ``log()`` whose last-ulp differences could flip a boundary between
+    engines or CPU types.  The sketch is ONE narrow pass + a bucket-key
+    shuffle whose cardinality is ~8*64 regardless of data volume, and
+    two sketches merge by adding counts -- the property that makes
+    quantiles cheap at 100 TB where exact per-group sorting is not."""
+    m = F.floor(F.col(col).cast("double") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        df.select(m.alias("m"))
+        .filter(F.col("m") >= 0)
+        .selectExpr(QSKETCH_BID_SQL.format(m="m") + " AS bid")
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame, quantiles: dict[str, float]
+) -> DataFrame:
+    """(label, est_micros, n_total) per requested quantile: the first
+    bucket whose cumulative count reaches ceil(q * total), reported at
+    the bucket midpoint.  The bucket table is a few hundred rows, so
+    the single-partition cumulative window is free."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    w = Window.orderBy("bid").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    qdf = spark.createDataFrame(
+        sorted(quantiles.items()), "label string, q double"
+    )
+    hits = (
+        c.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("label")
+        .agg(F.min("bid").alias("bid"), F.max("total").alias("n_total"))
+    )
+    return hits.selectExpr(
+        "label",
+        QSKETCH_REP_SQL.format(b="bid") + " AS est_micros",
+        "n_total",
+    )

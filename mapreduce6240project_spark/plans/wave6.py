@@ -332,3 +332,54 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.windows import rolling_median
 
     return rolling_median(load_table(spark, sf_dir, "events"), width=7)
+
+
+# -- mergeable log-bucket quantile sketch ----------------------------------
+
+
+def _qsketch_sql() -> str:
+    from mapreduce6240project_spark.operators.sketch import (
+        QSKETCH_BID_SQL,
+        QSKETCH_REP_SQL,
+    )
+
+    bid = QSKETCH_BID_SQL.format(m="m")
+    rep = QSKETCH_REP_SQL.format(b="bid")
+    return f"""
+WITH mm AS (
+  SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m FROM events
+),
+b AS (
+  SELECT {bid} AS bid, count(*) AS n FROM mm WHERE m >= 0 GROUP BY 1
+),
+c AS (
+  SELECT bid, n, sum(n) OVER (ORDER BY bid) AS cum, sum(n) OVER () AS total
+  FROM b
+),
+q AS (
+  SELECT unnest(['p50', 'p90', 'p99']) AS label,
+         unnest([0.5, 0.9, 0.99]) AS qv
+),
+sel AS (
+  SELECT label, min(bid) AS bid, max(total) AS n_total
+  FROM c, q WHERE cum >= ceil(qv * total) GROUP BY label
+)
+SELECT label, {rep} AS est_micros, CAST(n_total AS BIGINT) AS n_total FROM sel"""
+
+
+@_register(
+    "qsketch_value_quantiles",
+    _qsketch_sql(),
+    ref="extension: mergeable log-bucket quantile sketch (DDSketch idea, "
+    "integer-exact: binary exponent + 3 mantissa bits, <=1/16 relative "
+    "error) -- the scalable quantile path; sketch cardinality ~512 "
+    "buckets regardless of data volume, sketches merge by adding counts",
+)
+def q_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sketch import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    sk = quantile_sketch(load_table(spark, sf_dir, "events"), "value")
+    return quantile_sketch_estimate(sk, {"p50": 0.5, "p90": 0.9, "p99": 0.99})

@@ -137,3 +137,46 @@ def test_cms_matches_duckdb_oracle_on_custom_relation(spark, duck):
     )
     want = {r[0]: r[2] for r in duck.sql(sql).fetchall()}
     assert got == want == {"x": 5, "y": 3}
+
+
+def test_quantile_sketch_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.sketch import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    est = {
+        r.label: r.est_micros
+        for r in quantile_sketch_estimate(
+            quantile_sketch(ev, "value"), {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+        ).collect()
+    }
+    exact = {
+        label: ev.agg(
+            F.percentile(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"), q
+            )
+        ).first()[0]
+        for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    }
+    for label, e in est.items():
+        x = exact[label]
+        assert abs(e - x) <= max(0.0725 * x, 1), (label, e, x)  # <= bucket rel err
+
+    # merge property: sketch(A) + sketch(B) == sketch(A union B)
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    merged = (
+        quantile_sketch(a, "value")
+        .unionByName(quantile_sketch(b, "value"))
+        .groupBy("bid")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = quantile_sketch(ev, "value")
+    got = {r.bid: r.n for r in merged.collect()}
+    want = {r.bid: r.n for r in whole.collect()}
+    assert got == want
