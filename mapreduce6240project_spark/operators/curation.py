@@ -210,3 +210,38 @@ def bigram_topk(
         .orderBy(F.desc("n"), "bigram")
         .limit(k)
     )
+
+
+def contamination_ngram_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """N-gram-overlap contamination detection: training documents
+    sharing ANY word ``n``-gram with the eval corpus, with the count of
+    distinct shared grams -- the industry-standard contamination rule
+    (substring leakage that exact-fingerprint matching misses).
+
+    Plan: the eval side collapses to a distinct gram set (eval corpora
+    are small: thousands of docs), broadcast into an equi-join against
+    the exploded train grams; one narrow explode + broadcast join + one
+    doc-level aggregate.  Train text never shuffles -- only (doc_id,
+    gram) hits do, and those are bounded by the overlap size."""
+    from mapreduce6240project_spark.operators.dedup import shingles
+
+    eval_grams = (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -383,3 +383,45 @@ def q_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sk = quantile_sketch(load_table(spark, sf_dir, "events"), "value")
     return quantile_sketch_estimate(sk, {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+# -- n-gram-overlap contamination ------------------------------------------
+
+_NORM6 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_G8_TERMS = ", ".join(f"w[i+{j}]" for j in range(8))
+_G8 = (
+    f"CASE WHEN len(w) >= 8 THEN list_transform(generate_series(1, len(w) - 7), "
+    f"i -> concat_ws(' ', {_G8_TERMS})) ELSE [concat_ws(' ', w)] END"
+)
+
+
+@_register(
+    "contaminated_ngram",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split({_NORM6}, ' ') AS w FROM documents
+),
+tg AS (
+  SELECT doc_id, unnest(list_distinct({_G8})) AS g
+  FROM toks WHERE source <> 'src0'
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct({_G8})) AS g
+  FROM toks WHERE source = 'src0'
+)
+SELECT doc_id, count(*) AS n_shared_grams
+FROM tg JOIN eg USING (g) GROUP BY doc_id""",
+    ref="extension: n-gram-overlap contamination (any shared word 8-gram "
+    "with the eval corpus flags the training doc -- catches substring "
+    "leakage exact fingerprints miss); eval grams broadcast, train text "
+    "never shuffles",
+)
+def q_contaminated_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.curation import contamination_ngram_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_ngram_hits(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )

@@ -118,3 +118,25 @@ def test_token_frequency_score_bounds(spark):
     ).first()
     assert 0.0 <= bounds[0] and bounds[1] <= 1.0
     assert bounds[2] >= 1.0  # every token occurs at least once (itself)
+
+
+def test_contamination_ngram_hits(spark):
+    from mapreduce6240project_spark.operators.curation import (
+        contamination_ngram_hits,
+    )
+
+    w = lambda k: " ".join(f"w{k}_{i}" for i in range(10))  # noqa: E731
+    train = spark.createDataFrame(
+        [
+            (1, w(0)),  # identical 10 words -> shares 8-grams (3 of them)
+            (2, w(0).replace("w0_0", "zzz")),  # first word differs -> 2 shared
+            (3, w(9)),  # disjoint vocabulary -> clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame([(100, w(0))], "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_shared_grams
+        for r in contamination_ngram_hits(train, eval_docs, n=8).collect()
+    }
+    assert got == {1: 3, 2: 2}  # doc 3 absent: clean
