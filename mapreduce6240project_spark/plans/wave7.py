@@ -374,3 +374,64 @@ def q_asof_nearest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     )
     return joined.select("event_id", "signup_us")
+
+
+# -- ranked-window function surface ----------------------------------------
+
+
+@_register(
+    "order_rank_profile",
+    """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+w AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         percent_rank() OVER win AS pr,
+         cume_dist() OVER win AS cd,
+         nth_value(cents, 3) OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cents DESC, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS third_cents
+  FROM c
+  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey)
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(pr * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_pr_micros,
+       CAST(sum(CAST(floor(cd * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cd_micros,
+       max(third_cents) AS third_cents
+FROM w GROUP BY o_orderpriority""",
+    ref="extension: percent_rank / cume_dist / nth_value window surface "
+    "(deterministic under the unique (cents, key) sort; rank ratios are "
+    "integer-over-integer doubles, identical on any engine)",
+)
+def q_order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cents"), "o_orderkey"
+    )
+    full = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = base.select(
+        "o_orderpriority",
+        F.percent_rank().over(win).alias("pr"),
+        F.cume_dist().over(win).alias("cd"),
+        F.nth_value("cents", 3).over(full).alias("third_cents"),
+    )
+    micros = lambda c: F.floor(F.col(c) * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros("pr")).alias("sum_pr_micros"),
+        F.sum(micros("cd")).alias("sum_cd_micros"),
+        F.max("third_cents").alias("third_cents"),
+    )
