@@ -48,10 +48,13 @@ def salted_sum(
 ) -> DataFrame:
     """Exact per-key sum via two-phase salted aggregation."""
     salt = _salt(df, id_cols or df.columns, n_salts)
+    micros = F.floor(F.col(value) * 1000000 + F.lit(0.5)).cast("bigint")
     partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(
-        F.sum(value).alias("_s")
+        F.sum(micros).alias("_s")
     )
-    return partial.groupBy(key).agg(F.round(F.sum("_s"), 4).alias(f"sum_{value}"))
+    return partial.groupBy(key).agg(
+        F.round(F.sum("_s") / 1000000.0, 4).alias(f"sum_{value}")
+    )
 
 
 def salted_broadcast_join(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.numeric import stable_sum_micros
+
 
 def tumbling_window(
     events: DataFrame,
@@ -23,7 +25,7 @@ def tumbling_window(
     native operator; epoch-aligned, one shuffle (partial agg first)."""
     return (
         events.groupBy(F.window(ts_col, width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), stable_sum_micros("value").alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -119,7 +121,7 @@ def gapfill_locf(
     bucket = (F.unix_timestamp(F.col(ts_col)) / width_s).cast("bigint") * width_s
     agg = (
         events.groupBy(bucket.alias("bucket"), F.col(key_col).alias("k"))
-        .agg(F.count("*").alias("n"), F.round(F.sum(value_col), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), stable_sum_micros(value_col).alias("sum_value"))
         .persist()
     )
     rng = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))

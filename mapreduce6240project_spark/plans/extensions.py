@@ -757,7 +757,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TUMBLING_ORACLE = """
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
-       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+       event_type, count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
 FROM events GROUP BY 1, 2"""
 
 
@@ -776,7 +776,7 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH agg AS (
   SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket,
-         event_type AS k, count(*) AS n, round(sum(value), 4) AS sum_value
+         event_type AS k, count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
   FROM events GROUP BY 1, 2
 ),
 rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.numeric import stable_sum_micros
 from mapreduce6240project_spark.functions.distance import medoid_distance_literal
 from mapreduce6240project_spark.operators.clustering import assign_clusters
 from mapreduce6240project_spark.operators.lookup import range_scan
@@ -228,7 +229,7 @@ def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "json_roundtrip",
     """
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+SELECT event_type, count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
 FROM events GROUP BY event_type""",
     ref="JSON source/sink (engine IO surface beyond the reference's text/KV)",
 )
@@ -242,7 +243,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts_us long, user_id long, event_type string, value double"
     ).json(out)
     return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+        F.count("*").alias("n"), stable_sum_micros("value").alias("sum_value")
     )
 
 
@@ -261,7 +262,7 @@ def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "salted_value_sums",
     """
-SELECT user_id, round(sum(value), 4) AS sum_value FROM events GROUP BY user_id""",
+SELECT user_id, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value FROM events GROUP BY user_id""",
     ref="skew mitigation: salted sum (algebraic aggregate, exact)",
 )
 def q_salted_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +485,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "streaming_foreach_batch",
     """
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+SELECT event_type, count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
 FROM events GROUP BY event_type""",
     ref="extension: foreachBatch exactly-once sink (epoch-partitioned "
     "idempotent parquet writes; oracle = batch aggregate of what landed)",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.functions.distance import HASHTAG_WEIGHT
-from mapreduce6240project_spark.functions.numeric import stable_avg_cents
+from mapreduce6240project_spark.functions.numeric import stable_avg_cents, stable_sum_micros
 from mapreduce6240project_spark.functions.parsing import recode_language
 from mapreduce6240project_spark.operators.analytics import (
     histogram,
@@ -446,8 +446,8 @@ REGISTRY["kmedoids_k3"] = QuerySpec(
     """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_base_price,
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_disc_price,
        round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
        round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
        count(*) AS count_order
@@ -464,10 +464,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "sum_disc_price"
-            ),
+            stable_sum_micros("l_extendedprice").alias("sum_base_price"),
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
             stable_avg_cents("l_quantity").alias("avg_qty"),
             stable_avg_cents("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -478,7 +478,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "top_customers",
     """
-SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 4) AS revenue,
+SELECT c.c_custkey, c.c_name, round(sum(CAST(floor((o.o_totalprice) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS revenue,
        count(*) AS n_orders
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_name
@@ -493,7 +493,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            stable_sum_micros("o_totalprice").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -504,7 +504,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "regional_revenue",
     """
-SELECT r.r_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+SELECT r.r_name, round(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS revenue
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -527,9 +527,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
     )
 

@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.numeric import stable_sum_micros
 from mapreduce6240project_spark.operators.clustering import elbow
 from mapreduce6240project_spark.operators.joins import as_of_join, interval_join
 from mapreduce6240project_spark.operators.sampling import bernoulli_sample
@@ -70,7 +71,7 @@ def q_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
-       round(sum(l_extendedprice), 4) AS sum_base, count(*) AS n
+       round(sum(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_base, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     ref="extension: hierarchical rollup aggregation (free via df.rollup)",
 )
@@ -79,7 +80,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+        stable_sum_micros("l_extendedprice").alias("sum_base"),
         F.count("*").alias("n"),
     )
 
@@ -336,7 +337,7 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "brand_revenue",
     """
-SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+SELECT p.p_brand, round(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS revenue,
        count(*) AS n_items
 FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand""",
@@ -349,7 +350,9 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            stable_sum_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -358,7 +361,7 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "supplier_nation_stats",
     """
-SELECT n.n_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 4) AS total_bal
+SELECT n.n_name, count(*) AS n_suppliers, round(sum(CAST(floor((s.s_acctbal) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS total_bal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
     ref="J2 shape over supplier x nation (completes 10/10 table coverage)",
@@ -371,7 +374,7 @@ def q_supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+            stable_sum_micros("s_acctbal").alias("total_bal"),
         )
     )
 
@@ -428,7 +431,7 @@ SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS m1,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h1,
        grouping(CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)) AS g_m1,
        grouping(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS g_m10,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+       count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
 FROM events
 GROUP BY GROUPING SETS (
   (CAST(floor(epoch(ts) / 60) * 60 AS BIGINT),
@@ -457,7 +460,7 @@ def q_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("m1").cast("int").alias("g_m1"),
             F.grouping("m10").cast("int").alias("g_m10"),
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            stable_sum_micros("value").alias("sum_value"),
         )
     )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.numeric import stable_sum_micros
 from mapreduce6240project_spark.operators import vectors as V
 from mapreduce6240project_spark.plans.extensions import _query_vec
 from mapreduce6240project_spark.plans.registry import _register
@@ -122,7 +123,7 @@ def q_embedding_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
                               ELSE 0 END), 4) AS promo_revenue,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+       round(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS total_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""",
@@ -142,7 +143,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 4).alias("total_revenue"),
+            stable_sum_micros(rev).alias("total_revenue"),
         )
     )
 
@@ -150,7 +151,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "small_qty_revenue",
     """
-SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT round(sum(CAST(floor((l.l_extendedprice) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / 7.0, 4) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_cap
@@ -171,7 +172,18 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(caps.withColumnRenamed("l_partkey", "_ck"), li.l_partkey == F.col("_ck"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 1000000 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / 1000000.0
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -210,7 +222,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "disjunctive_parts_revenue",
     """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+SELECT round(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 21)
@@ -238,7 +250,7 @@ def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+        stable_sum_micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         )
     )
@@ -251,7 +263,7 @@ WITH cutoff AS (
   SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_mktsegment, count(*) AS n_custs,
-       round(sum(c.c_acctbal), 4) AS total_acctbal
+       round(sum(CAST(floor((c.c_acctbal) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS total_acctbal
 FROM customer c, cutoff
 WHERE c.c_acctbal > cutoff.a
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -273,7 +285,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+            stable_sum_micros("c_acctbal").alias("total_acctbal"),
         )
     )
 

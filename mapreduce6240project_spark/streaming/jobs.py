@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.numeric import stable_sum_micros
 from mapreduce6240project_spark.sources.tables import load_table
 
 
@@ -94,7 +95,7 @@ def streaming_tumbling(
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), stable_sum_micros("value").alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -189,7 +190,7 @@ def streaming_foreach_batch_sink(
     sink's contents re-read as proof the bytes landed."""
     ev = _stream_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+        F.count("*").alias("n"), stable_sum_micros("value").alias("sum_value")
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
