@@ -635,3 +635,35 @@ def unit_vectors(
     )
     unit = F.transform(c, lambda x: x.cast("double") / norm)
     return embeddings.select(F.col(id_col), unit.alias("uv"))
+
+
+def make_cosine_pandas_udf(query_vec: Sequence[float]):
+    """Arrow-batched scalar ``@pandas_udf`` computing cosine similarity
+    to a fixed query vector.
+
+    The expression form (``cosine``: zip_with + aggregate) wins at the
+    64-dim test width -- interpreted HOFs still beat the Arrow
+    round-trip there (module docstring).  This variant is the >1k-dim
+    path: each Arrow batch becomes one numpy (batch x d) matrix and the
+    similarity is a single BLAS matrix-vector product, so per-row
+    Python never runs.  Returns a UDF usable as
+    ``df.withColumn("sim", udf("embedding"))``; equality with the
+    expression form (up to float re-association) is pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    # no type hints: under `from __future__ import annotations` the
+    # hint strings can't be resolved by pandas_udf's inference (pd is a
+    # local import); the explicit returnType form is unambiguous
+    def cosine_to_query(batch):
+        mat = np.asarray(batch.tolist(), dtype=np.float64)  # batch x d
+        dots = mat @ q
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return pandas_udf(cosine_to_query, "double")

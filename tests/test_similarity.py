@@ -173,3 +173,33 @@ def test_mmr_is_more_diverse_than_topk(spark):
     # and is no more self-similar than it
     assert picked != top
     assert avg_pairwise_cos(picked) <= avg_pairwise_cos(top)
+
+
+def test_pandas_udf_cosine_matches_expression(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.similarity import (
+        cosine,
+        make_cosine_pandas_udf,
+    )
+    from mapreduce6240project_spark.plans.extensions import _query_vec
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    q = _query_vec(spark, "/root/testdata/sf0.001")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    expr_sims = {
+        r.vec_id: r.sim
+        for r in emb.select("vec_id", cosine("embedding", qarr).alias("sim")).collect()
+    }
+    udf_sims = {
+        r.vec_id: r.sim
+        for r in emb.select(
+            "vec_id", make_cosine_pandas_udf(q)("embedding").alias("sim")
+        ).collect()
+    }
+    assert set(udf_sims) == set(expr_sims)
+    for k, v in expr_sims.items():
+        # numpy BLAS re-associates the fold; equal to float tolerance
+        assert udf_sims[k] == pytest.approx(v, abs=1e-9)
