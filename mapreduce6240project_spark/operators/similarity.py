@@ -153,6 +153,50 @@ def _trunc_div(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+#: vector count below which ivf_centroids runs its Lloyd loop locally
+_DRIVER_IVF_THRESHOLD = 100_000
+
+
+def _ivf_centroids_local(
+    ids: list[int], vecs: list, n_cells: int, iters: int
+) -> list[list[int]]:
+    """Driver-local replica of the distributed integer Lloyd loop.
+    Same quantization (floor(x*1e6 + 0.5) on the double-widened
+    component -- IEEE-identical in Python), same LCG seed draw, same
+    first-minimum ties, same truncating integer mean; int64 throughout
+    (quantized components ~1e6, 64-dim squared distances ~2.6e14, well
+    inside int64).  Distances use the |x|^2 - 2x.c + |c|^2 expansion so
+    the working set is an n x C integer matrix, never n x C x d."""
+    import math
+
+    import numpy as np
+
+    mat = np.asarray(
+        [[math.floor(float(x) * 1_000_000 + 0.5) for x in v] for v in vecs],
+        dtype=np.int64,
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda j: (((ids[j] % 2147483648) * 1103515245 + 12345) % 2147483648, ids[j]),
+    )
+    cents = mat[order[:n_cells]].copy()
+    xs = (mat * mat).sum(axis=1)
+    for _ in range(iters):
+        d = xs[:, None] - 2 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)  # exact integer ties -> lowest cell
+        nxt = cents.copy()
+        for ci in range(cents.shape[0]):
+            members = mat[assign == ci]
+            if len(members):  # empty cells keep their centroid
+                s = members.sum(axis=0)
+                n_m = len(members)
+                nxt[ci] = np.where(
+                    s >= 0, np.abs(s) // n_m, -(np.abs(s) // n_m)
+                )
+        cents = nxt
+    return [[int(x) for x in row] for row in cents]
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int | None = None,
@@ -181,8 +225,30 @@ def ivf_centroids(
     from mapreduce6240project_spark.operators.sampling import seed_hash
 
     spark = embeddings.sparkSession
+    n = embeddings.count()
     if n_cells is None:
-        n_cells = default_n_cells(embeddings.count())
+        n_cells = default_n_cells(n)
+
+    # Adaptive driver-local path (same doctrine as kmedoids /
+    # kmeans_embeddings): below the threshold the integer Lloyd loop
+    # runs in local numpy int64.  Because every step is *integer*
+    # arithmetic (associative sums, exact ties), the local result is
+    # BIT-IDENTICAL to the distributed loop -- not merely close -- so
+    # the SQL oracles replay unchanged.  Skips ~6 Spark jobs per
+    # iteration of literal-heavy plan compilation.
+    if n <= _DRIVER_IVF_THRESHOLD:
+        rows = embeddings.select(id_col, vec_col).collect()
+        if all(
+            r[vec_col] is not None and all(x is not None for x in r[vec_col])
+            for r in rows
+        ):
+            return _ivf_centroids_local(
+                [int(r[id_col]) for r in rows],
+                [r[vec_col] for r in rows],
+                n_cells,
+                iters,
+            )
+
     qv = embeddings.select(
         F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv")
     ).persist()
@@ -453,6 +519,24 @@ def pq_codebooks(
     slices; only m * n_codes * (dim/m) integers ever reach the driver.
     """
     sub = dim // m
+    # below the driver threshold, ONE collect serves all m subspaces
+    # (slicing locally); identical integer math, so still bit-exact
+    if embeddings.count() <= _DRIVER_IVF_THRESHOLD:
+        rows = embeddings.select(id_col, vec_col).collect()
+        if all(
+            r[vec_col] is not None and all(x is not None for x in r[vec_col])
+            for r in rows
+        ):
+            ids = [int(r[id_col]) for r in rows]
+            return [
+                _ivf_centroids_local(
+                    ids,
+                    [r[vec_col][s * sub : (s + 1) * sub] for r in rows],
+                    n_codes,
+                    iters,
+                )
+                for s in range(m)
+            ]
     books: list[list[list[int]]] = []
     for s in range(m):
         sliced = embeddings.select(
