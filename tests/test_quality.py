@@ -96,3 +96,54 @@ def test_inter_event_gaps_buckets(spark):
     ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
     got = {r.bucket: r.n for r in inter_event_gaps(df).collect()}
     assert got == {"lt_1s": 1, "1s_60s": 1}
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Empty-input smoke: none of the wave-6 operators may crash on a
+    zero-row frame (schema-preserving degenerate output instead)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.windows import (
+        inter_event_gaps,
+        interpolate_linear_grid,
+        rolling_median,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    assert interpolate_linear_grid(empty).count() == 0
+    assert inter_event_gaps(empty).count() == 0
+    assert rolling_median(empty).count() == 0
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    from mapreduce6240project_spark.operators.curation import (
+        contamination_ngram_hits,
+    )
+
+    assert contamination_ngram_hits(edocs, edocs).count() == 0
+
+    eprof = spark.createDataFrame([], "k int, v string")
+    from mapreduce6240project_spark.operators.quality import (
+        column_profile,
+        mad_outliers,
+        referential_violations,
+    )
+
+    prof = {
+        (r.column_name, r.metric): r.value
+        for r in column_profile(eprof, "t", ["k"]).collect()
+    }
+    assert prof[("*", "n_rows")] == 0 and prof[("k", "n_distinct")] == 0
+    assert referential_violations(eprof, eprof, "k", "k", "t->t").first().value == 0
+    assert mad_outliers(eprof.select("k", F.lit(1.0).alias("amt")), "k", "amt").count() == 0
+
+    from mapreduce6240project_spark.operators.sketch import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    sk = quantile_sketch(
+        spark.createDataFrame([], "value double"), "value"
+    )
+    assert quantile_sketch_estimate(sk, {"p50": 0.5}).count() == 0
