@@ -31,9 +31,16 @@ QUERIES = [
     "embedding_topk",
     "ann_ivf_topk",
     "asof_last_signup",
+    "asof_nearest_signup",
     "tumbling_window",
     "interp_linear_minute",
     "dq_audit",
+    "mad_outlier_prices",
+    "qsketch_value_quantiles",
+    "contaminated_ngram",
+    "rolling_median_7",
+    "full_outer_recon",
+    "order_rank_profile",
 ]
 
 
