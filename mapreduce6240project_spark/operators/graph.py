@@ -189,17 +189,25 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     )
 
 
+def _undirected_degrees(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(u, degree) over the deduplicated undirected edge set -- the
+    shared derivation of degree_histogram and global_clustering."""
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
+        ["u", "v"]
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+
+
 def degree_histogram(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
     """Degree distribution of an undirected edge set: (degree,
     n_nodes).  Two skinny shuffles (per-node degree, then the
     degree-cardinality histogram -- bounded by max degree, tiny)."""
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
-        ["u", "v"]
-    )
-    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    deg = _undirected_degrees(pairs, src, dst)
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -219,12 +227,7 @@ def global_clustering(
     if not was_cached:
         pairs = pairs.persist()
     tri = int(triangle_count(pairs, src, dst).first()["n_triangles"])
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
-        ["u", "v"]
-    )
-    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
-    wed = deg.agg(
+    wed = _undirected_degrees(pairs, src, dst).agg(
         F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
     ).first()["w"]
     if not was_cached:

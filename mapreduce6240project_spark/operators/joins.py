@@ -47,6 +47,13 @@ def as_of_join(
     for backward visibility, a second copy after for forward), then
     last/first(ignorenulls) carries the bracketing values.  One shuffle
     on the key, state per row is |value_cols| entries.
+
+    Precondition: (key, ts) should be unique on the right side (and on
+    the left for reproducible output) -- with duplicate timestamps the
+    within-tie order of the union is engine-dependent, so which of the
+    tied right rows wins is unspecified.  The registered oracles order
+    by (ts, event_id) and rely on the driver data's collision-free
+    timestamps; verified at all scale factors.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction: {direction}")

@@ -82,12 +82,13 @@ def embedding_cosine_pairs(
             lambda acc, v: acc + v,
         )
     )
-    # NOTE: the returned pair DataFrame is lazy over this cache, so the
-    # caller owns its lifetime (unpersist after materializing); one
-    # (id, cell, unit-vector) row per input vector, N-bounded
+    # deliberately NOT persisted: the result is lazy, so a persist here
+    # leaks one cached frame per call (no caller could unpersist it);
+    # both self-join branches recompute the narrow scan+normalize
+    # projection instead -- 2N folds, negligible next to the pair stage
     un = cells.select(
         id_col, "cell", F.transform(c, lambda x: x.cast("double") / norm).alias("uv")
-    ).persist()
+    )
     a, b = un.alias("a"), un.alias("b")
     sim = F.aggregate(
         F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y),
@@ -238,7 +239,7 @@ def ivf_centroids(
     # iteration of literal-heavy plan compilation.
     if n <= _DRIVER_IVF_THRESHOLD:
         rows = embeddings.select(id_col, vec_col).collect()
-        if all(
+        if rows and all(
             r[vec_col] is not None and all(x is not None for x in r[vec_col])
             for r in rows
         ):
@@ -523,7 +524,7 @@ def pq_codebooks(
     # (slicing locally); identical integer math, so still bit-exact
     if embeddings.count() <= _DRIVER_IVF_THRESHOLD:
         rows = embeddings.select(id_col, vec_col).collect()
-        if all(
+        if rows and all(
             r[vec_col] is not None and all(x is not None for x in r[vec_col])
             for r in rows
         ):

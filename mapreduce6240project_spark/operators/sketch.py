@@ -386,8 +386,12 @@ def quantile_sketch_estimate(
 ) -> DataFrame:
     """(label, est_micros, n_total) per requested quantile: the first
     bucket whose cumulative count reaches ceil(q * total), reported at
-    the bucket midpoint.  The bucket table is a few hundred rows, so
-    the single-partition cumulative window is free."""
+    the bucket midpoint.  The target rank is computed in exact integer
+    arithmetic from per-myriad quantiles -- ceil(0.9 * 1000) in IEEE
+    doubles is 901, not 900, because 0.9*1000 rounds up a hair; the
+    integer form (q10k * total + 9999) div 10000 cannot drift.  The
+    bucket table is a few hundred rows, so the single-partition
+    cumulative window is free."""
     from pyspark.sql import Window
 
     spark = sketch.sparkSession
@@ -397,11 +401,13 @@ def quantile_sketch_estimate(
         "total", F.sum("n").over(wall)
     )
     qdf = spark.createDataFrame(
-        sorted(quantiles.items()), "label string, q double"
+        sorted((k, int(round(v * 10000))) for k, v in quantiles.items()),
+        "label string, q10k long",
     )
+    rank = F.expr("CAST((q10k * total + 9999) div 10000 AS BIGINT)")
     hits = (
         c.crossJoin(F.broadcast(qdf))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .filter(F.col("cum") >= rank)
         .groupBy("label")
         .agg(F.min("bid").alias("bid"), F.max("total").alias("n_total"))
     )

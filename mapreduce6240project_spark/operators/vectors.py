@@ -165,7 +165,7 @@ def kmeans_embeddings(
         import numpy as np
 
         vecs = [r[vec_col] for r in data.select(vec_col).collect()]
-        if all(v is not None and all(x is not None for x in v) for v in vecs):
+        if vecs and all(v is not None and all(x is not None for x in v) for v in vecs):
             mat = np.asarray([[float(x) for x in v] for v in vecs], dtype=np.float64)
             centroids = _iterate_lloyd_local(mat, centroids, max_iter, tol, result)
             data.unpersist(blocking=False)

@@ -212,8 +212,10 @@ def interpolate_linear_grid(
     grid (the hypertable `time_bucket_gapfill + interpolate` pattern;
     complements :func:`gapfill_locf`, which carries the last value flat).
 
-    Per key, grid points run from ceil(first obs, minute) to
-    floor(last obs, minute); each grid value is
+    Per key, grid points run from trunc(first obs, minute) + 1 minute
+    to trunc(last obs, minute) -- note the lower bound skips a first
+    observation that falls exactly ON a minute boundary (strictly-after
+    semantics, mirrored in the oracle); each grid value is
     ``pv + (nv - pv) * (t - pt) / (nt - pt)`` from the bracketing
     observations.  Returns per-key ``n_points`` and the fixed-point sum
     of interpolated values (``sum_micros``), both exact integers.

@@ -306,9 +306,10 @@ WHERE list_dot_product(a.uv, b.uv) >= 0.4""",
 def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.similarity import _dot, unit_vectors
 
-    # persist: both self-join branches share the lineage; uncached the
-    # narrow normalization runs twice (2N folds -- cheap, but free to skip)
-    emb = unit_vectors(load_table(spark, sf_dir, "embeddings")).persist()
+    # deliberately NOT persisted: the result is lazy, so a persist here
+    # would leak one cached frame per call; the duplicated narrow
+    # normalization (2N folds) is negligible next to the O(N^2) join
+    emb = unit_vectors(load_table(spark, sf_dir, "embeddings"))
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

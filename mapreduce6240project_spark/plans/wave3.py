@@ -120,9 +120,10 @@ def q_embedding_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "promo_revenue_ratio",
     """
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+SELECT round(100.0 * sum(CAST(floor((CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END), 4) AS promo_revenue,
+                              ELSE 0 END) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4)
+         AS promo_revenue,
        round(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS total_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -141,7 +142,15 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4
+                100.0
+                * F.sum(
+                    F.floor(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0) * 1000000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                / 1000000.0,
+                4,
             ).alias("promo_revenue"),
             stable_sum_micros(rev).alias("total_revenue"),
         )

@@ -358,11 +358,11 @@ c AS (
 ),
 q AS (
   SELECT unnest(['p50', 'p90', 'p99']) AS label,
-         unnest([0.5, 0.9, 0.99]) AS qv
+         unnest([5000, 9000, 9900]) AS q10k
 ),
 sel AS (
   SELECT label, min(bid) AS bid, max(total) AS n_total
-  FROM c, q WHERE cum >= ceil(qv * total) GROUP BY label
+  FROM c, q WHERE cum >= (q10k * total + 9999) // 10000 GROUP BY label
 )
 SELECT label, {rep} AS est_micros, CAST(n_total AS BIGINT) AS n_total FROM sel"""
 

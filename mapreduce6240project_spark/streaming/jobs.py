@@ -319,8 +319,16 @@ def streaming_tws_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(applyInPandasWithState) instead"
         ) from exc
 
+    # set the provider for THIS query only and restore afterwards: a
+    # session-wide flip would silently re-provider later stateful
+    # queries (incompatible with checkpoints written under the default)
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        old_provider = None
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
@@ -352,8 +360,32 @@ def streaming_tws_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    emitted = _drain_to_parquet(spark, agg, "update")
-    # running totals are monotone; the final state is the max emission
-    return emitted.groupBy("user_id").agg(
-        F.max("total_micros").alias("total_micros")
-    )
+    try:
+        # drain with the epoch id preserved: update-mode re-emits a
+        # key's row each batch it changes, and with negative values the
+        # running total is NOT monotone -- the LAST emission per key is
+        # the final state, never the max
+        out = tempfile.mkdtemp(prefix="sparkgraft_tws_")
+
+        def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+        q = agg.writeStream.outputMode("update").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if not glob.glob(f"{out}/epoch=*"):
+            return spark.createDataFrame([], "user_id long, total_micros long")
+        emitted = spark.read.option("basePath", out).parquet(f"{out}/epoch=*")
+        last = F.max(F.struct(F.col("epoch"), F.col("total_micros")))
+        return (
+            emitted.groupBy("user_id")
+            .agg(last.alias("_l"))
+            .select("user_id", F.col("_l.total_micros").alias("total_micros"))
+        )
+    finally:
+        if old_provider is not None:
+            spark.conf.set(_PROVIDER_KEY, old_provider)
+        else:
+            spark.conf.unset(_PROVIDER_KEY)

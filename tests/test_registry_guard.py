@@ -61,3 +61,30 @@ def test_entry_module_fresh_interpreter():
     assert info["q"] >= 106
     assert info["o"] >= 90
     assert info["first"] == "ingest_featurize"
+
+
+def test_oracle_micros_sums_match_canonical_helper():
+    """Every fixed-point sum in an oracle string must carry the full
+    canonical quantization (half-up via +0.5, BIGINT cast, matching
+    descale) -- a drifted copy (missing rounding term, wrong scale)
+    would silently desynchronize that oracle from the Spark side."""
+    import re
+
+    from mapreduce6240project_spark.plans import REGISTRY
+
+    shape = re.compile(
+        r"sum\(CAST\(floor\(.{0,400}?\* 1000000 \+ 0\.5\) AS BIGINT\)\)",
+        re.DOTALL,
+    )
+    for spec in REGISTRY.values():
+        if not spec.oracle:
+            continue
+        for mobj in re.finditer(r"sum\(CAST\(floor\(", spec.oracle):
+            frag = spec.oracle[mobj.start() : mobj.start() + 500]
+            # micros sums must end in the canonical rounding + cast; the
+            # cents variants (floor(x * 100 + 0.5)) are likewise half-up
+            assert re.match(
+                r"sum\(CAST\(floor\(.{0,400}?\* 10+ \+ 0\.5\) AS BIGINT\)\)",
+                frag,
+                re.DOTALL,
+            ), f"{spec.name}: non-canonical quantized sum: {frag[:120]}"
