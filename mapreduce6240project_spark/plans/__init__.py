@@ -29,6 +29,7 @@ for _mod in (
     "wave5",
     "wave6",
     "wave7",
+    "wave8",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
