@@ -30,6 +30,7 @@ for _mod in (
     "wave6",
     "wave7",
     "wave8",
+    "wave9",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
@@ -158,6 +159,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "charlm_quality",
     "zorder_rectangle",
     "user_value_ewma",
+    # -- wave 9: remaining TPC-H shapes (Q2,3,9,11,12,15,16,20 adapted) --
+    "min_cost_supplier",
+    "shipping_priority",
+    "product_type_profit",
+    "important_parts",
+    "late_ship_modes",
+    "top_supplier",
+    "supplier_part_counts",
+    "excess_qty_suppliers",
 )
 
 _ordered: dict[str, QuerySpec] = {}
