@@ -110,6 +110,62 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embeddings (IVF k-means cells), form within-cell cosine pairs
+    above ``threshold``, and keep one representative per neighborhood.
+
+    Survivor rule: a vector is dropped iff a *lower-id* vector in its
+    cell is within the threshold (i.e. it appears as ``id_b`` in a
+    pair).  Deterministic and engine-replayable, unlike the paper's
+    "random representative"; equivalent to greedy keep-first over the
+    id order.  Dropping every dominated vector (rather than one per
+    connected group) matches the paper's epsilon-ball pruning.
+
+    Scale shape: candidate generation is the same bucketed within-cell
+    self-join as :func:`embedding_cosine_pairs` (O(N^1.5) expected with
+    sqrt-N cells), and the final anti-join shuffles only ids."""
+    pairs = embedding_cosine_pairs(embeddings, threshold, n_cells, id_col, vec_col)
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dominated, id_col, "left_anti")
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the IVF approximate top-k against the exact
+    brute-force top-k for one query: a 1-row DataFrame
+    ``(k, hits, recall)``.  The two top-k sets are k-row driver-merged
+    results, so the intersection join is trivially broadcast; the cost
+    is one exact scan + one probed scan -- this is the operator you run
+    on a sample to *validate* an index before trusting it at 100 TB."""
+    exact = cosine_topk(embeddings, query_vec, k, id_col, vec_col).select(id_col)
+    approx = ann_ivf_topk(
+        embeddings, query_vec, k, n_cells, n_probe, id_col, vec_col
+    ).select(id_col)
+    return (
+        exact.join(approx, id_col, "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit(k).alias("k"),
+            "hits",
+            F.round(F.col("hits") / float(k), 4).alias("recall"),
+        )
+    )
+
+
 #: fixed-point scale for the integer k-means: 6 decimals.  Components
 #: are unit-ish (|x| < 1), so quantized values stay ~1e6 and 64-dim
 #: squared distances stay ~1e14 -- far inside bigint range.

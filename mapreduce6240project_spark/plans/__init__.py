@@ -31,6 +31,7 @@ for _mod in (
     "wave7",
     "wave8",
     "wave9",
+    "wave10",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
@@ -168,6 +169,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "top_supplier",
     "supplier_part_counts",
     "excess_qty_suppliers",
+    # -- wave 10: semantic dedup + index validation --
+    "semantic_dedup",
+    "ann_recall_at10",
 )
 
 _ordered: dict[str, QuerySpec] = {}

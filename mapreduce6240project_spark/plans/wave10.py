@@ -1,0 +1,100 @@
+"""Round-3 coverage wave 10: embedding-index validation and semantic
+deduplication.
+
+- ``semantic_dedup``: SemDeDup-style pruning (cluster embeddings into
+  IVF k-means cells, drop every vector with a lower-id within-cell
+  neighbor above the cosine threshold).  The LLM-curation counterpart
+  of the text-side MinHash/SimHash dedup family, operating purely in
+  embedding space.
+- ``ann_recall_at10``: measured recall@10 of the IVF approximate top-k
+  against the exact brute-force top-k -- the validation query you run
+  on a sample before trusting an approximate index at full scale.
+  Registered as a first-class query so the driver's oracle replays the
+  whole IVF pipeline *and* its quality metric.
+
+Both oracles reuse the unrolled integer-k-means CTE chain
+(``_ivf_cells_sql``) that makes the IVF pipeline bit-exact in ANSI SQL.
+
+Reference parity note: the reference has no vector surface; this wave
+belongs to the LLM-data-pipeline extension mandated alongside SURVEY.md
+section 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.operators import similarity as S
+from mapreduce6240project_spark.plans.extensions import _ivf_cells_sql, _query_vec
+from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.sources.tables import load_table
+
+
+@_register(
+    "semantic_dedup",
+    _ivf_cells_sql()
+    + """
+, un AS (
+  SELECT vec_id,
+         list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev))) AS uv
+  FROM vecs
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN un ua ON ua.vec_id = a.vec_id
+  JOIN un ub ON ub.vec_id = b.vec_id
+  WHERE round(list_dot_product(ua.uv, ub.uv), 4) >= 0.35
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dominated)""",
+    ref="extension: SemDeDup-style semantic dedup (IVF cells + within-cell "
+    "cosine pruning, keep-lowest-id); embedding-space counterpart of the "
+    "MinHash/SimHash text dedup family",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.35).select("vec_id", "label")
+
+
+@_register(
+    "ann_recall_at10",
+    _ivf_cells_sql()
+    + """
+, qi AS (SELECT unnest(q) AS x, unnest(generate_series(1, len(q))) AS d
+       FROM iv WHERE vec_id = 0),
+pd AS (SELECT c.cell, sum((c.cx - t.x) * (c.cx - t.x)) AS dist
+       FROM c2 c JOIN qi t ON c.d = t.d GROUP BY 1),
+probe AS (SELECT cell FROM (
+       SELECT cell, row_number() OVER (ORDER BY dist, cell) AS rn FROM pd)
+       WHERE rn <= 4),
+asims AS (
+  SELECT a.vec_id,
+         list_dot_product(v.ev, qv)
+         / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(qv, qv))) AS sim_raw
+  FROM af a JOIN vecs v USING (vec_id), q
+  WHERE a.cell IN (SELECT cell FROM probe)
+),
+approx AS (SELECT vec_id FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rn
+  FROM asims) WHERE rn <= 10),
+esims AS (
+  SELECT v.vec_id,
+         list_dot_product(v.ev, qv)
+         / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(qv, qv))) AS sim_raw
+  FROM vecs v, q
+),
+exact AS (SELECT vec_id FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rn
+  FROM esims) WHERE rn <= 10)
+SELECT 10 AS k, CAST(count(*) AS BIGINT) AS hits,
+       round(count(*) / 10.0, 4) AS recall
+FROM exact JOIN approx USING (vec_id)""",
+    ref="extension: recall@10 of the IVF index vs the exact top-k -- "
+    "index-quality validation as a first-class, oracle-replayed query",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, _query_vec(spark, sf_dir), k=10, n_probe=4)

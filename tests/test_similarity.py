@@ -203,3 +203,38 @@ def test_pandas_udf_cosine_matches_expression(spark):
     for k, v in expr_sims.items():
         # numpy BLAS re-associates the fold; equal to float tolerance
         assert udf_sims[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_semantic_dedup_invariants(emb):
+    from mapreduce6240project_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        semantic_dedup,
+    )
+
+    thr = 0.35
+    survivors = semantic_dedup(emb, threshold=thr)
+    total = emb.count()
+    kept = survivors.count()
+    pairs = embedding_cosine_pairs(emb, threshold=thr).collect()
+    dominated = {r.id_b for r in pairs}
+    # survivor set is exactly (all ids) minus (ids with a lower-id
+    # within-cell neighbor above the threshold)
+    kept_ids = {r.vec_id for r in survivors.select("vec_id").collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept_ids == all_ids - dominated
+    assert kept == total - len(dominated)
+    # the globally lowest id of any cell can never be dominated
+    min_id = min(all_ids)
+    assert min_id in kept_ids
+
+
+def test_ann_recall_row(emb, qvec):
+    from mapreduce6240project_spark.operators.similarity import ann_recall
+
+    row = ann_recall(emb, qvec, k=10, n_probe=4).first()
+    assert row.k == 10
+    assert 0 <= row.hits <= 10
+    assert abs(row.recall - row.hits / 10.0) < 1e-9
+    # probing every cell must give perfect recall
+    perfect = ann_recall(emb, qvec, k=10, n_probe=10_000).first()
+    assert perfect.hits == 10 and perfect.recall == 1.0
