@@ -41,6 +41,11 @@ QUERIES = [
     "rolling_median_7",
     "full_outer_recon",
     "order_rank_profile",
+    "shipping_priority",
+    "min_cost_supplier",
+    "important_parts",
+    "semantic_dedup",
+    "ann_recall_at10",
 ]
 
 
