@@ -172,6 +172,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # -- wave 10: semantic dedup + index validation --
     "semantic_dedup",
     "ann_recall_at10",
+    "user_value_trend",
 )
 
 _ordered: dict[str, QuerySpec] = {}

@@ -145,3 +145,67 @@ def q_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         stable_sum_micros("value").alias("sum_value"),
     )
+
+
+# -- per-user value trend (exact-integer regression slope) -----------------
+
+
+@_register(
+    "user_value_trend",
+    """
+WITH pts AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - 1704067200 AS x,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+aggs AS (
+  SELECT user_id,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_micros_per_s
+FROM aggs WHERE n * sxx - sx * sx <> 0""",
+    ref="extension: per-user OLS trend of event value over time.  The "
+    "closed-form slope (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is computed from "
+    "exact integer sums (x = whole epoch seconds rebased to 2024-01-01, "
+    "y = value in fixed-point micros, accumulated as decimal(38,0)): "
+    "associative, so bit-identical under any partial-agg order, unlike a "
+    "raw float regr_slope.  One shuffle on user_id; seconds (not micros) "
+    "keep n*Sxx inside 38 digits even at 1e7 events/user",
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    x = (F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)).cast(dec)
+    y = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").cast(dec)
+    aggs = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n_events").cast(dec)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        aggs.filter(den != 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "slope_micros_per_s"
+            ),
+        )
+    )
