@@ -233,3 +233,42 @@ def test_interpolation_single_data_shuffle(spark):
     # no cartesian/range join anywhere in the interpolation plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wave9_tpch_shapes_broadcast_dims(spark):
+    # Q3/Q9/Q20: every dimension side broadcasts; no dimension ever
+    # forces a sort-merge join of the fact table against a dim
+    for name, min_bhj in (
+        ("shipping_priority", 2),
+        ("product_type_profit", 3),
+        ("excess_qty_suppliers", 3),
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+
+
+def test_q6_shape_pushes_every_predicate(spark):
+    plan = _plan(REGISTRY["forecast_revenue"].fn(spark, SF))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+
+
+def test_important_parts_single_fact_scan(spark):
+    # the Q11 shape persists the filtered projection: per-part agg and
+    # global total must both read the InMemoryRelation, not re-scan
+    df = REGISTRY["important_parts"].fn(spark, SF)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    # the global total joins back as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_is_bucketed_not_allpairs(spark):
+    from mapreduce6240project_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(semantic_dedup(emb, threshold=0.35))
+    # candidate generation must join on the IVF cell, never a pure
+    # cartesian self-product of the vectors
+    assert "CartesianProduct" not in plan
