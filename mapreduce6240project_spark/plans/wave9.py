@@ -247,17 +247,21 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = li.join(
         F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey")
     ).select("l_partkey", _rev_cents().alias("cents"))
-    filtered = filtered.persist()
-    per_part = filtered.groupBy("l_partkey").agg(
-        F.sum("cents").alias("value_cents")
+    # persist the SMALL side: the per-part aggregate (|parts| rows), not
+    # the filtered fact projection -- the global total is then the sum of
+    # the per-part sums (identical bigints, associativity), so one fact
+    # scan feeds both and the cache footprint is dimension-sized
+    per_part = (
+        filtered.groupBy("l_partkey")
+        .agg(F.sum("cents").alias("value_cents"))
+        .persist()
     )
-    total = filtered.agg(F.sum("cents").alias("total_cents"))
-    out = (
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value_cents") * 500 > F.col("total_cents"))
         .select("l_partkey", "value_cents")
     )
-    return out
 
 
 # -- Q12 shape: late-shipping priority counts -------------------------------
