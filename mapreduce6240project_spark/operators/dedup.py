@@ -626,3 +626,62 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granular exact dedup with document reassembly -- the
+    C4 / Dolma technique: duplicated *spans* are removed from documents
+    while the surrounding unique content survives (whole-doc dedup
+    would keep boilerplate that repeats across distinct pages).
+
+    "Paragraph" here is a run of ``chunk_tokens`` consecutive
+    normalized tokens (the driver corpus has no newline structure; with
+    real text, split on blank lines instead -- the plan is identical).
+    A chunk survives only in the globally-first document that contains
+    it (ordering by (doc_id, chunk position), deterministic); each
+    document is then reassembled from its surviving chunks in order.
+
+    Scale shape: posexplode -> one shuffle keyed by the chunk text hash
+    for the global first-occurrence window (exactly the Dolma dedup
+    shuffle; hot boilerplate chunks are the skew risk, and the key
+    carries the md5 not the text), then one shuffle back on doc id for
+    reassembly via sort_array(collect_list) -- order restored
+    deterministically from the chunk position, never relying on
+    collect_list order."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    chunks = (
+        toks.groupBy(id_col, (F.col("pos") / chunk_tokens).cast("int").alias("cpos"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "cpos")
+    kept = chunks.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("cpos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

@@ -173,6 +173,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "semantic_dedup",
     "ann_recall_at10",
     "user_value_trend",
+    "dedup_paragraphs",
 )
 
 _ordered: dict[str, QuerySpec] = {}

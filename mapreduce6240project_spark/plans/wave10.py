@@ -98,3 +98,39 @@ FROM exact JOIN approx USING (vec_id)""",
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_recall(emb, _query_vec(spark, sf_dir), k=10, n_probe=4)
+
+
+@_register(
+    "dedup_paragraphs",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(tk) AS tok,
+         unnest(generate_series(1, len(tk))) - 1 AS pos
+  FROM norm
+),
+chunks AS (
+  SELECT doc_id, CAST(floor(pos / 10) AS INT) AS cpos,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY doc_id, CAST(floor(pos / 10) AS INT)
+),
+kept AS (
+  SELECT doc_id, cpos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cpos) AS rk
+  FROM chunks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_chunks,
+       string_agg(chunk, ' ' ORDER BY cpos) AS dedup_text
+FROM kept WHERE rk = 1 GROUP BY doc_id""",
+    ref="extension: C4/Dolma paragraph-granular dedup with document "
+    "reassembly (span-level survivor selection, not whole-doc): "
+    "operators/dedup.py dedup_paragraphs",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(load_table(spark, sf_dir, "documents"))

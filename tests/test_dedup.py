@@ -97,3 +97,29 @@ def test_winnow_fingerprints_detect_shared_substring(spark, docs):
     pairs = {(r.id_a, r.id_b): r.overlap
              for r in winnow_overlap_pairs(docs, threshold=0.3).collect()}
     assert pairs[(1, 2)] == 1.0 and (1, 4) in pairs and (1, 5) not in pairs
+
+
+def test_paragraph_dedup_removes_shared_span(spark):
+    from mapreduce6240project_spark.operators.dedup import dedup_paragraphs
+
+    span = " ".join(f"w{i}" for i in range(10))  # one exact 10-token chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{span} {uniq_a}"), (2, f"{span} {uniq_b}")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    # doc 1 (first occurrence) keeps both chunks; doc 2 loses the span
+    assert out[1].n_kept_chunks == 2 and out[1].dedup_text == f"{span} {uniq_a}"
+    assert out[2].n_kept_chunks == 1 and out[2].dedup_text == uniq_b
+
+
+def test_paragraph_dedup_short_doc_single_chunk(spark):
+    from mapreduce6240project_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "only three words")], "doc_id bigint, text string"
+    )
+    r = dedup_paragraphs(docs).first()
+    assert r.n_kept_chunks == 1 and r.dedup_text == "only three words"
