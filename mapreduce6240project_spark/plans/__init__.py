@@ -174,6 +174,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_recall_at10",
     "user_value_trend",
     "dedup_paragraphs",
+    "impute_props_k",
 )
 
 _ordered: dict[str, QuerySpec] = {}

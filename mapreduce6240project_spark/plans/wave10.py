@@ -134,3 +134,54 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.dedup import dedup_paragraphs
 
     return dedup_paragraphs(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "impute_props_k",
+    """
+WITH parsed AS (
+  SELECT event_id, event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(sum(k) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+           AS mean_micros
+  FROM parsed WHERE k >= 10 GROUP BY event_type
+)
+SELECT p.event_id,
+       CASE WHEN p.k < 10 THEN s.mean_micros ELSE p.k * 1000000 END
+         AS k_micros_filled,
+       p.k < 10 AS was_imputed
+FROM parsed p JOIN stats s ON p.event_type = s.event_type""",
+    ref="extension: missing-value imputation by per-group mean.  The "
+    "'missing' mask is deterministic (k < 10 stands in for NULL; the "
+    "driver corpus has no real nulls) and the imputed mean is exact "
+    "integer micros (sum*1e6 div count -- associative, replayable), "
+    "joined back as a broadcast of the tiny per-type stats table",
+)
+def q_impute_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    stats = (
+        parsed.filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.expr("sum(k) * 1000000 div count(*)").alias("mean_micros")
+        )
+    )
+    return (
+        parsed.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            F.when(F.col("k") < 10, F.col("mean_micros"))
+            .otherwise(F.col("k") * 1000000)
+            .alias("k_micros_filled"),
+            (F.col("k") < 10).alias("was_imputed"),
+        )
+    )
