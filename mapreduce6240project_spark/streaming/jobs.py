@@ -389,3 +389,25 @@ def streaming_tws_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(_PROVIDER_KEY, old_provider)
         else:
             spark.conf.unset(_PROVIDER_KEY)
+
+
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each incoming event is enriched with a
+    static per-user profile (first-seen timestamp) computed batch-side.
+
+    The static side is a plain batch DataFrame; Structured Streaming
+    re-plans it into every micro-batch, and because it is
+    dimension-sized it broadcasts -- the canonical feature-enrichment
+    topology (stream of interactions x slowly-refreshed profile table).
+    No watermark is needed: a stream-static inner join is stateless
+    (state never accumulates across batches)."""
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_seen_us"))
+    )
+    ev = _stream_events(spark, sf_dir)
+    joined = ev.join(F.broadcast(profile), "user_id").select(
+        "event_id", "first_seen_us"
+    )
+    return run_streaming_append(spark, joined)

@@ -238,3 +238,25 @@ def test_ann_recall_row(emb, qvec):
     # probing every cell must give perfect recall
     perfect = ann_recall(emb, qvec, k=10, n_probe=10_000).first()
     assert perfect.hits == 10 and perfect.recall == 1.0
+
+
+def test_ivf_assign_pandas_path_bit_identical(emb):
+    from mapreduce6240project_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb)
+    expr = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(emb, centroids=cents, use_pandas=False)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    arrow = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(emb, centroids=cents, use_pandas=True)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert expr == arrow
