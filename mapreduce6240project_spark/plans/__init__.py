@@ -175,6 +175,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "user_value_trend",
     "dedup_paragraphs",
     "impute_props_k",
+    "streaming_enrich_static",
 )
 
 _ordered: dict[str, QuerySpec] = {}
