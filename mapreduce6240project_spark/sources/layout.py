@@ -135,3 +135,44 @@ def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
             f"((({y_expr}) & {mask}) // {1 << i}) % 2 * {1 << (2 * i + 1)}"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_mb)`` files and return that count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    thousands of KB-scale files; at 100 TB the *listing* alone then
+    dominates query planning, and row-group-per-file kills scan
+    throughput.  Compaction is the periodic maintenance job every
+    production lake runs (Delta OPTIMIZE / Iceberg rewrite_data_files
+    do exactly this under the hood -- see sources/connectors.py for the
+    gated lakehouse path).
+
+    ``repartition(n)`` (round-robin) rather than ``coalesce(n)``:
+    coalesce merges without a shuffle but inherits input skew, so one
+    output file can end up holding most of the bytes; the compaction
+    shuffle IS the point.  Sizing reads the source footprint from the
+    filesystem; on a real cluster the same number comes from the
+    FileSystem API / table statistics, and the write adds
+    ``maxRecordsPerFile`` as a safety bound."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src_dir).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
+    return n_files

@@ -27,3 +27,24 @@ def test_lakehouse_probe_and_gate(spark):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         lakehouse_available(spark, "orcish")
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    import os
+
+    from mapreduce6240project_spark.sources.layout import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(
+        50
+    ).write.parquet(src)
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_in == 50
+    n_out = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_out == 1
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 1
+    # content survives byte-for-byte (same rows, same schema)
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
