@@ -46,6 +46,9 @@ QUERIES = [
     "important_parts",
     "semantic_dedup",
     "ann_recall_at10",
+    "dedup_paragraphs",
+    "user_value_trend",
+    "impute_props_k",
 ]
 
 
