@@ -32,6 +32,7 @@ for _mod in (
     "wave8",
     "wave9",
     "wave10",
+    "wave11",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
