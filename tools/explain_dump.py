@@ -49,6 +49,9 @@ QUERIES = [
     "dedup_paragraphs",
     "user_value_trend",
     "impute_props_k",
+    "incremental_merge_agg",
+    "length_band_docs",
+    "stable_doc_ids",
 ]
 
 
