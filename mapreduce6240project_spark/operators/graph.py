@@ -267,3 +267,48 @@ def simgraph_pairs(spark, sf_dir: str, threshold: float = 0.1) -> DataFrame:
         ).persist()
         per_session[key] = df
     return df
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    source: int,
+    max_hops: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, hops) for every node within ``max_hops`` undirected hops
+    of ``source`` (hops = length of the shortest path; the source is
+    hops 0).  Frontier-expansion BFS: each round is one join keyed on
+    the frontier node id plus an anti-join against the visited set --
+    the per-round shuffle carries the frontier, never the graph, and
+    ``localCheckpoint`` truncates the growing lineage exactly as in
+    :func:`connected_components`.  With a bounded ``max_hops`` the
+    round count is fixed, so the whole walk is ``max_hops`` joins
+    regardless of graph size."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    spark = pairs.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], schema="node bigint, hops int"
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        reached = (
+            edges.join(frontier, edges.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    edges.unpersist()
+    return visited

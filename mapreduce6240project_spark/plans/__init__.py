@@ -33,6 +33,7 @@ for _mod in (
     "wave9",
     "wave10",
     "wave11",
+    "wave12",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -100,3 +100,29 @@ def test_global_clustering_no_wedges_is_null(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     r = global_clustering(pairs).first()
     assert r.n_triangles == 0 and r.n_wedges == 0 and r.gcc_micros is None
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    from mapreduce6240project_spark.operators.graph import bfs_hops
+
+    # chain 0-1-2-3-4 plus disconnected 7-8; from 0 with max_hops=3 the
+    # reachable set is {0:0, 1:1, 2:2, 3:3}; 4 is 4 hops away and 7/8
+    # are in another component -- neither appears.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.node: r.hops for r in bfs_hops(pairs, source=0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_takes_shortest_path(spark):
+    from mapreduce6240project_spark.operators.graph import bfs_hops
+
+    # diamond 0-1, 0-2, 1-3, 2-3: node 3 is reachable two ways, hops
+    # must be the shortest (2), and early termination on an empty
+    # frontier must not truncate the result.
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r.node: r.hops for r in bfs_hops(pairs, source=0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}

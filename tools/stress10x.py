@@ -69,8 +69,22 @@ def build_dataset() -> None:
     maxe = con.sql(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
     maxv = con.sql(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
 
-    for t in ("region", "nation", "customer", "supplier", "part", "documents"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         copy(t)
+    maxd = con.sql(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+    # Every token gets a per-replica suffix: an injective per-replica
+    # token map preserves within-replica duplicate structure EXACTLY
+    # (chunk alignment, shingle sets, vocab shape all scale 10x) while
+    # no chunk/shingle ever matches across replicas -- constant dup
+    # density, the honest way to 10x a dedup corpus.  (A plain text
+    # copy would make every paragraph a 10-clique and measure dup-
+    # density explosion, not scale -- same caveat as embeddings.)
+    copy(
+        "documents",
+        r"SELECT doc_id + rep * {m} AS doc_id,"
+        r" regexp_replace(text, '(\S+)', '\1' || CAST(rep AS VARCHAR), 'g') AS text,"
+        r" lang, source, n_chars FROM {{src}}, reps".format(m=maxd),
+    )
     copy(
         "orders",
         "SELECT o_orderkey + rep * {m} AS o_orderkey, o_custkey, o_orderstatus,"
