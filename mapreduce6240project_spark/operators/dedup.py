@@ -628,6 +628,32 @@ def jaccard_prefix_pairs(
     )
 
 
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, cpos, chunk): consecutive ``chunk_tokens``-token spans of the
+    normalized text, reassembled in token order.  The shared chunking
+    stage of paragraph-granular dedup and boilerplate detection."""
+    toks = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    return (
+        toks.groupBy(id_col, (F.col("pos") / chunk_tokens).cast("int").alias("cpos"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     chunk_tokens: int = 10,
@@ -655,21 +681,7 @@ def dedup_paragraphs(
     collect_list order."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    chunks = (
-        toks.groupBy(id_col, (F.col("pos") / chunk_tokens).cast("int").alias("cpos"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("chunk")
-        )
-    )
+    chunks = doc_chunks(docs, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col)
     w = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "cpos")
     kept = chunks.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (

@@ -34,6 +34,7 @@ for _mod in (
     "wave10",
     "wave11",
     "wave12",
+    "wave13",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
