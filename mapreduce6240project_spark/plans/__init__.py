@@ -35,6 +35,7 @@ for _mod in (
     "wave11",
     "wave12",
     "wave13",
+    "wave14",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

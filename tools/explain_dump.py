@@ -52,6 +52,10 @@ QUERIES = [
     "incremental_merge_agg",
     "length_band_docs",
     "stable_doc_ids",
+    "bfs_hops_simgraph",
+    "vocab_oov_rate",
+    "scd2_user_state",
+    "boilerplate_chunks",
 ]
 
 
