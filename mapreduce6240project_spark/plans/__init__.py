@@ -36,6 +36,7 @@ for _mod in (
     "wave12",
     "wave13",
     "wave14",
+    "wave15",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

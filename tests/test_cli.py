@@ -23,7 +23,7 @@ def test_list_names_every_registered_query():
     r = _cli("list")
     assert r.returncode == 0
     names = r.stdout.split()
-    assert len(names) >= 175
+    assert len(names) >= 177
     assert "kmedoids_k3" in names and "dedup_minhash_lsh" in names
 
 

@@ -56,6 +56,8 @@ QUERIES = [
     "vocab_oov_rate",
     "scd2_user_state",
     "boilerplate_chunks",
+    "rerank_top_docs",
+    "contrastive_negatives",
 ]
 
 
