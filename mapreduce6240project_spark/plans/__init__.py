@@ -37,6 +37,7 @@ for _mod in (
     "wave13",
     "wave14",
     "wave15",
+    "wave16",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

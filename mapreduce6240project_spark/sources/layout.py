@@ -176,3 +176,21 @@ def compact_parquet(
         "overwrite"
     ).parquet(dst_dir)
     return n_files
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition of the tree untouched.
+
+    With static overwrite (the default) an ``overwrite`` write drops the
+    whole table first -- re-running one day's backfill would erase the
+    other 364 days.  Dynamic mode scopes the delete to the partitions
+    the incoming frame actually contains, which is the idempotent-daily-
+    backfill contract every partitioned fact table at scale relies on.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

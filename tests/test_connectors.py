@@ -48,3 +48,41 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.sources.layout import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF, "events").select("event_id", "value", "event_type")
+    write_partitioned(ev, path, "event_type")
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert len(before) >= 2
+
+    # backfill exactly one partition with a modified copy (half the rows)
+    some_type = sorted(before)[0]
+    patch = (
+        ev.filter(F.col("event_type") == some_type)
+        .filter(F.col("event_id") % 2 == 0)
+    )
+    overwrite_partitions(patch, path, "event_type")
+
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # the written partition changed; every other partition is intact
+    assert after[some_type] < before[some_type]
+    for t, n in before.items():
+        if t != some_type:
+            assert after[t] == n
