@@ -147,3 +147,22 @@ def test_new_operators_handle_empty_input(spark):
         spark.createDataFrame([], "value double"), "value"
     )
     assert quantile_sketch_estimate(sk, {"p50": 0.5}).count() == 0
+
+
+def test_wave11_16_operators_handle_empty_input(spark):
+    """Empty-input smoke for the round-3 tail waves: zero-row frames
+    must produce schema-preserving degenerate output, not crash."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mapreduce6240project_spark.operators.dedup import doc_chunks
+    from mapreduce6240project_spark.operators.graph import bfs_hops
+
+    edocs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert doc_chunks(edocs).count() == 0
+
+    epairs = spark.createDataFrame([], "id_a long, id_b long")
+    # source node alone is still hop 0 even with no edges
+    got = {r.node: r.hops for r in bfs_hops(epairs, source=7, max_hops=2).collect()}
+    assert got == {7: 0}
