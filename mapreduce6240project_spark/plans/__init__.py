@@ -38,6 +38,7 @@ for _mod in (
     "wave14",
     "wave15",
     "wave16",
+    "wave17",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
