@@ -39,6 +39,7 @@ for _mod in (
     "wave15",
     "wave16",
     "wave17",
+    "wave18",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
