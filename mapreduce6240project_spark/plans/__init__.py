@@ -40,6 +40,7 @@ for _mod in (
     "wave16",
     "wave17",
     "wave18",
+    "wave19",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
