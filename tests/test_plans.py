@@ -272,3 +272,34 @@ def test_semantic_dedup_is_bucketed_not_allpairs(spark):
     # candidate generation must join on the IVF cell, never a pure
     # cartesian self-product of the vectors
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark):
+    """Joining a partitioned fact on its partition column against a
+    FILTERED dim triggers dynamic partition pruning: the fact scan
+    carries a runtime dynamicpruning subquery, so only partitions whose
+    keys survive the dim filter are listed -- the optimizer behavior
+    that makes star-schema scans cheap on partitioned 100 TB tables."""
+    import tempfile
+
+    from mapreduce6240project_spark.sources.layout import write_partitioned
+
+    out = tempfile.mkdtemp(prefix="sparkgraft_dpp_test_")
+    ev = load_table(spark, SF, "events")
+    write_partitioned(ev, out, "event_type")
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("view", 3)], "event_type string, w int"
+    ).filter(F.col("w") <= 2)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(dim, "event_type")
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        want = ev.filter(F.col("event_type").isin("click", "purchase")).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
