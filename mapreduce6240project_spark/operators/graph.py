@@ -30,15 +30,60 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
-    component id is the minimum node id of the component."""
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    component id is the minimum node id of the component.
+
+    Adaptive execution, same policy as the kmedoids loop: when the
+    DISTINCT edge set fits under ``driver_edge_cap`` (1M edges is
+    ~16 MB -- bounded driver state, not a data-sized collect), run
+    union-find on the driver in one pass instead of paying ~20 Spark
+    jobs of fixed scheduling overhead for label-propagation rounds on a
+    tiny graph (measured: the distributed loop was ~15 s on a
+    few-hundred-edge dedup graph at sf0.1, all overhead).  Larger edge
+    sets keep the distributed label-propagation path unchanged -- at
+    100 TB a near-dup graph's edge list exceeds any driver, and the
+    join-per-round plan is the scalable shape."""
+    dedup_pairs = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
         .distinct()
         .persist()
     )
+    n_undirected = dedup_pairs.count()
+    if n_undirected <= driver_edge_cap:
+        rows = dedup_pairs.collect()
+        dedup_pairs.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ru, rv = find(r.u), find(r.v)
+            if ru != rv:  # min id becomes the root -> component label
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r.u, r.v)}
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], schema="node bigint, component bigint"
+        )
+
+    edges = (
+        dedup_pairs.select("u", "v")
+        .unionByName(dedup_pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist()
+    )
+    dedup_pairs.unpersist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

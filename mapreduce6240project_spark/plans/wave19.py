@@ -68,12 +68,20 @@ FROM ranked WHERE rk = 1""",
     "quality scorer + cluster-partitioned top-1 window",
 )
 def q_dup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce6240project_spark.operators.dedup import (
+        jaccard_verified_pairs,
+        minhash_candidate_pairs,
+    )
     from mapreduce6240project_spark.operators.graph import connected_components
     from mapreduce6240project_spark.operators.textstats import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # LSH candidates exact-verified at the same threshold: identical
+    # final pair set whenever band recall is complete (oracle-gated),
+    # at a fraction of the all-shared-shingle join's cost
+    pairs = jaccard_verified_pairs(
+        docs, minhash_candidate_pairs(docs), threshold=0.5
+    )
     cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
     comp = docs.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")

@@ -126,3 +126,24 @@ def test_bfs_hops_takes_shortest_path(spark):
     )
     got = {r.node: r.hops for r in bfs_hops(pairs, source=0, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_connected_components_paths_agree(spark):
+    from mapreduce6240project_spark.operators.graph import connected_components
+
+    # chain + triangle + singleton edge: exercises merging and min-label
+    pairs = spark.createDataFrame(
+        [(5, 6), (1, 2), (2, 3), (8, 9), (9, 10), (8, 10)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    slow = {
+        (r.node, r.component)
+        for r in connected_components(pairs, driver_edge_cap=0).collect()
+    }
+    assert fast == slow
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (8, 8), (9, 8), (10, 8),
+    }

@@ -58,6 +58,14 @@ QUERIES = [
     "boilerplate_chunks",
     "rerank_top_docs",
     "contrastive_negatives",
+    "null_safe_prop_pairs",
+    "event_props_map",
+    "event_anomalies",
+    "pareto_customers",
+    "funnel_strict_3step",
+    "typo_pairs",
+    "dup_component_sizes",
+    "dup_best_survivors",
 ]
 
 
