@@ -129,11 +129,19 @@ def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     Scale: the only exchange is the m-row register agg; the estimate is
     a 1-row scalar after it.  Returns one row: ``n_approx`` (bigint).
     """
+    regs = hll_registers(df, col, b)
+    return hll_estimate(regs, b)
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 8, group_cols: tuple = ()) -> DataFrame:
+    """The mergeable state of :func:`hll_distinct`: (group..., j, M)
+    register rows, at most ``2^b`` per group.  Registers merge by
+    ``max(M)`` per bucket -- associative and idempotent, so estimates
+    for any rollup level derive from finer-grained registers WITHOUT
+    rescanning the raw data (the pre-aggregated-cube property)."""
     assert 4 <= b <= 16
-    m = 1 << b
     width = 60 - b
-    scale = width + 1  # max possible rho; 2^(scale-M) >= 1 stays integral
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # alpha_m for m >= 128 (paper)
+    scale = width + 1
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     )
@@ -142,13 +150,25 @@ def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     rho = F.when(w == 0, F.lit(scale)).otherwise(
         F.lit(scale) - F.length(F.call_function("bin", w))
     )
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
-        .select(bucket.alias("j"), rho.alias("rho"))
-        .groupBy("j")
+        .select(*group_cols, bucket.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("M"))
     )
-    summed = regs.agg(
+
+
+def hll_estimate(regs: DataFrame, b: int = 8, group_cols: tuple = ()) -> DataFrame:
+    """Finalize register rows into ``n_approx`` (per group when
+    ``group_cols`` given; one global row otherwise, including on empty
+    input).  Same integer harmonic sum + linear-counting branch as
+    :func:`hll_distinct`."""
+    m = 1 << b
+    width = 60 - b
+    scale = width + 1  # max possible rho; 2^(scale-M) >= 1 stays integral
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # alpha_m for m >= 128 (paper)
+    grouped = regs.groupBy(*group_cols) if group_cols else regs
+    summed = grouped.agg(
         F.count("*").alias("used"),
         # coalesce: zero rows (empty/all-null input) must estimate 0, not null
         F.coalesce(
@@ -169,7 +189,9 @@ def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
     ).otherwise(raw)
-    return summed.select(F.round(est).cast("bigint").alias("n_approx"))
+    return summed.select(
+        *group_cols, F.round(est).cast("bigint").alias("n_approx")
+    )
 
 
 def hll_oracle_sql(table: str, col: str, b: int = 8) -> str:

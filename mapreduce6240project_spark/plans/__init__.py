@@ -41,6 +41,7 @@ for _mod in (
     "wave17",
     "wave18",
     "wave19",
+    "wave20",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
