@@ -66,6 +66,7 @@ QUERIES = [
     "typo_pairs",
     "dup_component_sizes",
     "dup_best_survivors",
+    "hll_mergeable_rollup",
 ]
 
 
