@@ -30,14 +30,15 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    driver_edge_cap: int = 1_000_000,
+    driver_edge_cap: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id of the component.
 
     Adaptive execution, same policy as the kmedoids loop: when the
-    DISTINCT edge set fits under ``driver_edge_cap`` (1M edges is
-    ~16 MB -- bounded driver state, not a data-sized collect), run
+    DISTINCT edge set fits under ``driver_edge_cap`` (200k collected
+    Rows is on the order of tens of MB of driver heap including Python
+    object overhead -- bounded state, not a data-sized collect), run
     union-find on the driver in one pass instead of paying ~20 Spark
     jobs of fixed scheduling overhead for label-propagation rounds on a
     tiny graph (measured: the distributed loop was ~15 s on a
@@ -45,6 +46,8 @@ def connected_components(
     sets keep the distributed label-propagation path unchanged -- at
     100 TB a near-dup graph's edge list exceeds any driver, and the
     join-per-round plan is the scalable shape."""
+    from pyspark.sql.types import StructField, StructType
+
     dedup_pairs = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -74,16 +77,24 @@ def connected_components(
                 parent[hi] = lo
         nodes = {x for r in rows for x in (r.u, r.v)}
         spark = pairs.sparkSession
+        # labels keep the input id type (ids may be strings/decimals,
+        # not only bigints -- the distributed path is type-generic and
+        # this path must match it)
+        id_type = dedup_pairs.schema["u"].dataType
+        schema = StructType(
+            [StructField("node", id_type), StructField("component", id_type)]
+        )
         return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], schema="node bigint, component bigint"
+            [(n, find(n)) for n in sorted(nodes)], schema=schema
         )
 
-    edges = (
-        dedup_pairs.select("u", "v")
-        .unionByName(dedup_pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist()
+    # edges derive narrowly (map-only union) from the cached distinct
+    # pairs, so dedup_pairs stays persisted through the iteration loop
+    # and is released at the end alongside it -- unpersisting here
+    # would discard the distinct the count() just materialized.
+    edges = dedup_pairs.select("u", "v").unionByName(
+        dedup_pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    dedup_pairs.unpersist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -110,7 +121,7 @@ def connected_components(
         labels = updated.drop("_chg")
         if n_changed == 0:
             break
-    edges.unpersist()
+    dedup_pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -357,3 +368,22 @@ def bfs_hops(
         visited = visited.unionByName(frontier).localCheckpoint()
     edges.unpersist()
     return visited
+
+
+def dup_components(docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, component) for EVERY document: transitive near-dup
+    components over the LSH-candidate, exact-verified pair graph, with
+    singleton documents labeling themselves.  The shared input of the
+    cluster-size histogram and canonical-copy selection queries."""
+    from mapreduce6240project_spark.operators.dedup import (
+        jaccard_verified_pairs,
+        minhash_candidate_pairs,
+    )
+
+    pairs = jaccard_verified_pairs(
+        docs, minhash_candidate_pairs(docs), threshold=threshold
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    return docs.select(id_col).join(cc, id_col, "left").select(
+        id_col, F.coalesce("component", id_col).alias("component")
+    )

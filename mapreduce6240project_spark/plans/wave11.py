@@ -129,10 +129,16 @@ def q_stable_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Total order across partitions comes from range partitioning (every
     # key in partition p sorts before every key in p+1); the per-
     # partition window runs in parallel.  Boundary sampling only affects
-    # balance, never the final numbering.
+    # balance, never the final numbering -- PROVIDED both consumers see
+    # the same boundaries: pid feeds two branches (numbering and the
+    # offsets table), so the partitioned frame is pinned with
+    # localCheckpoint rather than trusting exchange reuse to
+    # deduplicate the shuffle (with reuse disabled, two independent
+    # boundary samples could disagree and the ids would gap/collide).
     parts = (
         docs.repartitionByRange(32, "doc_id")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_in = Window.partitionBy("pid").orderBy("doc_id")
     numbered = parts.withColumn("pos", F.row_number().over(w_in))

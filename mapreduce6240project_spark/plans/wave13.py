@@ -30,6 +30,9 @@ from mapreduce6240project_spark.sources.tables import load_table
 #: A chunk is boilerplate when it recurs in at least this many distinct
 #: documents of one source.
 BOILERPLATE_MIN_DOCS = 2
+#: chunk granularity -- interpolated into BOTH the Spark call and the
+#: oracle SQL so the two sides can never silently diverge
+BOILERPLATE_CHUNK_TOKENS = 10
 
 
 @_register(
@@ -90,9 +93,9 @@ toks AS (
   FROM norm
 ),
 chunks AS (
-  SELECT doc_id, source, CAST(floor(pos / 10) AS INT) AS cpos,
+  SELECT doc_id, source, CAST(floor(pos / {BOILERPLATE_CHUNK_TOKENS}) AS INT) AS cpos,
          string_agg(tok, ' ' ORDER BY pos) AS chunk
-  FROM toks GROUP BY doc_id, source, CAST(floor(pos / 10) AS INT)
+  FROM toks GROUP BY doc_id, source, CAST(floor(pos / {BOILERPLATE_CHUNK_TOKENS}) AS INT)
 )
 SELECT source, chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM chunks
@@ -106,7 +109,7 @@ def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.dedup import doc_chunks
 
     docs = load_table(spark, sf_dir, "documents")
-    chunks = doc_chunks(docs).join(
+    chunks = doc_chunks(docs, chunk_tokens=BOILERPLATE_CHUNK_TOKENS).join(
         docs.select("doc_id", "source"), "doc_id"
     )
     return (

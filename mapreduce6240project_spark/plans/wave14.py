@@ -77,8 +77,10 @@ def _proximity_score() -> F.Column:
     for t in _QUERY_TERMS:
         pos = F.array_position(F.col("toks"), t)
         present = present + F.when(pos > 0, 1).otherwise(0)
+        # floor(10000 / pos) on positive ints == integer division; pos is
+        # evaluated once per term, not re-scanned inside a SQL string
         score = score + F.when(
-            pos > 0, F.expr(f"10000 div array_position(toks, '{t}')")
+            pos > 0, F.floor(F.lit(10000) / pos).cast("bigint")
         ).otherwise(0)
     return (present * 1000000 + score).alias("rerank_score")
 

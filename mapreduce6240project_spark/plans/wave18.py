@@ -72,8 +72,10 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "dup_component_sizes",
+#: shared recursive replay of ``graph.dup_components`` at threshold
+#: 0.5: exact pair graph -> reach facts -> per-doc min-label component
+#: (singletons label themselves).  wave19 appends its own CTEs.
+DUP_COMPONENTS_CTE = (
     "WITH RECURSIVE "
     + _jaccard_pairs_cte("documents", 0.5).lstrip()
     + """,
@@ -92,7 +94,14 @@ comp AS (
          coalesce((SELECT min(l) FROM reach r WHERE r.u = d.doc_id),
                   d.doc_id) AS component
   FROM documents d
-),
+)"""
+)
+
+
+@_register(
+    "dup_component_sizes",
+    DUP_COMPONENTS_CTE
+    + """,
 fam AS (
   SELECT component, count(*) AS csize FROM comp GROUP BY component
 )
@@ -102,23 +111,10 @@ FROM fam GROUP BY csize""",
     "near-dup components (label propagation; singletons are size-1)",
 )
 def q_dup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.operators.dedup import (
-        jaccard_verified_pairs,
-        minhash_candidate_pairs,
-    )
-    from mapreduce6240project_spark.operators.graph import connected_components
+    from mapreduce6240project_spark.operators.graph import dup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    # LSH candidates exact-verified at the same threshold: identical
-    # final pair set whenever band recall is complete (oracle-gated),
-    # at a fraction of the all-shared-shingle join's cost
-    pairs = jaccard_verified_pairs(
-        docs, minhash_candidate_pairs(docs), threshold=0.5
-    )
-    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    comp = docs.select("doc_id").join(cc, "doc_id", "left").select(
-        "doc_id", F.coalesce("component", "doc_id").alias("component")
-    )
+    comp = dup_components(docs, threshold=0.5)
     sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
     return sizes.groupBy(F.col("csize").alias("component_size")).agg(
         F.count("*").alias("n_components")

@@ -22,8 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce6240project_spark.plans.parity import _jaccard_pairs_cte
 from mapreduce6240project_spark.plans.registry import REGISTRY, _register
+from mapreduce6240project_spark.plans.wave18 import DUP_COMPONENTS_CTE
 from mapreduce6240project_spark.sources.tables import load_table
 
 #: the standalone quality query's oracle, reused verbatim (extensions
@@ -33,25 +33,8 @@ _QUALITY_SQL = REGISTRY["text_quality"].oracle
 
 @_register(
     "dup_best_survivors",
-    "WITH RECURSIVE "
-    + _jaccard_pairs_cte("documents", 0.5).lstrip()
+    DUP_COMPONENTS_CTE
     + f""",
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION ALL
-  SELECT id_b AS u, id_a AS v FROM pairs
-),
-reach(u, l) AS (
-  SELECT u, v FROM edges WHERE v < u
-  UNION
-  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v WHERE r.l < e.u
-),
-comp AS (
-  SELECT d.doc_id,
-         coalesce((SELECT min(l) FROM reach r WHERE r.u = d.doc_id),
-                  d.doc_id) AS component
-  FROM documents d
-),
 q AS (
   {_QUALITY_SQL}
 ),
@@ -68,24 +51,11 @@ FROM ranked WHERE rk = 1""",
     "quality scorer + cluster-partitioned top-1 window",
 )
 def q_dup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.operators.dedup import (
-        jaccard_verified_pairs,
-        minhash_candidate_pairs,
-    )
-    from mapreduce6240project_spark.operators.graph import connected_components
+    from mapreduce6240project_spark.operators.graph import dup_components
     from mapreduce6240project_spark.operators.textstats import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    # LSH candidates exact-verified at the same threshold: identical
-    # final pair set whenever band recall is complete (oracle-gated),
-    # at a fraction of the all-shared-shingle join's cost
-    pairs = jaccard_verified_pairs(
-        docs, minhash_candidate_pairs(docs), threshold=0.5
-    )
-    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    comp = docs.select("doc_id").join(cc, "doc_id", "left").select(
-        "doc_id", F.coalesce("component", "doc_id").alias("component")
-    )
+    comp = dup_components(docs, threshold=0.5)
     quality = quality_score(docs).select("doc_id", "quality")
     w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
     return (

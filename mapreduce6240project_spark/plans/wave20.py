@@ -82,7 +82,11 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
-    day_regs = hll_registers(ev, "user_id", b=_B, group_cols=("day",)).persist()
+    # localCheckpoint (not persist): materialized once for both grains,
+    # released when the plan is garbage-collected -- a bare persist here
+    # would pin another copy of the registers per invocation for the
+    # whole session
+    day_regs = hll_registers(ev, "user_id", b=_B, group_cols=("day",)).localCheckpoint()
     per_day = hll_estimate(day_regs, b=_B, group_cols=("day",)).select(
         F.lit("day").alias("grain"),
         F.col("day").alias("grain_key"),

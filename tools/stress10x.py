@@ -81,9 +81,11 @@ def build_dataset() -> None:
     # density explosion, not scale -- same caveat as embeddings.)
     copy(
         "documents",
-        r"SELECT doc_id + rep * {m} AS doc_id,"
+        r"SELECT doc_id + rep * {m} AS doc_id, text, lang, source,"
+        r" length(text) AS n_chars FROM ("
+        r"SELECT doc_id, rep,"
         r" regexp_replace(text, '(\S+)', '\1' || CAST(rep AS VARCHAR), 'g') AS text,"
-        r" lang, source, n_chars FROM {{src}}, reps".format(m=maxd),
+        r" lang, source FROM {{src}}, reps)".format(m=maxd),
     )
     copy(
         "orders",
