@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.plans.registry import REGISTRY, _register
 from mapreduce6240project_spark.sources.tables import load_table
 
 _B = 8
@@ -99,3 +99,19 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_approx",
     )
     return per_day.unionByName(total)
+
+
+@_register(
+    "streaming_hll_rollup",
+    # the stream's answer is bit-identical to the batch rollup by
+    # max-merge algebra, so it shares the batch query's full oracle --
+    # a streaming job with a value-hash correctness gate, not rows-only
+    REGISTRY["hll_mergeable_rollup"].oracle,
+    ref="extension: streaming distinct-count via mergeable HLL register "
+    "state in foreachBatch; batch-split- and replay-independent by "
+    "max-merge algebra (oracle = the batch rollup's SQL)",
+)
+def q_streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming.jobs import streaming_hll_rollup
+
+    return streaming_hll_rollup(spark, sf_dir)

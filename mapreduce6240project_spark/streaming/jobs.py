@@ -411,3 +411,52 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "first_seen_us"
     )
     return run_streaming_append(spark, joined)
+
+
+def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count via mergeable sketch state: each
+    micro-batch reduces to its own per-day HLL registers inside
+    ``foreachBatch`` (an m-rows-per-day frame, written to an
+    epoch-partitioned register store -- idempotent on replay), and the
+    final answer merges all epochs' registers by max-per-bucket.
+
+    Because register max-merge is associative, commutative, AND
+    idempotent, the result is bit-identical to the batch computation
+    regardless of how the engine splits micro-batches or replays
+    epochs -- the property that makes sketches the right streaming
+    distinct-count state, vs exact distincts whose state grows with
+    cardinality.  Shares the estimate arithmetic (and therefore the
+    oracle) with the batch ``hll_mergeable_rollup`` query."""
+    import glob as _glob
+
+    from mapreduce6240project_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _stream_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgraft_hllregs_")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        days = batch_df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        regs = hll_registers(days, "user_id", b=8, group_cols=("day",))
+        regs.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = ev.writeStream.outputMode("append").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = _glob.glob(f"{out}/epoch=*")
+    all_regs = spark.read.parquet(*epochs)
+    day_regs = all_regs.groupBy("day", "j").agg(F.max("M").alias("M")).localCheckpoint()
+    per_day = hll_estimate(day_regs, b=8, group_cols=("day",)).select(
+        F.lit("day").alias("grain"), F.col("day").alias("grain_key"), "n_approx"
+    )
+    merged = day_regs.groupBy("j").agg(F.max("M").alias("M"))
+    total = hll_estimate(merged, b=8).select(
+        F.lit("total").alias("grain"), F.lit("all").alias("grain_key"), "n_approx"
+    )
+    return per_day.unionByName(total)
