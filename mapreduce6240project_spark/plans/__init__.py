@@ -42,6 +42,7 @@ for _mod in (
     "wave18",
     "wave19",
     "wave20",
+    "wave21",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
