@@ -43,6 +43,7 @@ for _mod in (
     "wave19",
     "wave20",
     "wave21",
+    "wave22",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
