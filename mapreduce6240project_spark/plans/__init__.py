@@ -44,6 +44,7 @@ for _mod in (
     "wave20",
     "wave21",
     "wave22",
+    "wave23",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -11,7 +11,7 @@ from mapreduce6240project_spark.plans import DRIVER_ORDER, REGISTRY
 
 
 def test_registry_is_complete():
-    assert len(REGISTRY) >= 193
+    assert len(REGISTRY) >= 197
 
 
 def test_driver_order_names_all_registered():
@@ -58,8 +58,8 @@ def test_entry_module_fresh_interpreter():
         check=True,
     )
     info = json.loads(out.stdout.strip().splitlines()[-1])
-    assert info["q"] >= 193
-    assert info["o"] >= 190
+    assert info["q"] >= 197
+    assert info["o"] >= 194
     assert info["first"] == "ingest_featurize"
 
 
@@ -83,8 +83,10 @@ def test_oracle_micros_sums_match_canonical_helper():
             frag = spec.oracle[mobj.start() : mobj.start() + 500]
             # micros sums must end in the canonical rounding + cast; the
             # cents variants (floor(x * 100 + 0.5)) are likewise half-up
+            # scale-1 (already-integral doubles, e.g. quantities) carries
+            # no descale factor but still needs half-up + the BIGINT cast
             assert re.match(
-                r"sum\(CAST\(floor\(.{0,400}?\* 10+ \+ 0\.5\) AS BIGINT\)\)",
+                r"sum\(CAST\(floor\(.{0,400}?(\* 10+ )?\+ 0\.5\) AS BIGINT\)\)",
                 frag,
                 re.DOTALL,
             ), f"{spec.name}: non-canonical quantized sum: {frag[:120]}"
