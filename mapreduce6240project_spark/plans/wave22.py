@@ -148,19 +148,24 @@ ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
     "via TakeOrderedAndProject)",
 )
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = (
+    # one shuffle on the order key with map-side partial collect_set
+    # (vs. distinct + shuffle self-join + pair shuffle = 3 exchanges);
+    # within-order pair expansion is O(k^2) on the basket size k, which
+    # is bounded by the schema (orders have a handful of parts) -- the
+    # expansion is safe at any row scale, unlike an unbounded-key skew
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .select(F.array_sort("parts").alias("parts"))
     )
-    a = op.alias("a")
-    b = op.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
-    ).alias("b")
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("part_b"))
-        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        baskets.select(
+            F.explode("parts").alias("part_a"), F.col("parts")
+        )
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
     return pairs.orderBy(
