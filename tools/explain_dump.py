@@ -67,6 +67,17 @@ QUERIES = [
     "dup_component_sizes",
     "dup_best_survivors",
     "hll_mergeable_rollup",
+    "feature_hashing",
+    "target_encode_loo",
+    "skyline_parts",
+    "copurchase_pairs",
+    "allocate_order_total",
+    "chi2_segment_status",
+    "event_type_entropy",
+    "grouping_sets_revenue",
+    "table_checksum_orders",
+    "weighted_median_price",
+    "last_touch_attribution",
 ]
 
 
