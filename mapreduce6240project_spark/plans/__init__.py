@@ -45,6 +45,7 @@ for _mod in (
     "wave21",
     "wave22",
     "wave23",
+    "wave24",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
