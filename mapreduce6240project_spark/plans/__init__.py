@@ -46,6 +46,7 @@ for _mod in (
     "wave22",
     "wave23",
     "wave24",
+    "wave25",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

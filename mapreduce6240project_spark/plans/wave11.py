@@ -125,31 +125,14 @@ FROM documents""",
     "global-window funnel",
 )
 def q_stable_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degenerate (no-strata) case of the shared range-exchange +
+    # pid-offsets helper; see operators.ranking.stratum_order_stats for
+    # the boundary-sample pinning rationale.
+    from mapreduce6240project_spark.operators.ranking import (
+        stratum_order_stats,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # Total order across partitions comes from range partitioning (every
-    # key in partition p sorts before every key in p+1); the per-
-    # partition window runs in parallel.  Boundary sampling only affects
-    # balance, never the final numbering -- PROVIDED both consumers see
-    # the same boundaries: pid feeds two branches (numbering and the
-    # offsets table), so the partitioned frame is pinned with
-    # localCheckpoint rather than trusting exchange reuse to
-    # deduplicate the shuffle (with reuse disabled, two independent
-    # boundary samples could disagree and the ids would gap/collide).
-    parts = (
-        docs.repartitionByRange(32, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_in = Window.partitionBy("pid").orderBy("doc_id")
-    numbered = parts.withColumn("pos", F.row_number().over(w_in))
-    # Offsets: one row per partition (<= 32 rows) -- the cumulative
-    # window below is driver-bounded, never data-sized.
-    counts = parts.groupBy("pid").agg(F.count("*").alias("n"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
-    )
-    return (
-        numbered.join(F.broadcast(offsets), "pid")
-        .select("doc_id", (F.col("off") + F.col("pos")).alias("stable_id"))
+    return stratum_order_stats(docs, strata=[], order=["doc_id"]).select(
+        "doc_id", F.col("rn").alias("stable_id")
     )

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.operators.ranking import stratum_order_stats
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
 
@@ -59,40 +60,15 @@ FROM tagged GROUP BY lang, split""",
     "unlike hash splits)",
 )
 def q_exact_split_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-stratum rank WITHOUT a per-lang window partition (a handful of
-    # langs over 100 TB = one executor per stratum): range-partition on
-    # (lang, h, doc_id) so the total order is preserved across
-    # partitions, rank within (pid, lang) in parallel, then add the
-    # per-(lang, pid-prefix) offsets from a partitions-x-langs-sized
-    # table (same technique as stable_doc_ids; frame pinned with
-    # localCheckpoint so both consumers see one boundary sample).
+    # Per-stratum rank WITHOUT a per-lang window partition (a handful
+    # of langs over 100 TB = one executor per stratum): the shared
+    # range-exchange + pid-offsets helper (operators.ranking).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
-    parts = (
-        docs.repartitionByRange(32, "lang", "h", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_in = Window.partitionBy("pid", "lang").orderBy("h", "doc_id")
-    numbered = parts.select(
-        "lang", "pid", F.row_number().over(w_in).alias("pos")
-    )
-    counts = parts.groupBy("lang", "pid").agg(F.count("*").alias("c"))
-    w_off = (
-        Window.partitionBy("lang")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "lang",
-        "pid",
-        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
-        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
-    )
-    ranked = numbered.join(F.broadcast(offsets), ["lang", "pid"]).select(
-        "lang", (F.col("off") + F.col("pos")).alias("rn"), "n"
-    )
+    ranked = stratum_order_stats(
+        docs, strata=["lang"], order=["h", "doc_id"]
+    ).select("lang", "rn", "n")
     split = (
         F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
         .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
@@ -131,45 +107,19 @@ FROM sel GROUP BY lang""",
 )
 def q_nucleus_docs_90(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same stratum-scalable shape as exact_split_strata: the per-lang
-    # size-desc cumulative sum is a pid-parallel local cumsum plus a
-    # per-(lang, pid-prefix) offset -- no one-partition-per-lang window.
+    # size-desc cumulative sum via the shared range-exchange helper.
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
         "n_chars",
         (-F.col("n_chars")).alias("neg_chars"),
     )
-    parts = (
-        docs.repartitionByRange(32, "lang", "neg_chars", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_in = (
-        Window.partitionBy("pid", "lang")
-        .orderBy("neg_chars", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    numbered = parts.select(
-        "lang", "pid", "n_chars", F.sum("n_chars").over(w_in).alias("local_cw")
-    )
-    sums = parts.groupBy("lang", "pid").agg(F.sum("n_chars").alias("s"))
-    w_off = (
-        Window.partitionBy("lang")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sums.select(
-        "lang",
-        "pid",
-        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"),
-        F.sum("s").over(Window.partitionBy("lang")).alias("tw"),
-    )
-    cum = numbered.join(F.broadcast(offsets), ["lang", "pid"]).select(
-        "lang",
-        "n_chars",
-        (F.col("off") + F.col("local_cw")).alias("cw"),
-        "tw",
-    )
+    cum = stratum_order_stats(
+        docs,
+        strata=["lang"],
+        order=["neg_chars", "doc_id"],
+        weight="n_chars",
+    ).select("lang", "n_chars", "cw", "tw")
     # a doc is kept iff the mass BEFORE it is still under the 90% bar
     # (the prefix is minimal: the first doc crossing the bar is kept,
     # everything after is not)

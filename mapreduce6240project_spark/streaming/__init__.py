@@ -2,6 +2,7 @@
 
 from mapreduce6240project_spark.streaming.jobs import (
     run_streaming_batch,
+    streaming_click_purchase_left,
     streaming_click_purchase_pairs,
     streaming_dedup_counts,
     streaming_enrich_static,
@@ -15,6 +16,7 @@ from mapreduce6240project_spark.streaming.jobs import (
 
 __all__ = [
     "run_streaming_batch",
+    "streaming_click_purchase_left",
     "streaming_click_purchase_pairs",
     "streaming_dedup_counts",
     "streaming_enrich_static",

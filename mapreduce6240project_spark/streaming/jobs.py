@@ -287,6 +287,78 @@ def streaming_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, paired with
+    purchases by the same user within the next 10 minutes, or a
+    null-padded row once the watermark proves no match can arrive.
+
+    The outer semantics are the hard streaming case: an unmatched click
+    emits only after the watermark passes ``c_ts + 10min`` (its state
+    eviction point), so clicks near the end of a bounded replay never
+    emit.  To make the result deterministic and oracle-comparable, the
+    output is restricted to clicks at least 2 hours before the stream's
+    max event time -- comfortably past the 1 h watermark + 10 min join
+    tolerance, so every retained click's fate (matched or provably
+    unmatched) is settled.  The batch left interval join under the same
+    cutoff is the value-hash oracle.
+
+    The cutoff anchors on ``min(max click ts, max purchase ts)``, not
+    the stream max: the global watermark is the MINIMUM across
+    watermarked inputs, so the click side's own last event holds it
+    back -- the final click of a bounded stream can never prove itself
+    unmatched (its eviction point ``c_ts + 10min`` is always ahead of
+    ``max(c_ts) - 1h``).
+    """
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    drained = run_streaming_append(
+        spark,
+        joined.select(
+            "click_id",
+            F.unix_micros(F.col("c_ts")).alias("c_ts_us"),
+            # -1 sentinel instead of NULL so the bigint column never
+            # becomes a NaN-bearing float in the comparison harness
+            F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        ),
+    )
+    side_max = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    cutoff = side_max - 7_200_000_000  # 2 h past min-side watermark + tolerance
+    return drained.filter(F.col("c_ts_us") <= F.lit(cutoff)).select(
+        "click_id", "purchase_id"
+    )
+
+
 def streaming_tws_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running value total via ``transformWithStateInPandas``
     (Spark 4's arbitrary-stateful successor to applyInPandasWithState):
