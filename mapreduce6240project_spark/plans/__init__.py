@@ -47,6 +47,7 @@ for _mod in (
     "wave23",
     "wave24",
     "wave25",
+    "wave26",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
