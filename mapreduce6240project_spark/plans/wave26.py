@@ -14,6 +14,10 @@
   totals -- observed counts vs the expected ``N * log10(1 + 1/d)``
   occupancy, the classic fraud/data-quality screen.  Expected counts
   are micro-floored from an identical IEEE expression in both engines.
+- ``xml_roundtrip``: Spark 4's built-in XML source/sink end-to-end
+  (write nation as XML rows, read back, aggregate); the oracle runs
+  the same aggregate over the original parquet, so content identity
+  through the XML codec is value-hash-verified.
 
 Reference parity note: extends the analytics family (SURVEY.md
 section 2.6) with time-weighted aggregation, bar-building, and a
@@ -21,6 +25,8 @@ distributional data-quality audit.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -179,4 +185,35 @@ def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return obs.crossJoin(F.broadcast(tot)).select(
         "digit", "n_obs", expected.alias("expected_micro")
+    )
+
+
+@_register(
+    "xml_roundtrip",
+    """
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+       min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey""",
+    ref="S1/S5 analog: XML sink + source round-trip (Spark 4 built-in "
+    "XML data source); the oracle aggregates the ORIGINAL parquet, so "
+    "content identity through the XML codec is value-hash-verified",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation as XML rows, read it back, aggregate.  Exercises
+    Spark 4's built-in XML codec end-to-end (schema inference on read
+    is avoided by passing the writer's schema, matching production
+    practice for schema-stable feeds)."""
+    out = tempfile.mkdtemp(prefix="sparkgraft_xml_") + "/nation"
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(out)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"), F.min("n_name").alias("first_nation")
     )
