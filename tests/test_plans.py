@@ -303,3 +303,54 @@ def test_dynamic_partition_pruning_from_dim_filter(spark):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_table_checksum_is_scan_plus_scalar_agg(spark):
+    """One narrow scan, partial + final aggregate; the only exchange is
+    the single-row final-aggregation gather."""
+    df = REGISTRY["table_checksum_orders"].fn(spark, SF)
+    assert _n_exchanges(df) <= 1
+
+
+def test_copurchase_is_two_exchanges(spark):
+    """Basket collect_set shuffle + pair-count shuffle; the top-20 is
+    TakeOrderedAndProject, not a global sort materialization."""
+    df = REGISTRY["copurchase_pairs"].fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_twap_single_user_shuffle(spark):
+    """The ordering window and the aggregate share one user-key hash
+    exchange (partial aggregation runs map-side after the window)."""
+    df = REGISTRY["twap_user_value"].fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_allocation_windows_share_order_partitioning(spark):
+    """Pre-aggregate + three window passes over the same order key: the
+    order-key partitioning is established once and reused (no repeated
+    re-shuffle per window)."""
+    df = REGISTRY["allocate_order_total"].fn(spark, SF)
+    # (ok, pk) group shuffle + ok-partition shuffle + orders side
+    assert _plan(df).count("Exchange hashpartitioning") <= 4
+
+
+def test_skyline_semi_join_broadcasts_frontier(spark):
+    df = REGISTRY["skyline_parts"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_grouping_sets_is_single_scan_expand(spark):
+    """GROUPING SETS compiles to one fact scan + Expand, not a union of
+    per-grain scans."""
+    df = REGISTRY["grouping_sets_revenue"].fn(spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan
+    # one fact scan: the three grains do NOT each re-read lineitem
+    assert plan.count("lineitem.parquet") == 1

@@ -78,6 +78,15 @@ QUERIES = [
     "table_checksum_orders",
     "weighted_median_price",
     "last_touch_attribution",
+    "exact_split_strata",
+    "nucleus_docs_90",
+    "cusum_max_deviation",
+    "acf1_daily_value",
+    "doc_size_pct_rank",
+    "bigram_pmi_top20",
+    "twap_user_value",
+    "ohlc_hourly_value",
+    "benford_totalprice",
 ]
 
 
