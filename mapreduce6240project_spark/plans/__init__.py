@@ -48,6 +48,7 @@ for _mod in (
     "wave24",
     "wave25",
     "wave26",
+    "wave27",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
