@@ -49,6 +49,7 @@ for _mod in (
     "wave25",
     "wave26",
     "wave27",
+    "wave28",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
