@@ -50,6 +50,7 @@ for _mod in (
     "wave26",
     "wave27",
     "wave28",
+    "wave29",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -87,6 +87,10 @@ QUERIES = [
     "twap_user_value",
     "ohlc_hourly_value",
     "benford_totalprice",
+    "xml_roundtrip",
+    "hll_set_algebra",
+    "adamic_adar_topk",
+    "random_walks_k3",
 ]
 
 
