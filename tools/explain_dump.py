@@ -91,6 +91,8 @@ QUERIES = [
     "hll_set_algebra",
     "adamic_adar_topk",
     "random_walks_k3",
+    "vocab_encode_docs",
+    "mlm_mask_plan",
 ]
 
 
