@@ -22,9 +22,10 @@
   deterministic cross-engine.
 - ``chi2_segment_status``: chi-square independence statistic between
   customer market segment and order status.  Contingency cells from
-  one dim-broadcast join + aggregate; margins are dimension-sized
-  re-aggregates; per-cell contributions micro-quantized to integers
-  before the final sum so double addition order cannot flip the hash.
+  one join + aggregate (customer scales with the data, so the join
+  strategy is left to AQE); margins are dimension-sized re-aggregates;
+  per-cell contributions micro-quantized to integers before the final
+  sum so double addition order cannot flip the hash.
 - ``event_type_entropy``: per-user Shannon entropy (micro-nats) of the
   event-type distribution -- behavioral-diversity scoring for
   training-data curation.  One count shuffle on (user, type); the
@@ -115,9 +116,13 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skylines is at most (partitions x frontier) rows -- one more local
     # pass on a single partition finishes it exactly.
     sky = _make_local_skyline()
+    # repartition(1), NOT coalesce(1): coalesce folds back into the
+    # previous stage and would run phase 1 in a single task; the
+    # explicit exchange keeps phase 1 partition-parallel and carries
+    # only the local frontiers
     frontier = (
         pairs.mapInPandas(sky, schema=_SKY_SCHEMA)
-        .coalesce(1)
+        .repartition(1)
         .mapInPandas(sky, schema=_SKY_SCHEMA)
     )
     return part.join(F.broadcast(frontier), ["price_c", "p_size"], "left_semi").select(
@@ -308,21 +313,24 @@ SELECT CAST(sum(chi_mic) AS BIGINT) AS chi2_micros,
                * (count(DISTINCT status) - 1) AS BIGINT) FROM cells) AS dof
 FROM contrib""",
     ref="extension: chi-square independence test over two categoricals "
-    "(contingency cells from a dim-broadcast join; per-cell terms "
+    "(contingency cells from one join + aggregate; per-cell terms "
     "micro-quantized so the cross-engine sum is order-free)",
 )
 def q_chi2_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    # customer scales with the data -- no broadcast hint; AQE picks the
+    # join strategy by measured size.  cells is dimension-sized
+    # (segments x statuses), so the re-aggregations below are cheap
+    # without pinning executor cache for the session lifetime.
     cells = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderstatus").alias("status"),
         )
         .agg(F.count("*").alias("n"))
     )
-    cells = cells.persist()
     rowt = cells.groupBy("seg").agg(F.sum("n").alias("rt"))
     colt = cells.groupBy("status").agg(F.sum("n").alias("ct"))
     tot = cells.agg(F.sum("n").alias("nn"))
@@ -434,9 +442,11 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # nation/region are true dims (broadcast); customer scales with the
+    # data, so its join strategy is left to AQE
     f = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("r_name", "o_orderstatus", "rev_mic")

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.hashing import hash60
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
 
@@ -66,7 +67,7 @@ def q_table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate")),
         F.col("o_orderpriority"),
     )
-    hv = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    hv = hash60(row_str)
     return (
         o.select(hv.alias("hv"))
         .agg(

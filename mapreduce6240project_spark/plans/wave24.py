@@ -19,8 +19,9 @@
   aggregate, one ordered window per type.
 - ``acf1_daily_value``: lag-1 autocorrelation of the daily value
   series per event type -- Pearson over (x_t, x_{t-1}) pairs from the
-  five integer power sums, products widened to DECIMAL(38)/HUGEINT so
-  the statistic is exact at any scale before one final double ratio.
+  five integer power sums, products widened to DECIMAL(38)/HUGEINT --
+  exact out to 38-digit magnitudes (far past realistic cent-scale
+  series) before one final double ratio.
 
 Reference parity note: extends the windows/order-statistics families
 (SURVEY.md sections 2.6, 2.11) with exact split/selection curation ops
@@ -248,7 +249,8 @@ SELECT event_type,
 FROM sums""",
     ref="extension: lag-1 autocorrelation per series -- Pearson over "
     "(x_t, x_{t-1}) from five integer power sums widened to "
-    "DECIMAL(38)/HUGEINT (exact at any scale), one final double ratio",
+    "DECIMAL(38)/HUGEINT (exact to 38-digit magnitudes), one final "
+    "double ratio",
 )
 def q_acf1_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -80,14 +80,15 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v_c").cast("decimal(38,0)") * F.col("dt_s")).alias("wsum"),
         F.sum("dt_s").alias("span_s"),
     )
-    # the weighted sum fits BIGINT out to ~1e14 users-seconds-cents per
-    # user; DECIMAL(38) only guards the partial aggregation, the final
-    # scale-up to micro-units is done in exact integer division
+    # multiply BEFORE narrowing: wsum * 10000 stays in DECIMAL(38)
+    # (matching the oracle's HUGEINT ordering), and only the per-user
+    # quotient -- bounded by the max observed value in micro-units --
+    # is cast down to BIGINT
     return agg.filter(F.col("span_s") > 0).select(
         "user_id",
-        F.expr(
-            "CAST((CAST(wsum AS BIGINT) * 10000) div span_s AS BIGINT)"
-        ).alias("twap_micro"),
+        F.expr("CAST((wsum * 10000) div span_s AS BIGINT)").alias(
+            "twap_micro"
+        ),
         "span_s",
     )
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.hashing import hash60
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
 
@@ -61,7 +62,10 @@ edges AS (
 )"""
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges_with_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(capped symmetric edges, uncapped canonical a<b pairs)."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -95,11 +99,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-hop operators on skewed graphs.  Ordered by (support desc,
     # id) so the kept edges are the strongest and the cut is stable.
     w_cap = Window.partitionBy("u").orderBy(F.col("sup").desc(), "v")
-    return (
+    capped = (
         sym.withColumn("nrk", F.row_number().over(w_cap))
         .filter(F.col("nrk") <= _NEIGHBOR_CAP)
         .select("u", "v")
     )
+    return capped, cp.select("id_a", "id_b")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _copurchase_edges_with_pairs(spark, sf_dir)[0]
 
 
 @_register(
@@ -120,10 +129,13 @@ scored AS (
   GROUP BY a, b
 ),
 new_links AS (
+  -- exclude edges of the UNCAPPED support-filtered graph: the top-K
+  -- cap can cut a real edge from one side's list, and a directed
+  -- check against capped edges would resurface it as a "prediction"
   SELECT s.a, s.b, s.aa_micro, s.n_common
   FROM scored s
-  WHERE NOT EXISTS (SELECT 1 FROM edges p
-                    WHERE p.u = s.a AND p.v = s.b)
+  WHERE NOT EXISTS (SELECT 1 FROM cp p
+                    WHERE p.id_a = s.a AND p.id_b = s.b)
 )
 SELECT a, b, aa_micro, n_common FROM new_links
 ORDER BY aa_micro DESC, a, b LIMIT 20""",
@@ -133,7 +145,11 @@ ORDER BY aa_micro DESC, a, b LIMIT 20""",
     "micro-floored before the order-free sum, deterministic top-20",
 )
 def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir).persist()
+    # no persist: the support-filtered edge set is a few thousand rows
+    # and recomputation is cheaper than pinning executor cache for the
+    # session lifetime (these query fns return lazy frames, so there is
+    # no safe point to unpersist)
+    edges, cp = _copurchase_edges_with_pairs(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("z"))
     e2 = edges.select(F.col("u").alias("z2"), F.col("v").alias("b"))
@@ -149,7 +165,8 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_common"),
         )
     )
-    existing = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    # anti-join against the UNCAPPED pair set (see oracle comment)
+    existing = cp.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     new_links = scored.join(existing, ["a", "b"], "left_anti")
     return new_links.orderBy(F.col("aa_micro").desc(), "a", "b").limit(20)
 
@@ -192,18 +209,10 @@ def q_random_walks_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.row_number().over(w).alias("rk"),
         F.count("*").over(Window.partitionBy("u")).alias("deg"),
-    ).persist()
+    )
 
     def pick(step: int) -> F.Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("u").cast("string"), F.lit(f":{step}"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        h = hash60(F.concat(F.col("u").cast("string"), F.lit(f":{step}")))
         return h % F.col("deg") + 1
 
     walk = nb.filter(F.col("rk") == pick(1)).select(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.hashing import hash60
 from mapreduce6240project_spark.plans.extensions import _NORM
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
@@ -122,21 +123,13 @@ def q_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("p"))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("p").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = hash60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("p").cast("string"),
+        )
+    )
     m = F.when(h % 100 < _MASK_PCT, 1).otherwise(0)
     masked = pos.select("doc_id", "p", m.alias("m"))
     return masked.groupBy("doc_id").agg(
