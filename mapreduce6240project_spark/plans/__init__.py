@@ -51,6 +51,7 @@ for _mod in (
     "wave27",
     "wave28",
     "wave29",
+    "wave30",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
