@@ -217,3 +217,57 @@ def temperature_resample(
     sumq = sum(q.values())
     targets = {s: qs / sumq for s, qs in q.items()}
     return mixture_resample(df, targets, strata_col=strata_col, key=key)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Budgeted corpus selection: within every stratum, admit documents
+    in a deterministic shuffled order until the stratum's cumulative
+    token count reaches ``budget_tokens``.  Returns
+    ``(strata_col, key, n_tok, cum_tok)`` for the admitted documents.
+
+    This is how training mixtures are actually specified -- "200 B
+    tokens of web, 30 B of code" -- a *token* budget, not a row budget
+    (documents vary by orders of magnitude in length, so row sampling
+    over/under-shoots the mixture).  The admission order is the keyed
+    60-bit md5 hash (re-run-stable, append-stable: new docs land at
+    hash-determined positions without displacing decisions the budget
+    already admitted ahead of them).  A document is admitted when the
+    running total *before* it is still under budget, so the budget is
+    always reached-or-exceeded by a bounded overshoot (< one max
+    document), never undershot while eligible docs remain.
+
+    Scale shape: one hash shuffle on the stratum + a running-sum window
+    -- the window needs only a single running accumulator per stratum
+    (rows-unbounded-preceding frames stream in sort order; no buffering
+    of the frame).  Per-stratum sorted order at 100 TB is a range
+    partition within the stratum; the cumulative sum then needs a
+    two-pass prefix (per-partition totals, then offset broadcast) --
+    exactly what Spark's window exchange already plans.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.functions.hashing import hash60
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    with_tok = docs.select(
+        F.col(strata_col),
+        F.col(key),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tok"),
+        hash60(F.col(key).cast("string")).alias("_pri"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_pri", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_tok.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") - F.col("n_tok") < budget_tokens)
+        .select(strata_col, key, "n_tok", "cum_tok")
+    )

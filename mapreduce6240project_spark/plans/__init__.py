@@ -52,6 +52,7 @@ for _mod in (
     "wave28",
     "wave29",
     "wave30",
+    "wave31",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
@@ -196,6 +197,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_paragraphs",
     "impute_props_k",
     "streaming_enrich_static",
+    # -- wave 31: index build, token budgets, core decomposition --
+    "inverted_index_top100",
+    "token_budget_docs",
+    "kcore3_copurchase",
 )
 
 _ordered: dict[str, QuerySpec] = {}

@@ -93,6 +93,10 @@ QUERIES = [
     "random_walks_k3",
     "vocab_encode_docs",
     "mlm_mask_plan",
+    "frequent_triples",
+    "weighted_sample_orders_es",
+    "inverted_index_top100",
+    "token_budget_docs",
 ]
 
 
