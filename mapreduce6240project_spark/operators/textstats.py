@@ -411,3 +411,109 @@ def chunk_documents_udtf(docs: DataFrame, text_col: str = "text") -> DataFrame:
         FROM _chunk_docs_in d, LATERAL chunk_words(d.{text_col}) c
         """
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    top_words: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer TRAINING: learn the first ``n_merges`` merge rules
+    from corpus word frequencies.  Returns the merge table
+    ``(round, pa, pb, n)`` -- at round r the adjacent symbol pair
+    (pa, pb) had the highest frequency-weighted count n and was fused
+    into one symbol everywhere before round r+1.
+
+    The repo's ``bpe_ish_token_count`` *applies* a byte-pair-style
+    segmentation; this learns one -- the missing training half of the
+    tokenizer pipeline (Sennrich et al. 2016's algorithm, the one every
+    *-piece tokenizer family descends from).
+
+    Semantics pinned for cross-engine replay: words are the engine's
+    normalized whitespace tokens; training runs over the ``top_words``
+    most frequent words (ties broken by word) -- the standard
+    frequency-table formulation, where pair counts are weighted by word
+    frequency, not corpus positions; symbol sequences are space-joined
+    strings and a merge applies via leftmost non-overlapping
+    ``replace`` scan (for self-pairs like (a, a) on runs of a, this is
+    replace-scan order, identical in Spark and ANSI SQL); pair ties
+    break on (count desc, pa, pb).
+
+    Scale shape: the word-frequency pass is the corpus-sized job (one
+    explode + partial-aggregated count + TakeOrderedAndProject).  The
+    iteration then runs on the VOCABULARY (bounded rows), never
+    re-touching the corpus: per round one explode of adjacent pairs +
+    partial-aggregated weighted count + a 1-row ``limit(1)`` collect
+    (driver state = the merge table, exactly the kmedoids pattern),
+    then a narrow map applies the merge.  ``localCheckpoint`` per
+    round truncates the growing replace-chain lineage.  At production
+    vocab sizes (millions of words) every step is the same plan, just
+    wider -- nothing here collects the vocabulary.
+
+    Reference parity: iterate-to-k control flow of Cluster.java:310-386
+    (driver-held tiny state, distributed per-round job) applied to
+    tokenizer training.
+    """
+    from mapreduce6240project_spark.operators.dedup import tokens
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    spark = docs.sparkSession
+    wf = (
+        fan_out(docs)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(top_words)
+    )
+    seqs = wf.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        syms = seqs.select(
+            "freq", F.split(F.trim(F.col("seq")), " ").alias("syms")
+        ).filter(F.size("syms") >= 2)
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS pa,"
+                    "             element_at(syms, i + 1) AS pb))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.pa", "p.pb")
+        top = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pa, pb, n = top[0].pa, top[0].pb, top[0].n
+        merges.append((r, pa, pb, int(n)))
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {pa} {pb} "),
+                F.lit(f" {pa}{pb} "),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="round int, pa string, pb string, n bigint"
+    )

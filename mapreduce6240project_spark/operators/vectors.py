@@ -247,3 +247,101 @@ def cosine_range_search(
         .filter(F.col("sim") >= threshold)
         .select(id_col, F.round("sim", 4).alias("sim"))
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact d x d covariance numerator of the embedding matrix (the
+    PCA / whitening input): upper-triangle rows ``(i, j, cov_num)``
+    with ``cov_num = n * S_ij - S_i * S_j`` over components quantized
+    to 6-decimal fixed point -- all-integer arithmetic, so the result
+    is bit-identical at any partitioning and replayable in SQL.
+    (Divide by n^2 -- or n*(n-1) for the sample estimator -- to get the
+    covariance; the integer numerator is the exact, order-free part.)
+
+    Scale shape: the naive plan is a per-row d^2 explode (a 4096x row
+    blow-up before the shuffle).  Instead ``mapInPandas`` computes one
+    integer Gram matrix per Arrow batch -- numpy int64 matmul over the
+    quantized batch, emitting d*(d+1)/2 partial rows per ~10k-row
+    batch, a ~5000x reduction of shuffle input -- and a final
+    partial-aggregated sum in DECIMAL(38,0) (int64 is safe within a
+    batch: |q| <= ~2^21 for unit-scale components, so a batch's S_ij
+    <= 2^56; the unbounded cross-batch sum is where decimal takes
+    over).  Component sums S_i ride in the same batch pass as the
+    j = i diagonal's companion column.  This is the production shape
+    for covariance/Gram jobs at 100 TB: O(d^2) state per task,
+    one tiny shuffle, no row blow-up.
+    """
+    import pandas as pd
+
+    d_probe = embeddings.select(F.size(vec_col).alias("d")).first()
+    if d_probe is None:  # empty input: covariance undefined, empty result
+        return embeddings.sparkSession.createDataFrame(
+            [], schema="i int, j int, cov_num string"
+        )
+    d = d_probe.d
+    iu = [(i, j) for i in range(d) for j in range(i, d)]
+
+    def gram_batches(batches):
+        import numpy as np
+
+        iarr = np.array([p[0] for p in iu], dtype=np.int32)
+        jarr = np.array([p[1] for p in iu], dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy())  # (b, d) float64
+            q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+            g = q.T @ q  # (d, d) int64, exact within a batch
+            s = q.sum(axis=0)  # (d,) component sums
+            n = np.int64(q.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iarr,
+                    "j": jarr,
+                    "s_ij": g[iarr, jarr],
+                    "s_i": np.where(iarr == jarr, s[iarr], np.int64(0)),
+                    "n": np.where((iarr == 0) & (jarr == 0), n, np.int64(0)),
+                }
+            )
+
+    partials = embeddings.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    ).mapInPandas(
+        gram_batches, schema="i int, j int, s_ij long, s_i long, n long"
+    )
+    sums = (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("s_ij").cast("decimal(38,0)")).alias("S_ij"),
+            F.sum(F.col("s_i").cast("decimal(38,0)")).alias("S_marg"),
+            F.sum("n").alias("n_part"),
+        )
+        .localCheckpoint()  # d*(d+1)/2 rows; reused thrice below
+    )
+    # marginals: S_i lives on the diagonal row (i, i); broadcast-join it
+    # back onto every (i, j) pair twice (for i and for j).  n is a
+    # driver scalar (one row) folded in as a literal.
+    diag = sums.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("S_marg").alias("S_k")
+    )
+    n_row = sums.agg(F.sum("n_part").cast("decimal(38,0)").alias("n")).collect()[0]
+    n_lit = F.lit(str(n_row.n)).cast("decimal(38,0)")
+    return (
+        sums.join(F.broadcast(diag.withColumnRenamed("k", "i").withColumnRenamed("S_k", "S_a")), "i")
+        .join(F.broadcast(diag.withColumnRenamed("k", "j").withColumnRenamed("S_k", "S_b")), "j")
+        .select(
+            "i",
+            "j",
+            # exact integer rendered as text -- the value leaves BIGINT
+            # range near n ~ 3000 unit-scale vectors, and a decimal
+            # column would round-trip through float in the oracle's
+            # pandas frame; digits compare exactly at any magnitude
+            (n_lit * F.col("S_ij") - F.col("S_a") * F.col("S_b"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("cov_num"),
+        )
+    )

@@ -53,6 +53,7 @@ for _mod in (
     "wave29",
     "wave30",
     "wave31",
+    "wave32",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
@@ -201,6 +202,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "inverted_index_top100",
     "token_budget_docs",
     "kcore3_copurchase",
+    # -- wave 32: tokenizer training, PCA input, vocab coverage --
+    "bpe_merges_10",
+    "embedding_covariance",
+    "vocab_coverage_100",
 )
 
 _ordered: dict[str, QuerySpec] = {}

@@ -97,6 +97,8 @@ QUERIES = [
     "weighted_sample_orders_es",
     "inverted_index_top100",
     "token_budget_docs",
+    "embedding_covariance",
+    "vocab_coverage_100",
 ]
 
 
