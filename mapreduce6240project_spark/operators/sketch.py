@@ -438,3 +438,61 @@ def quantile_sketch_estimate(
         QSKETCH_REP_SQL.format(b="bid") + " AS est_micros",
         "n_total",
     )
+
+
+def quantile_sketch_grouped(
+    df: DataFrame, col: str, group_cols: tuple = ()
+) -> DataFrame:
+    """Per-group mergeable log-bucket quantile sketch: (group...,
+    bid, n).  Identical bucket math to :func:`quantile_sketch`; the
+    group key simply rides the bucket shuffle, so a day/tenant summary
+    table of quantile sketches costs one partial-aggregated pass, and
+    any coarser grain re-derives by ADDING bucket counts (the merge
+    property HLL rollups get from max-per-bucket, here from plus)."""
+    m = F.floor(F.col(col).cast("double") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        df.select(*group_cols, m.alias("m"))
+        .filter(F.col("m") >= 0)
+        .selectExpr(*group_cols, QSKETCH_BID_SQL.format(m="m") + " AS bid")
+        .groupBy(*group_cols, "bid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_sketch_estimate_grouped(
+    sketch: DataFrame, quantiles: dict[str, float], group_cols: tuple = ()
+) -> DataFrame:
+    """Per-group quantile estimates from a grouped sketch: (group...,
+    label, est_micros, n_total).  Same exact-integer target rank as
+    :func:`quantile_sketch_estimate`; the cumulative window partitions
+    on the group key, so every partition is a few hundred bucket rows
+    no matter how large its group's data was."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    c = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    qdf = spark.createDataFrame(
+        sorted((k, int(round(v * 10000))) for k, v in quantiles.items()),
+        "label string, q10k long",
+    )
+    rank = F.expr("CAST((q10k * total + 9999) div 10000 AS BIGINT)")
+    hits = (
+        c.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= rank)
+        .groupBy(*group_cols, "label")
+        .agg(F.min("bid").alias("bid"), F.max("total").alias("n_total"))
+    )
+    return hits.selectExpr(
+        *group_cols,
+        "label",
+        QSKETCH_REP_SQL.format(b="bid") + " AS est_micros",
+        "n_total",
+    )

@@ -345,3 +345,77 @@ def embedding_covariance(
             .alias("cov_num"),
         )
     )
+
+
+def _int_sq_dist(qv_col: str, center: list[int]) -> Column:
+    """Exact integer squared L2 between a quantized vector column and a
+    literal quantized center -- bigint fold, associative, engine-free."""
+    c = F.array(*[F.lit(int(x)).cast("bigint") for x in center])
+    return F.aggregate(
+        F.zip_with(F.col(qv_col), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985, farthest-point traversal):
+    pick a deterministic seed, then repeatedly add the vector FARTHEST
+    from the chosen set.  Returns ``(round, vec_id, radius_sq)`` --
+    the selected ids in pick order with the max-min squared distance at
+    the moment of selection (the 2-approximate coverage radius, in
+    micro^2 units; round 1's is 0 by convention).
+
+    This is diversity / coreset selection for training data: the k
+    picks cover the embedding space with provable radius, the opposite
+    bias of density-proportional sampling.  All distances are exact
+    integer squared L2 over 6-decimal-quantized components, so the
+    greedy trajectory is bit-identical in any engine and partitioning.
+
+    Scale shape: one quantization pass, then per round ONE narrow
+    map (min of the running distance and the distance to the newest
+    center -- a literal vector folded into codegen, no join) plus a
+    ``TakeOrderedAndProject`` argmax (per-partition top-1, k-row
+    driver merge).  Driver state is k quantized vectors; rounds are
+    lineage-truncated via localCheckpoint.  O(n*k*d) work total, the
+    algorithm's lower bound, with k scheduler round-trips -- the same
+    iterate-with-tiny-driver-state doctrine as kmedoids
+    (Cluster.java:310-386).
+    """
+    spark = embeddings.sparkSession
+    from mapreduce6240project_spark.operators.sampling import seed_hash
+
+    q = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    first = q.orderBy(seed_hash(id_col), F.col(id_col)).limit(1).collect()
+    if not first:
+        return spark.createDataFrame(
+            [], schema=f"round int, {id_col} bigint, radius_sq bigint"
+        )
+    center = [int(x) for x in first[0].qv]
+    picks = [(1, first[0][id_col], 0)]
+    state = q.withColumn("mind", _int_sq_dist("qv", center)).localCheckpoint()
+    for r in range(2, k + 1):
+        far = state.orderBy(F.desc("mind"), F.col(id_col)).limit(1).collect()
+        if not far or far[0].mind == 0:
+            break  # fewer than k distinct points: stop at full coverage
+        picks.append((r, far[0][id_col], int(far[0].mind)))
+        center = [int(x) for x in far[0].qv]
+        state = state.withColumn(
+            "mind", F.least(F.col("mind"), _int_sq_dist("qv", center))
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, schema=f"round int, {id_col} bigint, radius_sq bigint"
+    )

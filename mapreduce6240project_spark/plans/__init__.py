@@ -54,6 +54,7 @@ for _mod in (
     "wave30",
     "wave31",
     "wave32",
+    "wave33",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
@@ -206,6 +207,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "bpe_merges_10",
     "embedding_covariance",
     "vocab_coverage_100",
+    # -- wave 33: diversity selection, quantile-sketch rollup --
+    "kcenter_select_8",
+    "qsketch_grain_rollup",
 )
 
 _ordered: dict[str, QuerySpec] = {}

@@ -99,6 +99,7 @@ QUERIES = [
     "token_budget_docs",
     "embedding_covariance",
     "vocab_coverage_100",
+    "qsketch_grain_rollup",
 ]
 
 
