@@ -496,3 +496,99 @@ def quantile_sketch_estimate_grouped(
         QSKETCH_REP_SQL.format(b="bid") + " AS est_micros",
         "n_total",
     )
+
+
+def cms_inner_product(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Join-size estimation by sketch inner product (the AMS/CMS
+    estimator, Alon-Matias-Szegedy / Cormode-Muthukrishnan): the
+    equi-join cardinality ``|L JOIN R ON col| = sum_k fL(k) * fR(k)``
+    is estimated as ``min_i sum_p cmsL[i][p] * cmsR[i][p]`` -- never an
+    underestimate, within ``eps * |L| * |R|`` with the standard CMS
+    guarantees.  Returns one row ``(n_est, n_exact, err_micro)`` with
+    the exact size computed alongside for calibration (drop the exact
+    branch in production -- estimating join sizes WITHOUT running the
+    join is the point: it is what a cost-based optimizer consults
+    before picking broadcast vs shuffle strategies).
+
+    Scale shape: each side's sketch is one d*w-bounded partial-agg
+    pass (the exchange carries counters, never keys); the inner
+    product is a d*w-row join of two broadcast-sized tables.  The
+    exact branch is one key-shuffle count-aggregate pair join --
+    vocabulary-sized, not data-sized.
+    """
+    skl = cms_build(left, col, w=w, d=d)
+    skr = cms_build(right, col, w=w, d=d)
+    est = (
+        skl.withColumnRenamed("c", "cl")
+        .join(skr.withColumnRenamed("c", "cr"), ["i", "p"])
+        .groupBy("i")
+        .agg(F.sum(F.col("cl") * F.col("cr")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("n_est"))
+    )
+    lf = left.filter(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count("*").alias("nl")
+    )
+    rf = right.filter(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count("*").alias("nr")
+    )
+    exact = lf.join(rf, col).agg(
+        F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact")
+    )
+    return (
+        est.crossJoin(exact)  # two 1-row frames
+        .select(
+            "n_est",
+            "n_exact",
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 0 ELSE"
+                " (n_est - n_exact) * 1000000 div n_exact END AS BIGINT)"
+            ).alias("err_micro"),
+        )
+    )
+
+
+def cms_inner_product_oracle_sql(
+    left_cte: str, right_cte: str, col: str, w: int = 1024, d: int = 4
+) -> str:
+    """DuckDB replay of :func:`cms_inner_product`: rebuild both
+    sketches with the shared Carter-Wegman rows, min-over-rows inner
+    product, exact join size alongside."""
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(cms_params(d)))
+    return f"""
+WITH params(i, a, b) AS (VALUES {params}),
+lo AS ({left_cte}),
+ro AS ({right_cte}),
+lh AS (
+  SELECT ('0x' || substr(md5({col}), 1, 15))::BIGINT % {_P} AS base
+  FROM lo WHERE {col} IS NOT NULL),
+rh AS (
+  SELECT ('0x' || substr(md5({col}), 1, 15))::BIGINT % {_P} AS base
+  FROM ro WHERE {col} IS NOT NULL),
+ls AS (
+  SELECT i, ((a * base + b) % {_P}) % {w} AS p, CAST(count(*) AS BIGINT) AS c
+  FROM lh CROSS JOIN params GROUP BY 1, 2),
+rs AS (
+  SELECT i, ((a * base + b) % {_P}) % {w} AS p, CAST(count(*) AS BIGINT) AS c
+  FROM rh CROSS JOIN params GROUP BY 1, 2),
+ip AS (
+  SELECT ls.i, sum(ls.c * rs.c) AS ip
+  FROM ls JOIN rs USING (i, p) GROUP BY ls.i),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS n_est FROM ip),
+lf AS (SELECT {col}, count(*) AS nl FROM lo WHERE {col} IS NOT NULL GROUP BY 1),
+rf AS (SELECT {col}, count(*) AS nr FROM ro WHERE {col} IS NOT NULL GROUP BY 1),
+ex AS (
+  SELECT CAST(COALESCE(sum(lf.nl * rf.nr), 0) AS BIGINT) AS n_exact
+  FROM lf JOIN rf USING ({col}))
+SELECT n_est, n_exact,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+            ELSE (n_est - n_exact) * 1000000 // n_exact END AS BIGINT)
+         AS err_micro
+FROM est, ex"""

@@ -419,3 +419,51 @@ def kcenter_select(
     return spark.createDataFrame(
         picks, schema=f"round int, {id_col} bigint, radius_sq bigint"
     )
+
+
+def pca_power_top(
+    embeddings: DataFrame,
+    iterations: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant principal direction by ``iterations`` rounds of power
+    iteration over the EXACT integer covariance numerator, in pure
+    integer arithmetic: ``(i, v_i)`` with v scaled to max-abs = 1e6.
+
+    Math pinned for cross-engine replay: start from the unit basis
+    vector e_0 (scaled 1e6); each round computes ``u = C v`` in exact
+    (unbounded) integers and renormalizes by the max absolute
+    component with floor-on-magnitude division
+    ``sign(u_i) * (|u_i| * 1e6 // max|u|)`` -- non-negative operands
+    only, so trunc-vs-floor division semantics can never diverge
+    between engines.  The output is DEFINED as the vector after
+    exactly ``iterations`` rounds (convergence rate depends on the
+    spectral gap; the fixed-round form is what an oracle can replay).
+
+    Scale shape: the data-sized work is :func:`embedding_covariance`
+    (one Arrow-batched Gram pass); the iteration then runs driver-side
+    over d^2 integers -- bounded state exactly like the kmedoids
+    medoid list, NOT a data-sized collect.  At 100 TB you compute the
+    covariance once and the eigen-iteration cost is unchanged.
+    """
+    spark = embeddings.sparkSession
+    cov = embedding_covariance(embeddings, vec_col=vec_col).collect()
+    if not cov:
+        return spark.createDataFrame([], schema="i int, v bigint")
+    c: dict[tuple[int, int], int] = {}
+    d = 0
+    for r in cov:
+        val = int(r.cov_num)
+        c[(r.i, r.j)] = val
+        c[(r.j, r.i)] = val
+        d = max(d, r.j + 1)
+    v = [10**6] + [0] * (d - 1)
+    for _ in range(iterations):
+        u = [sum(c.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break
+        v = [(1 if x >= 0 else -1) * (abs(x) * 10**6 // m) for x in u]
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], schema="i int, v bigint"
+    )

@@ -55,6 +55,7 @@ for _mod in (
     "wave31",
     "wave32",
     "wave33",
+    "wave34",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
@@ -210,6 +211,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     # -- wave 33: diversity selection, quantile-sketch rollup --
     "kcenter_select_8",
     "qsketch_grain_rollup",
+    # -- wave 34: spectral iteration, join-size estimation --
+    "pca_power_top",
+    "join_size_cms",
 )
 
 _ordered: dict[str, QuerySpec] = {}
