@@ -245,3 +245,142 @@ def contamination_ngram_hits(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def skipgram_pairs_topk(
+    docs: DataFrame,
+    window: int = 2,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word2vec-style skip-gram training pairs: every (center, context)
+    token pair within ``window`` positions, counted corpus-wide, top-k.
+
+    One posexplode + one window pass computes ``lead(o)`` for every
+    positive offset o <= window; the negative offsets are the same pairs
+    swapped, so instead of a second window pass the positive-offset pair
+    stream is unioned with its own (context, center) mirror -- half the
+    window work, identical semantics.  One count aggregate (partial
+    map-side combine) and a TakeOrderedAndProject close it out; the only
+    shuffles are the per-document window partition and the pair-count
+    exchange, both hash-balanced at any corpus size.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = tok.select(
+        F.col("tok"),
+        *[F.lead("tok", o).over(w).alias(f"lead{o}") for o in range(1, window + 1)],
+    )
+    pos_pairs = (
+        leads.select(
+            F.col("tok").alias("center"),
+            F.explode(F.array(*[F.col(f"lead{o}") for o in range(1, window + 1)])).alias(
+                "context"
+            ),
+        )
+        .filter(F.col("context").isNotNull())
+    )
+    pairs = pos_pairs.unionByName(
+        pos_pairs.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(k)
+    )
+
+
+def bigram_coverage(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram *coverage*: what fraction of a document's
+    bigrams occur at least ``min_count`` times corpus-wide.  A cheap,
+    fully integer language-model-flavored quality signal -- boilerplate
+    and templated text score high, line noise scores low -- of the
+    family used for pre-training corpus filtering.
+
+    Plan: bigram stream (posexplode + lead window) -> corpus counts
+    (hash aggregate) -> join the stream back to the counts on the bigram
+    key (co-partitioned with the aggregate output, so AQE plans it
+    without an extra exchange) -> per-document aggregate.  Documents
+    with fewer than two tokens have no bigrams and are absent from the
+    output by definition.  All counts integer; the coverage percentage
+    uses truncating integer division so the oracle replays it exactly.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = tok.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull()).drop("nxt")
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigrams.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias("n_common"),
+        )
+        .withColumn(
+            "coverage_pct", F.expr("100 * n_common div n_bigrams").cast("long")
+        )
+    )
+
+
+def trigram_novelty(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus novelty profile: per document, how many distinct trigrams
+    it contains and how many of them appear *first* in this document
+    (first = the minimum doc_id over the corpus).  Summed over a
+    doc-id-ordered corpus this traces the novelty curve -- the knee
+    where additional data stops contributing new n-grams -- a standard
+    dataset-growth diagnostic for pre-training corpora.
+
+    Plan: distinct (doc, trigram) pairs -> min(doc_id) per trigram ->
+    join back on the trigram key -> per-document aggregate.  Every stage
+    is a hash shuffle on a high-cardinality key with map-side partials;
+    nothing is driver-sized.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("tri"),
+            F.lead("tok", 2).over(w).alias("l2"),
+        )
+        .filter(F.col("l2").isNotNull())
+        .drop("l2")
+        .distinct()
+    )
+    first = tri.groupBy("tri").agg(F.min(id_col).alias("first_doc"))
+    return (
+        tri.join(first, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )

@@ -56,6 +56,7 @@ for _mod in (
     "wave32",
     "wave33",
     "wave34",
+    "wave35",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
