@@ -100,6 +100,9 @@ QUERIES = [
     "embedding_covariance",
     "vocab_coverage_100",
     "qsketch_grain_rollup",
+    "skipgram_pairs_top",
+    "bigram_coverage_score",
+    "trigram_novelty",
 ]
 
 
