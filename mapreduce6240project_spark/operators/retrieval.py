@@ -199,3 +199,39 @@ def inverted_index(
         .limit(top_terms)
         .select("term", "df", "postings")
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index phrase query: documents containing the exact
+    token sequence ``phrase``, with per-document occurrence counts.
+
+    The plan is the *index* shape, not the scan shape: the postings
+    stream (doc, pos, term) is filtered to the phrase's terms FIRST --
+    on a prebuilt term-sharded index this touches only len(phrase)
+    posting lists, the entire point of an inverted index at corpus
+    scale -- and the phrase is then reassembled by equi-joining term i's
+    postings on ``(doc, pos - i)``.  Each join side is a tiny filtered
+    stream, hash-partitioned on the same composite key, and the final
+    per-document count is a partial-aggregated group-by.  A LIKE scan
+    would read every byte of every document; this reads three posting
+    lists.
+    """
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    terms = phrase.split()
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    out = None
+    for i, t in enumerate(terms):
+        side = postings.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        out = side if out is None else out.join(side, [id_col, "p0"])
+    return out.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -869,3 +869,92 @@ def make_cosine_pandas_udf(query_vec: Sequence[float]):
         return pd.Series(dots / (norms * qn))
 
     return pandas_udf(cosine_to_query, "double")
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    prefix_dims: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of *truncated-dimension* search: top-k by cosine over
+    only the first ``prefix_dims`` components vs the exact full-width
+    top-k.  This is the matryoshka/dim-reduction audit you run before
+    shipping a cheap first-pass retriever: if the 16-dim prefix already
+    recalls ~all of the 64-dim top-k, the candidate-generation scan can
+    run at 1/4 the arithmetic and memory bandwidth.
+
+    Both rankings are per-partition top-k + k-row driver merges
+    (TakeOrderedAndProject, no global sort); the overlap is a k-row
+    broadcast join.  Output is one row: (k, n_overlap, recall_pct).
+    """
+    full = cosine_topk(embeddings, query_vec, k, id_col, vec_col).select(id_col)
+    pref_emb = embeddings.select(
+        id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias("__pref")
+    )
+    pref = cosine_topk(
+        pref_emb, list(query_vec)[:prefix_dims], k, id_col, "__pref"
+    ).select(id_col)
+    return full.join(pref, id_col).agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.expr(f"100 * count(1) div {k}").cast("long").alias("recall_pct"),
+    )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph: for every vector, its top-k
+    same-cell neighbors by cosine (IVF-bucketed candidate generation,
+    the same n_probe=1 trade-off as :func:`embedding_cosine_pairs`).
+    The kNN graph is the substrate for graph-based dedup clustering and
+    connectivity analysis over embedding space.
+
+    Scale shape: cells from the integer k-means (sqrt(N) balanced
+    cells), a within-cell self-join on the cell key (O(N^1.5) expected
+    pair work, never O(N^2)), and a rank<=k window per source vector --
+    WindowGroupLimit keeps only k rows per source below the sort, so
+    the full neighbor list never materializes.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    c = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    un = cells.select(
+        id_col, "cell", F.transform(c, lambda x: x.cast("double") / norm).alias("uv")
+    )
+    a, b = un.alias("a"), un.alias("b")
+    sim = F.aggregate(
+        F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src"),
+        F.col(f"b.{id_col}").alias("nbr"),
+        sim.alias("s"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), "nbr")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src", "rank", "nbr", F.round("s", 4).alias("cos_sim"))
+    )

@@ -57,6 +57,7 @@ for _mod in (
     "wave33",
     "wave34",
     "wave35",
+    "wave36",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
