@@ -517,3 +517,135 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, schema="round int, pa string, pb string, n bigint"
     )
+
+
+def bigram_lm_continuations(
+    docs: DataFrame,
+    context_word: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add-one-smoothed bigram language model, queried for the top-k
+    continuations of ``context_word``: P(w2 | w1) = (c12 + 1) /
+    (c1 + V) in 6-decimal fixed point (``prob_micro`` =
+    (c12 + 1) * 1e6 // (c1 + V)), where c1 counts bigrams whose left
+    token is the context word and V is the corpus vocabulary size.
+
+    The probability is integer-exact (truncating division over exact
+    counts), so the whole model replays in ANSI SQL.  Plan: one bigram
+    stream (posexplode + lead window), a filtered count per
+    continuation, and two 1-row aggregates (c1, V) broadcast onto the
+    count table -- the cross joins carry exactly one row each, the same
+    bounded-cutoff pattern as the clustering literals.  At corpus scale
+    the count aggregate partial-combines map-side; nothing is
+    driver-sized but the k output rows.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = tok.select(
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c12 = (
+        bg.filter(F.col("w1") == context_word)
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = c12.agg(F.sum("c12").alias("c1"))
+    # whitespace-only documents normalize to '' and split to a single
+    # empty token that can never appear in a bigram; keep it out of the
+    # vocabulary so V matches the bigram-model event space
+    vocab = (
+        tok.filter(F.col("tok") != "").select("tok").distinct().agg(
+            F.count(F.lit(1)).alias("v")
+        )
+    )
+    return (
+        c12.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("w2").alias("next_tok"),
+            F.col("c12"),
+            F.expr("(c12 + 1) * 1000000 div (c1 + v)").alias("prob_micro"),
+        )
+        .orderBy(F.desc("c12"), "next_tok")
+        .limit(k)
+    )
+
+
+def chartrigram_lang_id(
+    docs: DataFrame,
+    profile_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Trainable character-trigram language classifier with an accuracy
+    rollup -- the Cavnar-Trenkle n-gram profile architecture (the one
+    real LID systems use) over a deterministic even/odd doc-id split.
+
+    Train: docs with even ids contribute char-trigram counts per
+    language; the ``profile_k`` most frequent trigrams per language
+    (ties -> trigram asc) form that language's profile.  Classify: each
+    odd-id doc is scored per language by how many of its trigram
+    occurrences hit the language's profile; argmax score (ties -> lang
+    asc) is the prediction.  Output per true language: ``n_docs``
+    (classifiable = at least one profile hit), ``n_correct``.
+
+    Scale shape: the profile table is (n_langs * profile_k) rows --
+    broadcast; the classify stage is one narrow trigram explode joined
+    to the broadcast, then two hash aggregates (doc-level argmax via
+    a max_by struct, language-level rollup).  No shuffle carries
+    anything document-sized.
+    """
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(text_col)
+    tri = F.expr("transform(sequence(1, length(__norm) - 2), i -> substring(__norm, i, 3))")
+    base = docs.select(F.col(id_col), F.col(lang_col), norm.alias("__norm")).filter(
+        F.length("__norm") >= 3
+    )
+    grams = base.select(
+        F.col(id_col), F.col(lang_col), F.explode(tri).alias("tri")
+    )
+
+    train = grams.filter(F.col(id_col) % 2 == 0)
+    counts = train.groupBy(lang_col, "tri").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy(lang_col).orderBy(F.desc("c"), "tri")
+    profile = (
+        counts.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") <= profile_k)
+        .select(F.col(lang_col).alias("p_lang"), "tri")
+    )
+
+    test = grams.filter(F.col(id_col) % 2 == 1)
+    scores = (
+        test.join(F.broadcast(profile), "tri")
+        .groupBy(id_col, lang_col, "p_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    # per-doc argmax with "ties -> lang asc": min_by over the struct
+    # (-score, lang) -- the smallest negated score is the best score,
+    # and equal scores fall through to the ascending language
+    pred = scores.groupBy(id_col, lang_col).agg(
+        F.min_by("p_lang", F.struct((-F.col("score")).alias("ns"), F.col("p_lang"))).alias(
+            "pred"
+        )
+    )
+    return (
+        pred.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("pred") == F.col(lang_col)).cast("bigint")).alias("n_correct"),
+        )
+    )

@@ -58,6 +58,7 @@ for _mod in (
     "wave34",
     "wave35",
     "wave36",
+    "wave37",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
