@@ -44,3 +44,62 @@ def lang_recoded_avg(features: DataFrame, value: str = "like_count") -> DataFram
 def row_count(df: DataFrame) -> DataFrame:
     """A3 (test.java): global count as a 1-row DataFrame."""
     return df.agg(F.count("*").alias("n"))
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_support: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Directed association rules A -> B over the order/part basket
+    table with exact integer metrics: ``support`` (orders containing
+    both), ``conf_micro`` = support * 1e6 // c(A), and ``lift_micro`` =
+    conf_micro * N // c(B) -- all truncating integer arithmetic over
+    order-level counts, so the metric table replays exactly in SQL.
+    (lift composed from conf_micro rather than the single fraction
+    support*N*1e6/(cA*cB) keeps every intermediate within bigint at any
+    order count; the composition is the *definition* here, mirrored in
+    the oracle.)
+
+    Plan shape: one basket aggregate (collect_set per order), a bounded
+    within-basket pair expansion (basket size is schema-bounded, so the
+    expansion is O(k^2) per order and skew-safe), a pair-count
+    aggregate, and two joins against the part-level order counts --
+    the item-count table is part-cardinality and broadcasts until parts
+    outgrow memory, at which point the same plan degrades to hash joins
+    on the part key.  Top-k by confidence via TakeOrderedAndProject.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.explode("parts").alias("part_a"), F.col("parts"))
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        pairs.join(item.select(F.col("l_partkey").alias("part_a"),
+                               F.col("c_item").alias("c_a")), "part_a")
+        .join(item.select(F.col("l_partkey").alias("part_b"),
+                          F.col("c_item").alias("c_b")), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("support * 1000000 div c_a").alias("conf_micro"),
+            F.expr("(support * 1000000 div c_a) * n_orders div c_b").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.desc("conf_micro"), "part_a", "part_b")
+        .limit(k)
+    )

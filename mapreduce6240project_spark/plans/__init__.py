@@ -59,6 +59,7 @@ for _mod in (
     "wave35",
     "wave36",
     "wave37",
+    "wave38",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -410,7 +410,11 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- no float summation order to disagree on.  The edge set is the
 # n-gram Jaccard pair graph (same CTE as the dedup_ngram_jaccard
 # oracle), symmetrized.
-_PAGERANK_ORACLE = f"""
+# Shared CTE: the symmetrized n-gram-Jaccard similarity graph (same
+# pair predicate as the dedup_ngram_jaccard oracle), ending in
+# ``edges(u, v)`` / ``deg(u, outdeg)`` -- imported by the PPR oracle in
+# wave38 so both rank queries run on the identical edge set.
+SIMGRAPH_EDGES_CTE = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
@@ -437,7 +441,9 @@ edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b AS u, id_a AS v FROM pairs
 ),
-deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY 1),
+deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY 1)"""
+
+_PAGERANK_ORACLE = SIMGRAPH_EDGES_CTE + """,
 params AS (
   SELECT count(*) AS nn,
          1000000000000 // count(*) AS init,
