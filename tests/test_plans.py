@@ -354,3 +354,62 @@ def test_grouping_sets_is_single_scan_expand(spark):
     assert "Expand" in plan
     # one fact scan: the three grains do NOT each re-read lineitem
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_phrase_match_filters_postings_before_joins(spark):
+    """The phrase terms prune the postings stream before any join (the
+    index shape), and term-position reassembly is equi-joins, never a
+    cartesian."""
+    df = REGISTRY["phrase_match_docs"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the isin(terms) filter exists below the joins
+    assert "IN (" in plan or "INSET" in plan.upper() or "term" in plan
+
+
+def test_knn_graph_is_cell_bucketed_not_allpairs(spark):
+    """The kNN self-join carries the cell equality in the join keys --
+    no cartesian/nested-loop pair generation."""
+    df = REGISTRY["knn_graph_top3"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the pair self-join must be a keyed join on the cell column.  (A
+    # BroadcastNestedLoopJoin does appear in the plan, but it is the
+    # bounded 1-row centroid-literal cross inside ivf_assign -- the
+    # documented cutoff pattern -- not the pair stage.)
+    assert any(
+        f"{j}" in plan and "cell" in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_knn_graph_rank_uses_window_group_limit(spark):
+    """rank<=k is pushed below the per-source sort so only k rows per
+    source survive into the window."""
+    plan = _plan(REGISTRY["knn_graph_top3"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_assoc_rules_basket_expansion_no_cartesian(spark):
+    df = REGISTRY["assoc_rules_top"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # item-count joins + 1-row N broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_bigram_lm_model_tables_broadcast(spark):
+    """c1 and V are 1-row aggregates broadcast onto the count table --
+    no shuffle carries the corpus to assemble the probabilities."""
+    df = REGISTRY["bigram_lm_order"].fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_lang_id_trigram_profile_broadcasts(spark):
+    """The (lang x profile_k) profile joins the test trigram stream via
+    broadcast -- the classify stage never shuffles document-sized
+    state."""
+    df = REGISTRY["lang_id_trigram_acc"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
