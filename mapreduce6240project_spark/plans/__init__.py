@@ -60,6 +60,7 @@ for _mod in (
     "wave36",
     "wave37",
     "wave38",
+    "wave39",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
