@@ -61,6 +61,7 @@ for _mod in (
     "wave37",
     "wave38",
     "wave39",
+    "wave40",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
