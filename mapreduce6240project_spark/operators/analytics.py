@@ -103,3 +103,44 @@ def association_rules(
         .orderBy(F.desc("conf_micro"), "part_a", "part_b")
         .limit(k)
     )
+
+
+#: 0.9^age in 6-decimal fixed point for ages 0..63, precomputed in
+#: Python and embedded as literals in BOTH the Spark plan and the SQL
+#: oracle -- neither engine ever calls pow()/exp(), whose last-ulp libm
+#: differences could flip a rounded value between platforms.
+DECAY_MICRO: tuple[int, ...] = tuple(
+    int(round(0.9**age * 1_000_000)) for age in range(64)
+)
+
+
+def trending_scores(
+    events: DataFrame,
+    decay_micro: tuple[int, ...] = DECAY_MICRO,
+) -> DataFrame:
+    """Exponentially time-decayed trending score per event type:
+    ``score_micro = sum(n_day * decay_micro[age])`` where age is whole
+    days before the newest event.  The decayed-count ranking behind
+    "trending now" surfaces, in exact integer arithmetic.
+
+    Plan: one (type, day) count aggregate (map-side partials), a
+    broadcast join to the 64-row literal decay table, and a final
+    type-level sum.  The newest-day scalar is a 1-row broadcast.  At
+    any volume the shuffled state is (n_types x n_days) rows.
+    """
+    spark = events.sparkSession
+    by_day = events.select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    maxd = by_day.agg(F.max("day").alias("maxd"))
+    decay = spark.createDataFrame(
+        list(enumerate(decay_micro)), "age int, decay_micro long"
+    )
+    return (
+        by_day.crossJoin(F.broadcast(maxd))
+        .withColumn("age", F.datediff("maxd", "day"))
+        .join(F.broadcast(decay), "age")
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("n * decay_micro")).alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "event_type")
+    )

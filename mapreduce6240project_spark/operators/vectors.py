@@ -467,3 +467,74 @@ def pca_power_top(
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], schema="i int, v bigint"
     )
+
+
+def label_scatter_ratio(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fisher-style between/within scatter of labeled embeddings, in
+    exact integer arithmetic: vectors are micro-quantized, per-label and
+    global means are truncating integer divisions, and the output row is
+    ``(n_labels, between, within, ratio_micro = between * 1e6 div
+    within)``, computed divide-first (between div (within div 1e6))
+    so no intermediate ever exceeds the operand magnitudes.  The audit that says whether a label column actually
+    separates in embedding space -- run before trusting the labels for
+    stratified sampling or contrastive pair mining.
+
+    Plan: one posexplode pass -> (label, dim) sums/counts (the only
+    data-sized shuffle, keyed on n_labels * d groups), means derived in
+    place, a second pass joining each vector's components to its label
+    mean for the within-scatter, and a d-bounded aggregate for the
+    between-scatter.  Nothing driver-sized; the mean table is
+    (labels x dims) rows.
+    """
+    q = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("d", "qx"),
+    )
+    lbl_stats = q.groupBy("lbl", "d").agg(
+        F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    lbl_mean = lbl_stats.select(
+        "lbl", "d", F.expr("s div n").alias("mu_l"), "n"
+    )
+    g_mean = (
+        lbl_stats.groupBy("d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .select("d", F.expr("s div n").alias("mu_g"))
+    )
+    within = (
+        q.join(lbl_mean.select("lbl", "d", "mu_l"), ["lbl", "d"])
+        .select(F.expr("(qx - mu_l) * (qx - mu_l)").alias("w2"))
+        .agg(F.sum("w2").alias("within"))
+    )
+    between = (
+        lbl_mean.join(g_mean, "d")
+        .select(F.expr("n * (mu_l - mu_g) * (mu_l - mu_g)").alias("b2"))
+        .agg(F.sum("b2").alias("between"))
+    )
+    n_labels = embeddings.select(label_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_labels")
+    )
+    return (
+        n_labels.crossJoin(F.broadcast(between))
+        .crossJoin(F.broadcast(within))
+        .select(
+            "n_labels",
+            "between",
+            "within",
+            F.expr(
+                "between div greatest(within div 1000000, 1)"
+            ).alias("ratio_micro"),
+        )
+    )

@@ -62,6 +62,7 @@ for _mod in (
     "wave38",
     "wave39",
     "wave40",
+    "wave41",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
