@@ -63,6 +63,7 @@ for _mod in (
     "wave39",
     "wave40",
     "wave41",
+    "wave42",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -103,6 +103,18 @@ QUERIES = [
     "skipgram_pairs_top",
     "bigram_coverage_score",
     "trigram_novelty",
+    "phrase_match_docs",
+    "knn_graph_top3",
+    "bigram_lm_order",
+    "lang_id_trigram_acc",
+    "ppr_seeded",
+    "assoc_rules_top",
+    "source_overlap_matrix",
+    "compaction_plan",
+    "ivf_recall_curve",
+    "qsketch_error_audit",
+    "trending_event_types",
+    "label_scatter_ratio",
 ]
 
 
