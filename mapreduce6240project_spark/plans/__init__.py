@@ -64,6 +64,7 @@ for _mod in (
     "wave40",
     "wave41",
     "wave42",
+    "wave43",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

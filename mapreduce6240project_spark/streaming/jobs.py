@@ -532,3 +532,96 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("total").alias("grain"), F.lit("all").alias("grain_key"), "n_approx"
     )
     return per_day.unionByName(total)
+
+
+def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event count + running value peak via
+    ``transformWithStateInPandas`` -- the Spark 4 successor to
+    ``applyInPandasWithState``: typed state handles (ValueState backed
+    by the state store, RocksDB at scale) owned by a StatefulProcessor
+    object instead of a bare update function.  Values are
+    micro-quantized BEFORE the operator so the peak is an exact integer
+    max and the bounded-stream result equals the batch group-by, which
+    is the oracle.
+
+    Environment gate: transformWithState's driver/worker protocol rides
+    on protobuf (``pyspark/sql/streaming/proto``), which this container
+    does not ship.  When ``google.protobuf`` is importable the real TWS
+    path runs; otherwise the job degrades to an
+    ``applyInPandasWithState`` implementation with IDENTICAL state and
+    output semantics, so the registered query stays oracle-checked
+    either way (same honest-gate pattern as sources/connectors.py)."""
+    import pandas as pd
+
+    ev = _stream_events(spark, sf_dir).selectExpr(
+        "user_id", "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vmic"
+    )
+
+    try:  # TWS requires protobuf at runtime (worker-side import)
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        from pyspark.sql.streaming.state import GroupState
+
+        def update(key, pdfs, state: GroupState):
+            n, mx = state.get if state.exists else (0, None)
+            for pdf in pdfs:
+                n += len(pdf)
+                m = int(pdf["vmic"].max())
+                mx = m if mx is None else max(mx, m)
+            state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "max_micros": [mx]}
+            )
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n long, max_micros long",
+            stateStructType="n long, mx long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        emitted = _drain_to_parquet(spark, out, "update")
+        return emitted.groupBy("user_id").agg(
+            F.max("n").alias("n"), F.max("max_micros").alias("max_micros")
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Peaks(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState("peaks", "n BIGINT, mx BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, mx = self._st.get()
+            else:
+                n, mx = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                m = int(pdf["vmic"].max())
+                mx = m if mx is None else max(mx, m)
+            self._st.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "max_micros": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        Peaks(),
+        outputStructType="user_id long, n long, max_micros long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    emitted = _drain_to_parquet(spark, out, "update")
+    # single-batch bounded stream -> one emission per user; the max-agg
+    # keeps the final cumulative row if the source ever re-batches
+    return emitted.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("max_micros").alias("max_micros")
+    )
