@@ -65,6 +65,7 @@ for _mod in (
     "wave41",
     "wave42",
     "wave43",
+    "wave44",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
