@@ -66,6 +66,7 @@ for _mod in (
     "wave42",
     "wave43",
     "wave44",
+    "wave45",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
