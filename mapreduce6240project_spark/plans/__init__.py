@@ -67,6 +67,7 @@ for _mod in (
     "wave43",
     "wave44",
     "wave45",
+    "wave46",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
