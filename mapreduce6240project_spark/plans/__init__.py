@@ -68,6 +68,7 @@ for _mod in (
     "wave44",
     "wave45",
     "wave46",
+    "wave47",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
