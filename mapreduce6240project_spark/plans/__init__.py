@@ -69,6 +69,7 @@ for _mod in (
     "wave45",
     "wave46",
     "wave47",
+    "wave48",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
