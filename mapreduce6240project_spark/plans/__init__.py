@@ -70,6 +70,7 @@ for _mod in (
     "wave46",
     "wave47",
     "wave48",
+    "wave49",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
