@@ -71,6 +71,7 @@ for _mod in (
     "wave47",
     "wave48",
     "wave49",
+    "wave50",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
