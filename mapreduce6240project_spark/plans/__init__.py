@@ -72,6 +72,7 @@ for _mod in (
     "wave48",
     "wave49",
     "wave50",
+    "wave51",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
