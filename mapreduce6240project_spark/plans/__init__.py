@@ -73,6 +73,7 @@ for _mod in (
     "wave49",
     "wave50",
     "wave51",
+    "wave52",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
