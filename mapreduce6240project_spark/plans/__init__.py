@@ -74,6 +74,7 @@ for _mod in (
     "wave50",
     "wave51",
     "wave52",
+    "wave53",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
