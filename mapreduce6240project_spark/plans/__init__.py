@@ -75,6 +75,7 @@ for _mod in (
     "wave51",
     "wave52",
     "wave53",
+    "wave54",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
