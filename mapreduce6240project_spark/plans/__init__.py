@@ -76,6 +76,7 @@ for _mod in (
     "wave52",
     "wave53",
     "wave54",
+    "wave55",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
