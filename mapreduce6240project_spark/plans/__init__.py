@@ -77,6 +77,7 @@ for _mod in (
     "wave53",
     "wave54",
     "wave55",
+    "wave56",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
