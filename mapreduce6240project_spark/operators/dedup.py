@@ -697,3 +697,85 @@ def dedup_paragraphs(
             ).alias("dedup_text"),
         )
     )
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    threshold_permyriad: int = 8000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact containment join |A ∩ B| / |A| >= t via one-sided prefix
+    filtering -- identical output to the naive shared-shingle join in
+    plans/wave44.py's oracle, but candidate generation touches only the
+    SUB side's rarest shingles.
+
+    Asymmetry does the work: if the intersection has >= ceil(t·|A|)
+    shingles, then A's first ``|A| - ceil(t·|A|) + 1`` rarest shingles
+    (under the global-frequency total order) must contain at least one
+    shared shingle -- so only A is prefix-reduced and B joins with its
+    full set.  Lossless (an undershooting ceil only lengthens the
+    prefix).  Measured motivation: the unfiltered join ran 6.6x slower
+    per 10x rows at 10x sf0.1 (SCALE.md) because work grows with the
+    shared-shingle df^2; the prefix caps the A-side df at the rare end
+    of the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("t"),
+    ).persist()
+    freq = tok.groupBy("t").agg(F.count("*").alias("gf"))
+    w = Window.partitionBy(id_col).orderBy("gf", "t")
+    ranked = (
+        tok.join(F.broadcast(freq), "t")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    t = threshold_permyriad / 10000.0
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "t")
+    a, b = prefix.alias("a"), tok.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_sub"),
+            F.col(f"b.{id_col}").alias("id_sup"),
+        )
+        .dropDuplicates(["id_sub", "id_sup"])
+    )
+    sets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("t")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_sub"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_sub"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_sup"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    return (
+        cands.join(sa, "id_sub")
+        .join(sb, "id_sup")
+        .select(
+            "id_sub",
+            "id_sup",
+            inter.alias("n_inter"),
+            F.col("n_sub").cast("bigint").alias("n_sub"),
+            F.expr("size(array_intersect(toks_a, toks_b)) * 10000 div n_sub")
+            .cast("bigint")
+            .alias("cont_permyriad"),
+        )
+        .filter(F.col("cont_permyriad") >= threshold_permyriad)
+    )

@@ -71,3 +71,53 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     rows = {(r.id_sub, r.id_sup) for r in cont.collect()}
     assert (1, 2) in rows       # the quote is contained in the long doc
     assert (2, 1) not in rows   # not vice versa
+
+
+def test_containment_prefix_equals_naive(spark):
+    """The prefix-filtered containment join is lossless: identical pair
+    set to the naive all-shared-shingle join on a planted corpus."""
+    from mapreduce6240project_spark.operators.dedup import (
+        containment_prefix_pairs,
+        shingles,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, quote + " " + " ".join(f"w{i}" for i in range(30))),
+            (3, "totally different words here in this one document body"),
+            (4, quote),  # identical to 1: mutual containment
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_sub, r.id_sup, r.n_inter, r.cont_permyriad)
+        for r in containment_prefix_pairs(docs, 8000).collect()
+    }
+    # naive spec
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_sub"),
+                 F.col("b.doc_id").alias("id_sup"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    want = {
+        (r.id_sub, r.id_sup, r.n_inter, r.cont)
+        for r in inter.join(
+            sizes.withColumnRenamed("doc_id", "id_sub"), "id_sub"
+        )
+        .selectExpr(
+            "id_sub", "id_sup", "n_inter",
+            "n_inter * 10000 div n_sh AS cont",
+        )
+        .filter("cont >= 8000")
+        .collect()
+    }
+    assert got == want and len(got) >= 3  # (1,2),(1,4),(4,1) at least
