@@ -115,6 +115,36 @@ QUERIES = [
     "qsketch_error_audit",
     "trending_event_types",
     "label_scatter_ratio",
+    "tokenizer_fertility",
+    "graph_diameter_sweep",
+    "streaming_tws_peaks",
+    "dataset_card",
+    "value_moving_avg_30m",
+    "containment_pairs",
+    "props_variant_deciles",
+    "session_path_top10",
+    "kfold5_assign",
+    "lang_confusion_matrix",
+    "events_throttle_1h",
+    "minhash_recall_audit",
+    "rank_footrule_sparse_dense",
+    "int8_recall_audit",
+    "join_strategy_advisor",
+    "permutation_test_value",
+    "cdc_latest_state",
+    "byte_char_density",
+    "hard_negatives_cells",
+    "span_corruption_plan",
+    "daily_top3_types",
+    "label_maxsim_rank",
+    "segment_trend_slope",
+    "quantile_normalize_doclen",
+    "fd_violation_audit",
+    "embedding_drift_l1",
+    "k_anonymity_audit",
+    "randomized_response_segments",
+    "ivf_cell_balance",
+    "retrieval_mrr_at10",
 ]
 
 
