@@ -78,6 +78,7 @@ for _mod in (
     "wave54",
     "wave55",
     "wave56",
+    "wave57",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
