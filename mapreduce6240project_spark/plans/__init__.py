@@ -79,6 +79,7 @@ for _mod in (
     "wave55",
     "wave56",
     "wave57",
+    "wave58",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -625,3 +625,66 @@ def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("user_id").agg(
         F.max("n").alias("n"), F.max("max_micros").alias("max_micros")
     )
+
+
+def streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch CDC compaction
+    (plans/wave49.py cdc_latest_state): per-user last-event state
+    carried in ``applyInPandasWithState`` -- (event-time micros,
+    event id, type, integer cents) updated by the (ts, event_id) max --
+    with tombstone semantics applied at emission (users whose final
+    event is an ``error`` are absent).  On the bounded one-shot stream
+    the final state equals the batch window query, which is the
+    oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    ev = _stream_events(spark, sf_dir).selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(ts) AS us",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            us, eid, typ, cents = state.get
+        else:
+            us, eid, typ, cents = -1, -1, "", 0
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if (row.us, row.event_id) > (us, eid):
+                    us, eid, typ, cents = (
+                        int(row.us),
+                        int(row.event_id),
+                        str(row.event_type),
+                        int(row.cents),
+                    )
+        state.update((us, eid, typ, cents))
+        if typ != "error":
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "last_value_cents": [cents], "us": [us]}
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "last_value_cents": [], "us": []}
+            ).astype({"user_id": "int64", "last_value_cents": "int64", "us": "int64"})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, last_value_cents long, us long",
+        stateStructType="us long, event_id long, event_type string, cents long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    emitted = _drain_to_parquet(spark, out, "update")
+    # keep the row for the max event-time emission per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "last_value_cents")
+    )
