@@ -80,6 +80,7 @@ for _mod in (
     "wave56",
     "wave57",
     "wave58",
+    "wave59",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

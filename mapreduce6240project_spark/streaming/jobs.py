@@ -688,3 +688,41 @@ def streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "last_value_cents")
     )
+
+
+def streaming_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles via mergeable sketch state: each micro-batch
+    reduces to its own ~512-bucket log-bucket quantile sketch inside
+    ``foreachBatch`` (written to an epoch-partitioned bucket store,
+    idempotent on replay), and the final estimate sums bucket counts
+    across epochs.  Count-sum merge is associative and commutative, so
+    the answer is bit-identical to the batch sketch however the engine
+    splits micro-batches -- the streaming-quantile counterpart of
+    ``streaming_hll_rollup``.  Shares the estimate arithmetic (and the
+    oracle) with the batch ``qsketch_value_quantiles`` query."""
+    import glob as _glob
+
+    from mapreduce6240project_spark.operators.sketch import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    ev = _stream_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgraft_qsk_")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        quantile_sketch(batch_df, "value").write.mode("overwrite").parquet(
+            f"{out}/epoch={epoch_id}"
+        )
+
+    q = ev.writeStream.outputMode("append").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    paths = sorted(_glob.glob(f"{out}/epoch=*"))
+    regs = spark.read.parquet(*paths)
+    merged = regs.groupBy("bid").agg(F.sum("n").alias("n"))
+    return quantile_sketch_estimate(
+        merged, {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
