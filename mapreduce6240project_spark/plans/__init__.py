@@ -81,6 +81,7 @@ for _mod in (
     "wave57",
     "wave58",
     "wave59",
+    "wave60",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
