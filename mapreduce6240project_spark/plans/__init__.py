@@ -82,6 +82,7 @@ for _mod in (
     "wave58",
     "wave59",
     "wave60",
+    "wave61",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
