@@ -83,6 +83,7 @@ for _mod in (
     "wave59",
     "wave60",
     "wave61",
+    "wave62",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
