@@ -81,14 +81,20 @@ s AS (
          sum(d * y) AS sdy, sum(d * d) AS sdd
   FROM daily GROUP BY 1
 )
+-- HUGEINT products: n * sdy overflowed BIGINT at the 10x stress run
+-- (SCALE.md); the Spark twin computes in DECIMAL(38,0)
 SELECT seg AS c_mktsegment,
-       CAST(n * sdy - sd * sy AS BIGINT) AS num,
-       CAST(n * sdd - sd * sd AS BIGINT) AS den,
+       -- exposed as DOUBLE on both engines: exact below 2^53 and
+       -- identically rounded above (pandas stringifies both as float64)
+       CAST(CAST(n AS HUGEINT) * sdy - CAST(sd AS HUGEINT) * sy AS DOUBLE) AS num,
+       CAST(CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd AS DOUBLE) AS den,
        -- truncate toward zero (DuckDB // floors; Spark div truncates --
        -- a negative slope would diverge by one without the sign split)
-       CAST(CASE WHEN n * sdy - sd * sy < 0
-                 THEN -((-(n * sdy - sd * sy)) // (n * sdd - sd * sd))
-                 ELSE (n * sdy - sd * sy) // (n * sdd - sd * sd) END
+       CAST(CASE WHEN CAST(n AS HUGEINT) * sdy - CAST(sd AS HUGEINT) * sy < 0
+                 THEN -((-(CAST(n AS HUGEINT) * sdy - CAST(sd AS HUGEINT) * sy))
+                        // (CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd))
+                 ELSE (CAST(n AS HUGEINT) * sdy - CAST(sd AS HUGEINT) * sy)
+                      // (CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd) END
             AS BIGINT) AS slope_cents_per_day
 FROM s""",
     ref="extension: per-segment OLS trend slope from closed-form "
@@ -118,17 +124,21 @@ def q_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
     )
+    # DECIMAL(38,0) sufficient statistics: the bigint form overflowed on
+    # the n * sdy product at the 10x stress run (ARITHMETIC_OVERFLOW,
+    # recorded in SCALE.md) -- decimal keeps the closed form exact to
+    # 38 digits and `div` still truncates toward zero
     s = daily.groupBy("seg").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("d").alias("sd"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("d * y")).alias("sdy"),
-        F.sum(F.expr("CAST(d AS BIGINT) * d")).alias("sdd"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("d").cast("decimal(38,0)").alias("sd"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * y")).alias("sdy"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("sdd"),
     )
     return s.select(
         F.col("seg").alias("c_mktsegment"),
-        F.expr("n * sdy - sd * sy").cast("bigint").alias("num"),
-        F.expr("n * sdd - sd * sd").cast("bigint").alias("den"),
+        F.expr("CAST(n * sdy - sd * sy AS DOUBLE)").alias("num"),
+        F.expr("CAST(n * sdd - sd * sd AS DOUBLE)").alias("den"),
         F.expr("(n * sdy - sd * sy) div (n * sdd - sd * sd)")
         .cast("bigint")
         .alias("slope_cents_per_day"),
