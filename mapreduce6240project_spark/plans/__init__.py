@@ -84,6 +84,7 @@ for _mod in (
     "wave60",
     "wave61",
     "wave62",
+    "wave63",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
