@@ -85,6 +85,7 @@ for _mod in (
     "wave61",
     "wave62",
     "wave63",
+    "wave64",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
