@@ -86,6 +86,7 @@ for _mod in (
     "wave62",
     "wave63",
     "wave64",
+    "wave65",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
