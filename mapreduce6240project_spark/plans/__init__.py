@@ -87,6 +87,7 @@ for _mod in (
     "wave63",
     "wave64",
     "wave65",
+    "wave66",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
