@@ -88,6 +88,7 @@ for _mod in (
     "wave64",
     "wave65",
     "wave66",
+    "wave67",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
