@@ -89,6 +89,7 @@ for _mod in (
     "wave65",
     "wave66",
     "wave67",
+    "wave68",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
