@@ -90,6 +90,7 @@ for _mod in (
     "wave66",
     "wave67",
     "wave68",
+    "wave69",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
