@@ -91,6 +91,7 @@ for _mod in (
     "wave67",
     "wave68",
     "wave69",
+    "wave70",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
