@@ -92,6 +92,7 @@ for _mod in (
     "wave68",
     "wave69",
     "wave70",
+    "wave71",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
