@@ -145,6 +145,35 @@ QUERIES = [
     "randomized_response_segments",
     "ivf_cell_balance",
     "retrieval_mrr_at10",
+    "incremental_dedup_new",
+    "doc_survivor_remap",
+    "ingest_quarantine_report",
+    "streaming_qsketch",
+    "orderkey_gap_audit",
+    "bot_regularity_audit",
+    "burst_users_10min",
+    "degree_assortativity",
+    "supplier_order_reach",
+    "part_return_rate_shrunk",
+    "repurchase_cycle_days",
+    "markov_stationary_events",
+    "corpus_merkle_roots",
+    "gdpr_delete_impact",
+    "schema_evolution_roundtrip",
+    "dedup_method_agreement",
+    "selectivity_estimate_audit",
+    "changepoint_day",
+    "top_revenue_days_ties",
+    "dup_payment_pairs",
+    "dau_wau_stickiness",
+    "abc_parts_classification",
+    "new_vs_returning_monthly",
+    "part_substitutes",
+    "fill_days_quantiles",
+    "embedding_isotropy_audit",
+    "session_bounce_rate",
+    "zipf_slope_tokens",
+    "token_entropy",
 ]
 
 
