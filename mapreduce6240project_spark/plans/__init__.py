@@ -93,6 +93,7 @@ for _mod in (
     "wave69",
     "wave70",
     "wave71",
+    "wave72",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
