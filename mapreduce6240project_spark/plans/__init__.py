@@ -94,6 +94,7 @@ for _mod in (
     "wave70",
     "wave71",
     "wave72",
+    "wave73",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
