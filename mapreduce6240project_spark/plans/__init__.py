@@ -95,6 +95,7 @@ for _mod in (
     "wave71",
     "wave72",
     "wave73",
+    "wave74",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
