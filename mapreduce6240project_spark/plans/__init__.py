@@ -96,6 +96,7 @@ for _mod in (
     "wave72",
     "wave73",
     "wave74",
+    "wave75",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
