@@ -97,6 +97,7 @@ for _mod in (
     "wave73",
     "wave74",
     "wave75",
+    "wave76",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
