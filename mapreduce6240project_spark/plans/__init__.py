@@ -98,6 +98,7 @@ for _mod in (
     "wave74",
     "wave75",
     "wave76",
+    "wave77",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

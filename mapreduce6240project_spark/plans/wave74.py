@@ -10,9 +10,13 @@
   across ordering customers, from the exact rank formula
   ``G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x))`` over cents revenue
   with a deterministic (revenue, custkey) total order.  All sufficient
-  statistics in DECIMAL(38,0); the single division happens in BIGINT
-  (DuckDB's ``//`` on decimals rounds instead of flooring -- wave-73
-  lesson).
+  statistics in DECIMAL(38,0); the single final division runs in IEEE
+  doubles under an explicit ``floor`` -- the numerator times 10000
+  exceeds bigint already at sf0.1 (caught by tools/stress10x.py), and
+  DuckDB's ``//`` on decimals rounds instead of flooring (wave-73
+  lesson), so double division with identical expression shape in both
+  engines is the deterministic overflow-proof form (the established
+  ``quality_score`` convention).
 - ``hhi_supplier_nation``: Herfindahl-Hirschman concentration of
   supplier revenue within each nation -- permyriad shares of
   dollar-quantized revenue (``rev_d * 10000 div sum(rev_d)``), then an
@@ -111,9 +115,10 @@ WITH rev AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
-       CAST(2 * sum(i * rev_c) - (count(*) + 1) * sum(rev_c) AS BIGINT)
-         * 10000
-         // CAST(count(*) * sum(rev_c) AS BIGINT) AS gini_permyriad
+       CAST(floor(CAST(2 * sum(i * rev_c) - (count(*) + 1) * sum(rev_c)
+                       AS DOUBLE) * 10000
+                  / CAST(count(*) * sum(rev_c) AS DOUBLE)) AS BIGINT)
+         AS gini_permyriad
 FROM ranked""",
     ref="extension: exact Gini coefficient of customer lifetime revenue "
     "from the rank formula, integer cents + DECIMAL(38,0) statistics",
@@ -134,8 +139,9 @@ def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("rev_c").cast("bigint").alias("total_rev_c"),
         F.expr(
-            "CAST(2 * sum(i * rev_c) - (count(*) + 1) * sum(rev_c) AS BIGINT)"
-            " * 10000 div CAST(count(*) * sum(rev_c) AS BIGINT)"
+            "CAST(floor(CAST(2 * sum(i * rev_c) - (count(*) + 1) * sum(rev_c)"
+            " AS DOUBLE) * 10000"
+            " / CAST(count(*) * sum(rev_c) AS DOUBLE)) AS BIGINT)"
         ).alias("gini_permyriad"),
     )
 
