@@ -99,6 +99,10 @@ for _mod in (
     "wave75",
     "wave76",
     "wave77",
+    "wave78",
+    "wave79",
+    "wave80",
+    "wave81",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

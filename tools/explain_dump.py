@@ -174,6 +174,33 @@ QUERIES = [
     "session_bounce_rate",
     "zipf_slope_tokens",
     "token_entropy",
+    "dedup_bag_fingerprint",
+    "supplier_peer_percentile",
+    "ks_value_drift",
+    "score_auc_audit",
+    "rfm_segments",
+    "gini_customer_revenue",
+    "hhi_supplier_nation",
+    "dedup_prefix_fp",
+    "curriculum_buckets",
+    "rolling_7d_distinct_users",
+    "cross_doc_repetition",
+    "welch_t_value",
+    "orders_backlog_daily",
+    "weekday_value_index",
+    "corpus_dedup_inflation",
+    "fixed_width_roundtrip",
+    "orders_except_all",
+    "interleave_schedule",
+    "user_active_streaks",
+    "fk_orphan_audit",
+    "hapax_ratio_source",
+    "value_quintile_migration",
+    "nation_share_of_region",
+    "winsorized_mean_value",
+    "mann_kendall_daily",
+    "value_bin_purchase_rate",
+    "mi_type_valuebin",
 ]
 
 
