@@ -103,6 +103,7 @@ for _mod in (
     "wave79",
     "wave80",
     "wave81",
+    "wave82",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -201,6 +201,9 @@ QUERIES = [
     "mann_kendall_daily",
     "value_bin_purchase_rate",
     "mi_type_valuebin",
+    "bootstrap_mean_value",
+    "sentence_stats_source",
+    "lorenz_deciles",
 ]
 
 
