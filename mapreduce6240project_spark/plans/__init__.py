@@ -104,6 +104,7 @@ for _mod in (
     "wave80",
     "wave81",
     "wave82",
+    "wave83",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

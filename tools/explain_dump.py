@@ -204,6 +204,9 @@ QUERIES = [
     "bootstrap_mean_value",
     "sentence_stats_source",
     "lorenz_deciles",
+    "dynamic_partition_overwrite",
+    "event_type_corr_matrix",
+    "value_overdispersion",
 ]
 
 
