@@ -105,6 +105,7 @@ for _mod in (
     "wave81",
     "wave82",
     "wave83",
+    "wave84",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")
