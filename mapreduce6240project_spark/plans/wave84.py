@@ -65,7 +65,8 @@ WITH binned AS (
 SELECT CAST(count(*) AS BIGINT) AS n_bins,
        CAST(max(ta) AS BIGINT) AS tot_a_sm,
        CAST(max(tb) AS BIGINT) AS tot_b_sm,
-       CAST(sum(num) // (max(ta) * max(tb)) AS BIGINT) AS psi_micro
+       CAST(CAST(sum(num) AS HUGEINT)
+            // CAST(max(ta) * max(tb) AS HUGEINT) AS BIGINT) AS psi_micro
 FROM term""",
     ref="extension: Population Stability Index between parity cohorts "
     "over $10 value bins -- add-one smoothing, micro-nat quantized "

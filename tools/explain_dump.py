@@ -207,6 +207,9 @@ QUERIES = [
     "dynamic_partition_overwrite",
     "event_type_corr_matrix",
     "value_overdispersion",
+    "psi_value_drift",
+    "signup_to_purchase_latency",
+    "linear_attribution",
 ]
 
 
