@@ -106,6 +106,7 @@ for _mod in (
     "wave82",
     "wave83",
     "wave84",
+    "wave85",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

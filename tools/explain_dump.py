@@ -210,6 +210,9 @@ QUERIES = [
     "psi_value_drift",
     "signup_to_purchase_latency",
     "linear_attribution",
+    "group_kfold_sources",
+    "out_of_order_lag",
+    "km_repurchase_survival",
 ]
 
 
