@@ -107,6 +107,7 @@ for _mod in (
     "wave83",
     "wave84",
     "wave85",
+    "wave86",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

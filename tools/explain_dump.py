@@ -213,6 +213,9 @@ QUERIES = [
     "group_kfold_sources",
     "out_of_order_lag",
     "km_repurchase_survival",
+    "kmv_distinct_users",
+    "theil_sen_daily",
+    "churn_rate_weekly",
 ]
 
 
