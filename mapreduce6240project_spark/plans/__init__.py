@@ -108,6 +108,7 @@ for _mod in (
     "wave84",
     "wave85",
     "wave86",
+    "wave87",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

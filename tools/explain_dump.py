@@ -216,6 +216,9 @@ QUERIES = [
     "kmv_distinct_users",
     "theil_sen_daily",
     "churn_rate_weekly",
+    "calendar_fill_daily",
+    "label_centroid_affinity",
+    "cohort_ltv_curve",
 ]
 
 
