@@ -109,6 +109,7 @@ for _mod in (
     "wave85",
     "wave86",
     "wave87",
+    "wave88",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

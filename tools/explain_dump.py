@@ -219,6 +219,9 @@ QUERIES = [
     "calendar_fill_daily",
     "label_centroid_affinity",
     "cohort_ltv_curve",
+    "mom_revenue_growth",
+    "open_order_aging",
+    "obt_export_checksum",
 ]
 
 
