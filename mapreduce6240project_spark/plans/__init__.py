@@ -110,6 +110,7 @@ for _mod in (
     "wave86",
     "wave87",
     "wave88",
+    "wave89",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -222,6 +222,9 @@ QUERIES = [
     "mom_revenue_growth",
     "open_order_aging",
     "obt_export_checksum",
+    "lang_id_kappa",
+    "revenue_waterfall_monthly",
+    "embedding_standardize",
 ]
 
 
