@@ -111,6 +111,7 @@ for _mod in (
     "wave87",
     "wave88",
     "wave89",
+    "wave90",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

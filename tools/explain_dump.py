@@ -225,6 +225,9 @@ QUERIES = [
     "lang_id_kappa",
     "revenue_waterfall_monthly",
     "embedding_standardize",
+    "hill_tail_index",
+    "join_key_skew_profile",
+    "topk_stability_bootstrap",
 ]
 
 
