@@ -112,6 +112,7 @@ for _mod in (
     "wave88",
     "wave89",
     "wave90",
+    "wave91",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -228,6 +228,9 @@ QUERIES = [
     "hill_tail_index",
     "join_key_skew_profile",
     "topk_stability_bootstrap",
+    "active_learning_margin",
+    "lang_label_conflicts",
+    "value_quartiles_by_type",
 ]
 
 
