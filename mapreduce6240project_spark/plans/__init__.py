@@ -113,6 +113,7 @@ for _mod in (
     "wave89",
     "wave90",
     "wave91",
+    "wave92",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

@@ -231,6 +231,9 @@ QUERIES = [
     "active_learning_margin",
     "lang_label_conflicts",
     "value_quartiles_by_type",
+    "dedup_survivor_length_bias",
+    "month_of_year_index",
+    "first_order_vs_ltv",
 ]
 
 
