@@ -114,6 +114,7 @@ for _mod in (
     "wave90",
     "wave91",
     "wave92",
+    "wave93",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

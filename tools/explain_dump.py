@@ -234,6 +234,9 @@ QUERIES = [
     "dedup_survivor_length_bias",
     "month_of_year_index",
     "first_order_vs_ltv",
+    "heaps_law_curve",
+    "discount_qty_response",
+    "balanced_downsample_labels",
 ]
 
 
