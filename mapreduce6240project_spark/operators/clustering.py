@@ -239,7 +239,7 @@ def kmedoids(
     tol: float = 1.5,
     weighted: bool = True,
     update_cap: int | None = None,
-    driver_combo_threshold: int = DRIVER_COMBO_THRESHOLD,
+    driver_combo_threshold: int | None = None,
 ) -> KMedoidsResult:
     """Lloyd-style k-medoids (C1/C2, Cluster.java:310-386 intended
     semantics; the reference's degenerate one-iteration loop bounds are
@@ -257,6 +257,11 @@ def kmedoids(
     self-join per iteration).  Either way the data-sized work -- combo
     compression and the final per-member assignment -- is distributed.
     """
+    from mapreduce6240project_spark.config import adaptive_threshold
+
+    driver_combo_threshold = adaptive_threshold(
+        driver_combo_threshold, DRIVER_COMBO_THRESHOLD
+    )
     if seeds is None:
         if k is None:
             raise ValueError("pass k or seeds")
@@ -288,6 +293,10 @@ def kmedoids(
         medoids = _iterate_driver_side(
             combo_rows, medoids, max_iter, tol, weighted, result
         )
+        # combo rows carry the weight column `n`; the public medoid dicts
+        # are feature rows only (same shape as the distributed path's
+        # _collect_medoids result)
+        medoids = [{k: m[k] for k in FEATURE_COLS} for m in medoids]
         result.assignments = assign_clusters(features, medoids, weighted)
         result.medoids = medoids
         return result

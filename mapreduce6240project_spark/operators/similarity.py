@@ -214,6 +214,14 @@ def _trunc_div(s: int, n: int) -> int:
 _DRIVER_IVF_THRESHOLD = 100_000
 
 
+def _ivf_threshold() -> int:
+    """Call-time resolution so SPARK_GRAFT_FORCE_DISTRIBUTED=1 forces
+    the distributed Lloyd loop (see mapreduce6240project_spark.config)."""
+    from mapreduce6240project_spark.config import adaptive_threshold
+
+    return adaptive_threshold(None, _DRIVER_IVF_THRESHOLD)
+
+
 def _ivf_centroids_local(
     ids: list[int], vecs: list, n_cells: int, iters: int
 ) -> list[list[int]]:
@@ -293,7 +301,7 @@ def ivf_centroids(
     # BIT-IDENTICAL to the distributed loop -- not merely close -- so
     # the SQL oracles replay unchanged.  Skips ~6 Spark jobs per
     # iteration of literal-heavy plan compilation.
-    if n <= _DRIVER_IVF_THRESHOLD:
+    if n <= _ivf_threshold():
         rows = embeddings.select(id_col, vec_col).collect()
         if rows and all(
             r[vec_col] is not None and all(x is not None for x in r[vec_col])
@@ -639,7 +647,7 @@ def pq_codebooks(
     sub = dim // m
     # below the driver threshold, ONE collect serves all m subspaces
     # (slicing locally); identical integer math, so still bit-exact
-    if embeddings.count() <= _DRIVER_IVF_THRESHOLD:
+    if embeddings.count() <= _ivf_threshold():
         rows = embeddings.select(id_col, vec_col).collect()
         if rows and all(
             r[vec_col] is not None and all(x is not None for x in r[vec_col])

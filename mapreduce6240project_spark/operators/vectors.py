@@ -142,7 +142,7 @@ def kmeans_embeddings(
     tol: float = 1e-4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    driver_vector_threshold: int = DRIVER_VECTOR_THRESHOLD,
+    driver_vector_threshold: int | None = None,
 ) -> KMeansResult:
     """Full Lloyd's loop.  Driver holds only the k x d centroid matrix;
     everything data-sized stays distributed (cf. Cluster.java's
@@ -156,6 +156,11 @@ def kmeans_embeddings(
     dominates wall-clock at small n.  The *final* assignment is always
     the distributed plan, so downstream consumers get the same lazy
     DataFrame either way; at scale the distributed loop takes over."""
+    from mapreduce6240project_spark.config import adaptive_threshold
+
+    driver_vector_threshold = adaptive_threshold(
+        driver_vector_threshold, DRIVER_VECTOR_THRESHOLD
+    )
     data = embeddings.select(id_col, vec_col).persist()
     n = data.count()  # materializes the iteration cache
     centroids = initial_centroids(data, k, id_col, vec_col)
