@@ -136,9 +136,13 @@ def trending_scores(
     decay = spark.createDataFrame(
         list(enumerate(decay_micro)), "age int, decay_micro long"
     )
+    # clamp: events older than the table's horizon contribute at the
+    # smallest weight instead of silently vanishing from the score once
+    # the event span exceeds len(decay_micro) days (round-3 advice)
+    max_age = len(decay_micro) - 1
     return (
         by_day.crossJoin(F.broadcast(maxd))
-        .withColumn("age", F.datediff("maxd", "day"))
+        .withColumn("age", F.least(F.datediff("maxd", "day"), F.lit(max_age)))
         .join(F.broadcast(decay), "age")
         .groupBy("event_type")
         .agg(F.sum(F.expr("n * decay_micro")).alias("score_micro"))

@@ -101,6 +101,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -121,6 +122,20 @@ def connected_components(
         labels = updated.drop("_chg")
         if n_changed == 0:
             break
+    if n_changed > 0:
+        # a component with diameter > max_iter would return SPLIT labels
+        # -- downstream dedup would silently over-keep (round-3 advice).
+        # Surface it loudly; callers wanting a truncated result can
+        # raise max_iter or catch the warning.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation still changing after "
+            f"max_iter={max_iter} rounds ({n_changed} labels moved last "
+            f"round); component labels may be split -- raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     dedup_pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

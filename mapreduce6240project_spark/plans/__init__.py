@@ -126,153 +126,74 @@ for _mod in (
         )
 
 #: The driver verifies queries in dict order with a bounded budget
-#: (50 in round 2).  This list pins the order: first the flagship +
-#: reference-parity surface (the queries a user of the reference runs
-#: today), then one representative per never-yet-verified operator
-#: family (graph, vector k-means, curation, rollup/cube/pivot, as-of /
-#: interval joins, skew salting, extra sources, sketches, stateful
-#: streaming).  Names missing from the registry are skipped, and
-#: registered queries not listed here keep their registration order at
-#: the tail -- so the reorder can never lose an entry.
+#: (50 per round).  Round-4 rotation: rounds 2+3 hard-verified 77
+#: distinct queries (CORRECTNESS_r02/r03); this round front-loads 50
+#: queries the external driver has NEVER checked, drawn from the
+#: highest-risk families -- sketches (HLL/CMS/KMV/qsketch), SCD2/CDC,
+#: graph (BFS/diameter/triangles/PPR), ANN audits (PQ/IVF/recall),
+#: streaming variants, extra source formats, and the round-4-edited
+#: stats queries.  Previously-verified queries and everything else keep
+#: their registration order at the tail -- the reorder can never lose
+#: an entry (guarded by tests/test_registry_guard.py).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- flagship + reference parity (tweet-feature pipeline) --
-    "ingest_featurize",
-    "kmedoids_k3",
-    "cluster_assign_k3",
-    "cluster_cost_k3",
-    "elbow_sweep",
-    "cluster_assign_unweighted",
-    "cluster_members",
-    "cluster_video_histogram",
-    "video_histogram",
-    "lang_avg_likes",
-    "range_scan_features",
-    "point_lookup",
-    "sample_seeds",
-    "csv_ingest_roundtrip",
-    "feature_store_roundtrip",
-    # -- windows + streaming over events --
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "streaming_tumbling",
-    "streaming_sessions",
-    # -- dedup rows upgraded from rows-only to oracle-backed --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_decode",
-    # -- operator families with no driver verdict yet --
-    "pagerank_simgraph",
-    "kmeans_assign_embeddings",
-    "embedding_range_search",
-    "embedding_quantize",
-    "ann_lsh_topk",
-    "redact_pii",
-    "decontaminate_train",
-    "doc_repetition",
-    "scd_upsert",
-    "rollup_revenue",
-    "cube_order_counts",
-    "pivot_status_by_segment",
-    "asof_last_signup",
-    "interval_pairs_60s",
-    "event_funnel",
-    "salted_event_counts",
-    "json_roundtrip",
-    "tsv_roundtrip",
-    "bloom_semi_filter",
-    "value_quantiles",
-    "streaming_stateful_counts",
-    "streaming_dedup",
-    "streaming_foreach_batch",
-    "time_rollup_multires",
-    "winnow_fingerprint_pairs",
-    "dedup_cc_survivors",
-    "dedup_pipeline",
-    # ---- driver budget boundary (50) ----
-    # Next tier: still-unverified queries, in case the budget grows.
+    # -- sketch family --
     "hll_distinct_users",
     "cms_heavy_hitters",
-    "kmedoids_elbow",
-    "multimodal_frames",
-    "weighted_sample_orders",
-    "bucketed_join_revenue",
-    "partitioned_scan_clicks",
-    "orc_roundtrip",
-    "ann_pq_topk",
-    "weighted_sample_by_status",
-    "temperature_resample_langs",
-    "mmr_select_diverse",
-    "gapfill_locf",
-    "source_cap_50",
-    "training_shards",
-    "token_frequency_score",
-    "user_running_value",
-    "props_json_stats",
-    "customers_no_orders",
-    "zscore_by_cluster",
-    "lang_id_accuracy",
+    "kmv_distinct_users",
+    "qsketch_value_quantiles",
+    "qsketch_error_audit",
+    "hll_mergeable_rollup",
+    "hll_set_algebra",
+    # -- SCD2 / CDC --
+    "scd2_user_state",
+    "cdc_latest_state",
+    # -- streaming variants --
+    "streaming_cdc",
+    "streaming_qsketch",
+    "streaming_hll_rollup",
     "streaming_sliding",
     "streaming_join_pairs",
-    "distinct_users",
-    "embedding_pairs_exact",
-    "brand_revenue",
-    "supplier_nation_stats",
-    "split_counts",
-    "bigram_top20",
-    "discount_suppliers_semi",
-    "customer_order_profile",
-    "corr_by_returnflag",
-    "acctbal_deciles",
-    "value_histogram",
-    "bpe_token_count",
-    "salted_value_sums",
-    "promo_revenue_ratio",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_parts_revenue",
-    "idle_rich_customers",
-    "approx_distinct_users",
-    "bernoulli_sample_count",
-    "kmeans_embeddings",
-    # -- wave 5: retrieval, similarity join, graph, LM quality, layout --
-    "bm25_top_docs",
-    "rrf_fuse_topk",
-    "jaccard_prefix_pairs",
-    "triangle_count_simgraph",
-    "charlm_quality",
-    "zorder_rectangle",
-    "user_value_ewma",
-    # -- wave 9: remaining TPC-H shapes (Q2,3,9,11,12,15,16,20 adapted) --
-    "min_cost_supplier",
-    "shipping_priority",
-    "product_type_profit",
-    "important_parts",
-    "late_ship_modes",
-    "top_supplier",
-    "supplier_part_counts",
-    "excess_qty_suppliers",
-    # -- wave 10: semantic dedup + index validation --
-    "semantic_dedup",
-    "ann_recall_at10",
-    "user_value_trend",
-    "dedup_paragraphs",
-    "impute_props_k",
+    "streaming_left_join",
     "streaming_enrich_static",
-    # -- wave 31: index build, token budgets, core decomposition --
-    "inverted_index_top100",
-    "token_budget_docs",
-    "kcore3_copurchase",
-    # -- wave 32: tokenizer training, PCA input, vocab coverage --
-    "bpe_merges_10",
-    "embedding_covariance",
-    "vocab_coverage_100",
-    # -- wave 33: diversity selection, quantile-sketch rollup --
+    # -- graph --
+    "bfs_hops_simgraph",
+    "graph_diameter_sweep",
+    "triangle_count_simgraph",
+    "clustering_coefficient",
+    "adamic_adar_topk",
+    "ppr_seeded",
+    "knn_graph_top3",
+    # -- clustering / ANN / embedding audits --
+    "kmedoids_elbow",
+    "ann_pq_topk",
+    "ann_recall_at10",
+    "ivf_recall_curve",
+    "semantic_dedup",
     "kcenter_select_8",
-    "qsketch_grain_rollup",
-    # -- wave 34: spectral iteration, join-size estimation --
     "pca_power_top",
-    "join_size_cms",
+    "embedding_covariance",
+    "mmr_select_diverse",
+    "matryoshka_recall16",
+    "int8_recall_audit",
+    # -- dedup variants --
+    "dedup_paragraphs",
+    "dedup_method_agreement",
+    # -- source formats / layout --
+    "orc_roundtrip",
+    "xml_roundtrip",
+    "fixed_width_roundtrip",
+    "partitioned_scan_clicks",
+    "bucketed_join_revenue",
+    # -- stats (incl. round-4-edited queries) --
+    "weighted_median_price",
+    "rolling_median_7",
+    "exact_split_strata",
+    "benford_totalprice",
+    "chi2_segment_status",
+    "ks_value_drift",
+    "trending_event_types",
+    "embedding_isotropy_audit",
+    "heaps_law_curve",
 )
 
 _ordered: dict[str, QuerySpec] = {}

@@ -39,7 +39,7 @@ mx AS (SELECT max(day) AS maxd FROM by_day),
 decay AS (SELECT unnest([{_AGES}]) AS age, unnest([{_DECAYS}]) AS decay_micro)
 SELECT b.event_type, CAST(sum(b.n * d.decay_micro) AS BIGINT) AS score_micro
 FROM by_day b, mx
-JOIN decay d ON d.age = (mx.maxd - b.day)
+JOIN decay d ON d.age = least(mx.maxd - b.day, {len(DECAY_MICRO) - 1})
 GROUP BY 1
 ORDER BY score_micro DESC, event_type""",
     ref="extension: exponentially decayed trending scores -- (type, day) "

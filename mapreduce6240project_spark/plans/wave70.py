@@ -28,11 +28,19 @@ WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 dims AS (
-  SELECT CAST(t.i AS INT) AS i, avg(v[CAST(t.i AS INT)]) AS mu
+  -- centroid in 6-decimal fixed point: integer sum + truncating div,
+  -- so mu is bit-exact under any aggregation order / engine (a float
+  -- avg here could shift a boundary cosine across the quantization
+  -- step -- round-3 advice)
+  SELECT CAST(t.i AS INT) AS i,
+         sum(CAST(floor(v[CAST(t.i AS INT)] * 1000000 + 0.5) AS BIGINT))
+           // count(*) AS mu_micro
   FROM vecs, unnest(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1
 ),
-cent AS (SELECT list(mu ORDER BY i) AS c FROM dims),
+cent AS (
+  SELECT list(CAST(mu_micro AS DOUBLE) / 1000000 ORDER BY i) AS c FROM dims
+),
 cos AS (
   SELECT CAST(floor(
            list_dot_product(v, c)
@@ -51,13 +59,26 @@ FROM cos""",
 )
 def q_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # centroid components as integer micro-sums + truncating div: the
+    # mean is associative/order-free, so the centroid literal below is
+    # bit-identical to the oracle's (a float avg could flip a boundary
+    # cosine after quantization -- round-3 advice)
     dv = emb.select(
         F.posexplode(
-            F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        ).alias("i", "x")
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("i", "qx")
     )
-    dims = dv.groupBy("i").agg(F.avg("x").alias("mu")).orderBy("i")
-    centroid = [float(r.mu) for r in dims.collect()]  # d-bounded driver list
+    dims = (
+        dv.groupBy("i")
+        .agg(F.expr("sum(qx) div count(*)").alias("mu_micro"))
+        .orderBy("i")
+    )
+    centroid = [r.mu_micro / 1_000_000 for r in dims.collect()]  # d-bounded
     c = F.array(*[F.lit(x) for x in centroid])
     from mapreduce6240project_spark.operators.similarity import cosine
 

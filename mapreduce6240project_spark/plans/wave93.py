@@ -50,15 +50,18 @@ WITH tok AS (
 ), doc_len AS (
   SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
 ), cuts AS (
+  -- greatest(max, step): one checkpoint even when max(doc_id) < step,
+  -- matching Spark's guarded sequence (round-3 advice)
   SELECT unnest(generate_series({_STEP},
-           (SELECT CAST(max(doc_id) AS BIGINT) FROM documents),
+           (SELECT greatest(CAST(max(doc_id) AS BIGINT), {_STEP})
+            FROM documents),
            {_STEP})) AS cutoff
 )
 SELECT CAST(c.cutoff AS BIGINT) AS cutoff_doc,
-       (SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_len
-        WHERE doc_id <= c.cutoff) AS n_tokens,
-       (SELECT CAST(count(*) AS BIGINT) FROM first_doc
-        WHERE fd <= c.cutoff) AS n_types
+       COALESCE((SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_len
+                 WHERE doc_id <= c.cutoff), 0) AS n_tokens,
+       COALESCE((SELECT CAST(count(*) AS BIGINT) FROM first_doc
+                 WHERE fd <= c.cutoff), 0) AS n_types
 FROM cuts c""",
     ref="extension: Heaps'-law vocabulary growth at doc checkpoints -- "
     "per-type first-doc reduction + prefix sums, no sequential scan; "
@@ -75,12 +78,18 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_doc = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
     doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # greatest(mx, step) guards sequence() (which THROWS when stop <
+    # start under a positive step) and pins one checkpoint on tiny /
+    # offset doc_id spaces (round-3 advice)
     cuts = (
         docs.agg(F.max("doc_id").cast("bigint").alias("mx"))
         .select(
             F.explode(
-                F.sequence(F.lit(_STEP).cast("bigint"), F.col("mx"),
-                           F.lit(_STEP).cast("bigint"))
+                F.sequence(
+                    F.lit(_STEP).cast("bigint"),
+                    F.greatest(F.col("mx"), F.lit(_STEP).cast("bigint")),
+                    F.lit(_STEP).cast("bigint"),
+                )
             ).alias("cutoff")
         )
     )
@@ -98,12 +107,16 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cutoff")
         .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
     )
+    # left-join the checkpoint grid so a cutoff with zero docs or zero
+    # first-seen types below it still emits a row (coalesced to 0),
+    # matching the oracle's correlated-subquery-per-cutoff shape
     return (
-        types_at.join(tokens_at, "cutoff")
+        cuts.join(tokens_at, "cutoff", "left")
+        .join(types_at, "cutoff", "left")
         .select(
             F.col("cutoff").cast("bigint").alias("cutoff_doc"),
-            "n_tokens",
-            "n_types",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
         )
     )
 

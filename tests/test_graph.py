@@ -147,3 +147,28 @@ def test_connected_components_paths_agree(spark):
     assert fast == {
         (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (8, 8), (9, 8), (10, 8),
     }
+
+
+def test_label_propagation_truncation_warns(spark):
+    # a 30-node path with max_iter=3 on the DISTRIBUTED branch cannot
+    # converge -- the operator must warn instead of silently returning
+    # split component labels (round-3 advice)
+    import warnings
+
+    from mapreduce6240project_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(pairs, max_iter=3, driver_edge_cap=0)
+        out.collect()
+        assert any("label propagation" in str(x.message) for x in w)
+
+    # and a converging run must NOT warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cc = connected_components(pairs, max_iter=50, driver_edge_cap=0)
+        assert cc.select("component").distinct().count() == 1
+        assert not any("label propagation" in str(x.message) for x in w)

@@ -92,3 +92,24 @@ def test_lookahead_split_keeps_comma_space(spark):
     df = spark.createDataFrame([('a,b, c,d',)], ["value"])
     got = df.select(F.split("value", r",(?!\s)").alias("p")).first().p
     assert got == ["a", "b, c", "d"]
+
+
+def test_trending_clamps_old_events(spark):
+    # events 100 days apart: the old day must contribute at the minimum
+    # decay weight, not vanish from the score (round-3 advice)
+    from mapreduce6240project_spark.operators.analytics import (
+        DECAY_MICRO,
+        trending_scores,
+    )
+
+    rows = [
+        ("click", "2024-01-01 00:00:00"),
+        ("click", "2024-04-10 00:00:00"),  # 100 days later
+        ("view", "2024-04-10 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    scores = {r.event_type: r.score_micro for r in trending_scores(ev).collect()}
+    assert scores["view"] == DECAY_MICRO[0]
+    assert scores["click"] == DECAY_MICRO[0] + DECAY_MICRO[63]

@@ -25,21 +25,27 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """First 50 = 20 previously-erroring parity queries + upgraded
-    dedup rows + never-driver-checked operator families.  Guards
-    against an import-order change silently demoting them."""
+    """Round-4 rotation: the first 50 are queries the external driver
+    NEVER checked in rounds 2-3 (CORRECTNESS_r02/r03), drawn from the
+    highest-risk families.  Guards against an import-order change
+    silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        "ingest_featurize",
-        "kmedoids_k3",
-        "streaming_tumbling",
-        "pagerank_simgraph",
-        "kmeans_assign_embeddings",
-        "redact_pii",
-        "rollup_revenue",
-        "asof_last_signup",
+        "hll_distinct_users",
+        "scd2_user_state",
+        "streaming_left_join",
+        "bfs_hops_simgraph",
+        "ann_pq_topk",
+        "pca_power_top",
+        "orc_roundtrip",
+        "trending_event_types",
+        "heaps_law_curve",
     ):
         assert name in first50
+    # fully disjoint from the 77 queries rounds 2+3 already verified
+    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        seen = set(json.load(open(f"/root/repo/{fname}")))
+        assert not (set(first50) & seen)
 
 
 def test_entry_module_fresh_interpreter():
@@ -60,7 +66,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 364
     assert info["o"] >= 300
-    assert info["first"] == "ingest_featurize"
+    assert info["first"] == "hll_distinct_users"
 
 
 def test_oracle_micros_sums_match_canonical_helper():

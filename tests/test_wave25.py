@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.plans.registry import REGISTRY
@@ -60,12 +61,17 @@ def test_bigram_pmi_reference_value(spark):
     assert keys == sorted(keys)
 
 
-def test_streaming_left_join_matches_batch(spark):
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_streaming_left_join_matches_batch(spark, sf_dir):
+    # BOTH scales in one run: the watermark-cutoff rule (cut at
+    # min(per-side max) - watermark - tolerance - margin) was found
+    # when sf0.01 hash-matched but sf0.001 dropped the last click's
+    # null-padded row (BASELINE.md) -- this pair pins the rule
     got = {
         (r.click_id, r.purchase_id)
-        for r in REGISTRY["streaming_left_join"].fn(spark, SF).collect()
+        for r in REGISTRY["streaming_left_join"].fn(spark, sf_dir).collect()
     }
-    ev = load_table(spark, SF, "events").select(
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     clicks = ev.filter(F.col("event_type") == "click")
