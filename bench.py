@@ -75,20 +75,65 @@ def main() -> None:
         print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm": warm,
-                "runs": runs,
-                "agg": "min",
-                "sf": sf,
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm": warm,
+        "runs": runs,
+        "agg": "min",
+        "sf": sf,
+    }
+
+    # Optional ~sf1 block (round-3 verdict item 8): replicate the sf0.1
+    # fact tables 10x (tools/stress10x.py's injective-key replication --
+    # constant dup density, unique keys) and run the same headline set
+    # once each (the JIT is warm from the sf0.1 runs, and at 10x data
+    # the fixed codegen cost is noise).  Disable with
+    # SPARK_GRAFT_BENCH_SF1=0; any failure degrades to the sf0.1-only
+    # line rather than breaking the bench contract.
+    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            import importlib.util
+
+            spec_mod = importlib.util.spec_from_file_location(
+                "stress10x", Path(__file__).resolve().parent / "tools" / "stress10x.py"
+            )
+            stress = importlib.util.module_from_spec(spec_mod)
+            spec_mod.loader.exec_module(stress)
+            stress.build_dataset()
+            sf1_dir = stress.DST
+            t0 = time.perf_counter()
+            feature_store(spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sf1_warm = {
+                "feature_store_fill": round(time.perf_counter() - t0, 3)
             }
-        )
-    )
+            sf1_timings: dict[str, float] = {}
+            for spec in headline:
+                t0 = time.perf_counter()
+                spec.fn(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sf1_timings[spec.name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"  [sf1] {spec.name}: {sf1_timings[spec.name]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            out["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "warm": sf1_warm,
+                "runs": 1,
+                "sf": 1.0,
+            }
+        except Exception as exc:  # pragma: no cover - environment-dependent
+            print(f"  [sf1] skipped: {exc!r}", file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
     spark.stop()
 
 

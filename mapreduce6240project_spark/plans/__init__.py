@@ -23,98 +23,18 @@ for _mod in (
     "extensions",
     "parity",
     "relational",
-    "wave2",
-    "wave3",
-    "wave4",
-    "wave5",
-    "wave6",
-    "wave7",
-    "wave8",
-    "wave9",
-    "wave10",
-    "wave11",
-    "wave12",
-    "wave13",
-    "wave14",
-    "wave15",
-    "wave16",
-    "wave17",
-    "wave18",
-    "wave19",
-    "wave20",
-    "wave21",
-    "wave22",
-    "wave23",
-    "wave24",
-    "wave25",
-    "wave26",
-    "wave27",
-    "wave28",
-    "wave29",
-    "wave30",
-    "wave31",
-    "wave32",
-    "wave33",
-    "wave34",
-    "wave35",
-    "wave36",
-    "wave37",
-    "wave38",
-    "wave39",
-    "wave40",
-    "wave41",
-    "wave42",
-    "wave43",
-    "wave44",
-    "wave45",
-    "wave46",
-    "wave47",
-    "wave48",
-    "wave49",
-    "wave50",
-    "wave51",
-    "wave52",
-    "wave53",
-    "wave54",
-    "wave55",
-    "wave56",
-    "wave57",
-    "wave58",
-    "wave59",
-    "wave60",
-    "wave61",
-    "wave62",
-    "wave63",
-    "wave64",
-    "wave65",
-    "wave66",
-    "wave67",
-    "wave68",
-    "wave69",
-    "wave70",
-    "wave71",
-    "wave72",
-    "wave73",
-    "wave74",
-    "wave75",
-    "wave76",
-    "wave77",
-    "wave78",
-    "wave79",
-    "wave80",
-    "wave81",
-    "wave82",
-    "wave83",
-    "wave84",
-    "wave85",
-    "wave86",
-    "wave87",
-    "wave88",
-    "wave89",
-    "wave90",
-    "wave91",
-    "wave92",
-    "wave93",
+    "text_corpus",
+    "retrieval",
+    "vectors_ext",
+    "graph_ext",
+    "dedup_ext",
+    "sketch_ext",
+    "tpch_analytics",
+    "stats_drift",
+    "curation_ext",
+    "engineering",
+    "streaming_ext",
+    "behavior",
 ):
     try:
         __import__(f"mapreduce6240project_spark.plans.{_mod}")

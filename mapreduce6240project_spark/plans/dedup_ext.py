@@ -1,0 +1,1016 @@
+"""fuzzy joins, duplicate-cluster folds, production dedup job shapes and dedup audits.
+
+Consolidated from the round-3 coverage waves (round-4 verdict item
+7: thematic domain modules instead of flat wave numbering).  Each
+section below is the original wave body verbatim; registry names,
+oracles and semantics are unchanged (guarded by the registry
+snapshot test and the full sf0.01 mirror).
+
+* wave 18: Round-3 coverage wave 18: fuzzy string joins and duplicate-cluster
+* wave 19: Round-3 coverage wave 19: quality-based canonical selection.
+* wave 39: Round-3 coverage wave 39: provenance-level dedup audit and a file
+* wave 57: Round-3 coverage wave 57: production dedup job shapes.
+* wave 65: Round-3 coverage wave 65: cross-method dedup agreement and
+* wave 72: Round-3 coverage wave 72: order-insensitive dedup and peer
+* wave 75: Round-3 coverage wave 75: prefix dedup, curriculum staging, rolling
+* wave 92: Round-3 coverage wave 92: dedup bias audit, annual seasonality,
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from mapreduce6240project_spark.plans.parity import _jaccard_pairs_cte
+from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.sources.tables import load_table
+from pyspark.sql import DataFrame, SparkSession, Window
+from mapreduce6240project_spark.plans.registry import REGISTRY, _register
+from mapreduce6240project_spark.operators.dedup import normalize_text
+from mapreduce6240project_spark.operators.sketch import QSKETCH_BID_SQL
+from mapreduce6240project_spark.plans.extensions import (
+    _ngram_jaccard_sql,
+    _simhash_md5_sql,
+)
+
+# =========================================================================
+# wave 18
+# Round-3 coverage wave 18: fuzzy string joins and duplicate-cluster
+# shape statistics.
+#
+# - ``typo_pairs``: blocked edit-distance self-join over part names --
+#   candidate pairs share a blocking key (the name's last token), and
+#   only candidates pay the Levenshtein kernel.  The standard entity-
+#   resolution shape: an all-pairs N^2 edit-distance scan is impossible
+#   at scale, a block-local one is routine (work is sum of block-size^2,
+#   bounded by the blocking key's fan-out, and the kernel runs inside
+#   whole-stage codegen).
+# - ``dup_component_sizes``: histogram of duplicate-cluster sizes from
+#   the transitive near-dup graph (how big do duplicate families get --
+#   the number that tells you whether dedup will delete 1% or 40% of the
+#   corpus).  Components come from the same label-propagation operator
+#   the survivor query uses; singleton documents count as size-1
+#   clusters via a left anti-ish coalesce, and the oracle replays the
+#   components with the recursive reach CTE.
+#
+# Reference parity note: entity resolution and cluster-shape audits are
+# engine extensions alongside SURVEY.md section 2.
+# =========================================================================
+
+TYPO_MAX_DIST = 3
+
+
+@_register(
+    "typo_pairs",
+    f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         split_part(p_name, ' ', -1) AS block
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND {TYPO_MAX_DIST}""",
+    ref="extension: blocked edit-distance self-join (entity resolution "
+    "shape: block key bounds candidate pairs, Levenshtein only on "
+    "candidates)",
+)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(dist.between(1, TYPO_MAX_DIST))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
+#: shared recursive replay of ``graph.dup_components`` at threshold
+#: 0.5: exact pair graph -> reach facts -> per-doc min-label component
+#: (singletons label themselves).  wave19 appends its own CTEs.
+DUP_COMPONENTS_CTE = (
+    "WITH RECURSIVE "
+    + _jaccard_pairs_cte("documents", 0.5).lstrip()
+    + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, l) AS (
+  SELECT u, v FROM edges WHERE v < u
+  UNION
+  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v WHERE r.l < e.u
+),
+comp AS (
+  SELECT d.doc_id,
+         coalesce((SELECT min(l) FROM reach r WHERE r.u = d.doc_id),
+                  d.doc_id) AS component
+  FROM documents d
+)"""
+)
+
+
+@_register(
+    "dup_component_sizes",
+    DUP_COMPONENTS_CTE
+    + """,
+fam AS (
+  SELECT component, count(*) AS csize FROM comp GROUP BY component
+)
+SELECT csize AS component_size, count(*) AS n_components
+FROM fam GROUP BY csize""",
+    ref="extension: duplicate-cluster size histogram over the transitive "
+    "near-dup components (label propagation; singletons are size-1)",
+)
+def q_dup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.graph import dup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dup_components(docs, threshold=0.5)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return sizes.groupBy(F.col("csize").alias("component_size")).agg(
+        F.count("*").alias("n_components")
+    )
+
+
+# =========================================================================
+# wave 19
+# Round-3 coverage wave 19: quality-based canonical selection.
+#
+# ``dup_best_survivors``: pick the CANONICAL document per duplicate
+# cluster by quality, not by id.  Min-id survivor selection (what plain
+# dedup does) keeps whichever near-duplicate happened to be crawled
+# first; production corpora keep the *best* copy -- highest quality
+# score, id as the tiebreak.  Composition of three existing operators:
+# transitive components over the exact near-dup graph, the quality
+# scorer, and a per-component top-1 window whose partition key is the
+# component (cluster-sized partitions, not corpus-sized).
+#
+# The oracle replays components with the recursive reach CTE and reuses
+# the registered quality oracle verbatim, so the two selection inputs
+# are bit-identical to their standalone queries.
+#
+# Reference parity note: canonical-copy selection is an LLM-pipeline
+# extension alongside SURVEY.md section 2.
+# =========================================================================
+
+_QUALITY_SQL = REGISTRY["text_quality"].oracle
+
+
+@_register(
+    "dup_best_survivors",
+    DUP_COMPONENTS_CTE
+    + f""",
+q AS (
+  {_QUALITY_SQL}
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id) AS rk
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT component, doc_id AS survivor_id, quality
+FROM ranked WHERE rk = 1""",
+    ref="extension: canonical-copy selection per duplicate cluster "
+    "(keep highest quality, not lowest id); composes components + "
+    "quality scorer + cluster-partitioned top-1 window",
+)
+def q_dup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.graph import dup_components
+    from mapreduce6240project_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dup_components(docs, threshold=0.5)
+    quality = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"), "quality")
+    )
+
+
+# =========================================================================
+# wave 39
+# Round-3 coverage wave 39: provenance-level dedup audit and a file
+# compaction planner.
+#
+# - ``source_overlap_matrix``: which sources copy from each other -- for
+#   every source pair, how many exact content fingerprints they share.
+#   The provenance view of dedup that decides which feeds to drop or
+#   down-weight before training.  Distinct (fingerprint, source) pairs
+#   self-joined on the fingerprint key; the matrix is
+#   (n_sources x n_sources)-bounded.
+# - ``compaction_plan``: OPTIMIZE-style small-file bin packing -- per
+#   source, documents (standing in for data files, sized by n_chars) are
+#   assigned to output groups by a running-size cursor
+#   (floor(cumulative_before / target)), and the plan reports each output
+#   group's file count and byte total.  The assignment is one window
+#   cumsum per source partition -- the same shape a real table-maintenance
+#   planner runs over the file manifest, which is always many orders of
+#   magnitude smaller than the data it describes.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_TARGET_CHARS = 4000
+
+
+@_register(
+    "source_overlap_matrix",
+    f"""
+WITH fp AS (
+  SELECT DISTINCT md5({_NORM}) AS fingerprint, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY 1, 2""",
+    ref="extension: cross-source duplicate-overlap matrix -- distinct "
+    "(fingerprint, source) self-join on the digest key; output bounded "
+    "by n_sources^2",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(normalize_text("text")).alias("fingerprint"), "source")
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@_register(
+    "compaction_plan",
+    f"""
+WITH files AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents
+)
+SELECT source, CAST(before // {_TARGET_CHARS} AS BIGINT) AS out_group,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM files
+GROUP BY 1, 2""",
+    ref="extension: OPTIMIZE-style compaction planner -- running-size "
+    "cursor (window cumsum per source) assigns files to target-sized "
+    "output groups; manifest-sized work",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    files = docs.withColumn(
+        "before", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    )
+    return (
+        files.select(
+            "source",
+            F.expr(f"before div {_TARGET_CHARS}").cast("long").alias("out_group"),
+            "n_chars",
+        )
+        .groupBy("source", "out_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# =========================================================================
+# wave 57
+# Round-3 coverage wave 57: production dedup job shapes.
+#
+# - ``incremental_dedup_new``: the most common production dedup job --
+#   a NEW batch (odd doc ids) deduplicated against the already-ingested
+#   corpus (even ids) AND within itself: a new document survives when its
+#   fingerprint is absent from the seen corpus and it is the lowest id
+#   for that fingerprint inside the batch.  One anti-join against the
+#   seen fingerprint set + one in-batch group-min; at scale the seen set
+#   is the fingerprint index, not the corpus.
+# - ``doc_survivor_remap``: the reference-rewrite table dedup emits for
+#   downstream consumers -- for every non-canonical duplicate, the
+#   surviving canonical doc id (min id per exact fingerprint).  Joins,
+#   citations, and index entries pointing at dropped docs are rewritten
+#   through this map.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@_register(
+    "incremental_dedup_new",
+    f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+),
+seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT b.doc_id, b.fingerprint FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = b.fingerprint)
+)
+SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_batch_copies
+FROM fresh GROUP BY fingerprint""",
+    ref="extension: incremental dedup of a new batch vs the seen "
+    "corpus -- fingerprint anti-join + in-batch keep-lowest; the seen "
+    "side is index-sized at scale",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    seen = fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    fresh = batch.join(seen, "fingerprint", "left_anti")
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("bigint").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )
+
+
+def _remap_sql() -> str:
+    from mapreduce6240project_spark.plans.parity import _jaccard_pairs_cte
+
+    return (
+        "WITH RECURSIVE "
+        + _jaccard_pairs_cte("documents", 0.5).lstrip()
+        + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, l) AS (
+  SELECT u, v FROM edges WHERE v < u
+  UNION
+  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v WHERE r.l < e.u
+)
+SELECT u AS doc_id, CAST(min(l) AS BIGINT) AS canonical_id
+FROM reach GROUP BY u"""
+    )
+
+
+@_register(
+    "doc_survivor_remap",
+    _remap_sql(),
+    ref="extension: dedup reference-rewrite map over near-dup "
+    "components (dropped doc -> min-id canonical of its J>=0.5 "
+    "component) -- the table downstream joins are rewritten through; "
+    "edges are the LSH-verified pairs (recall pinned by "
+    "minhash_recall_audit), components via label propagation",
+)
+def q_survivor_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators import dedup as D
+    from mapreduce6240project_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_verified_pairs(
+        docs, D.minhash_candidate_pairs(docs), threshold=0.5
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").cast("bigint").alias("canonical_id"),
+        )
+    )
+
+
+# =========================================================================
+# wave 65
+# Round-3 coverage wave 65: cross-method dedup agreement and
+# selectivity-estimation audits.
+#
+# - ``dedup_method_agreement``: do SimHash (Hamming <= 3) and MinHash
+#   (exact-verified J >= 0.5) agree on which pairs are duplicates?
+#   Reported as pair-set sizes, the intersection, and the pair-set
+#   Jaccard in permyriad -- the audit you run before swapping one dedup
+#   method for a cheaper one.  Both pair sets replay in SQL (md5-variant
+#   SimHash; MinHash reduces to the exact ground truth).
+# - ``selectivity_estimate_audit``: cost-model validation -- the
+#   quantile sketch's estimate of ``value > 75`` selectivity vs the
+#   actual filtered count, error in permyriad.  With ``join_size_cms``
+#   this completes the pair of CBO inputs (filter selectivity + join
+#   cardinality) measured as first-class queries.
+# =========================================================================
+
+_CUT = 75  # selectivity predicate: value > 75
+
+
+@_register(
+    "dedup_method_agreement",
+    f"""
+WITH sh AS (
+  SELECT id_a, id_b FROM ({_simhash_md5_sql(3)})
+),
+mh AS (
+  SELECT id_a, id_b FROM ({_ngram_jaccard_sql(0.5)})
+),
+b AS (SELECT count(*) AS n FROM mh),
+a AS (SELECT count(*) AS n FROM sh),
+i AS (SELECT count(*) AS n FROM sh JOIN mh USING (id_a, id_b))
+SELECT CAST(a.n AS BIGINT) AS n_simhash, CAST(b.n AS BIGINT) AS n_minhash,
+       CAST(i.n AS BIGINT) AS n_both,
+       CAST(i.n * 10000 // (a.n + b.n - i.n) AS BIGINT)
+         AS pair_jaccard_permyriad
+FROM a, b, i""",
+    ref="extension: cross-method dedup agreement (SimHash Hamming<=3 vs "
+    "MinHash-verified J>=0.5 pair sets) -- intersection + pair-set "
+    "Jaccard; the swap-methods audit",
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash_pairs(docs, max_hamming=3, token_hash="md5").select(
+        "id_a", "id_b"
+    )
+    mh = D.jaccard_verified_pairs(
+        docs, D.minhash_candidate_pairs(docs), threshold=0.5
+    ).select("id_a", "id_b")
+    a = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    b = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    i = sh.join(mh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(i))
+        .select(
+            "n_simhash",
+            "n_minhash",
+            "n_both",
+            F.expr("n_both * 10000 div (n_simhash + n_minhash - n_both)")
+            .cast("bigint")
+            .alias("pair_jaccard_permyriad"),
+        )
+    )
+
+
+def _selectivity_sql() -> str:
+    bid = QSKETCH_BID_SQL.format(m="m")
+    cut_micro = _CUT * 1_000_000
+    cut_bid = f"CASE WHEN {cut_micro} < 8 THEN {cut_micro} ELSE 8 * (length(bin({cut_micro})) - 1) + CAST(floor({cut_micro} / power(2, length(bin({cut_micro})) - 4)) AS BIGINT) - 8 END"
+    return f"""
+WITH mm AS (
+  SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m FROM events
+),
+b AS (SELECT {bid} AS bid, count(*) AS n FROM mm WHERE m >= 0 GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM b),
+est AS (
+  SELECT sum(n) AS n_est FROM b WHERE bid > ({cut_bid})
+),
+act AS (SELECT count(*) AS n_act FROM events WHERE value > {_CUT})
+SELECT CAST(coalesce(est.n_est, 0) AS BIGINT) AS n_estimated,
+       CAST(act.n_act AS BIGINT) AS n_actual,
+       CAST(abs(coalesce(est.n_est, 0) - act.n_act) * 10000
+            // greatest(act.n_act, 1) AS BIGINT) AS err_permyriad
+FROM est, act, tot"""
+
+
+@_register(
+    "selectivity_estimate_audit",
+    _selectivity_sql(),
+    ref="extension: filter-selectivity estimation from the quantile "
+    "sketch vs the actual count (err in permyriad) -- the CBO input "
+    "pair-completing audit to join_size_cms",
+)
+def q_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.sketch import quantile_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch(ev, "value")
+    cut_micro = _CUT * 1_000_000
+    cut_bid_expr = (
+        f"CASE WHEN {cut_micro} < 8 THEN {cut_micro} "
+        f"ELSE 8 * (length(bin({cut_micro})) - 1) "
+        f"+ CAST(floor({cut_micro} / power(2, length(bin({cut_micro})) - 4)) AS BIGINT) - 8 END"
+    )
+    est = sk.filter(F.expr(f"bid > ({cut_bid_expr})")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_estimated")
+    )
+    act = ev.filter(F.col("value") > _CUT).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "n_estimated",
+        "n_actual",
+        F.expr(
+            "abs(n_estimated - n_actual) * 10000 div greatest(n_actual, 1)"
+        )
+        .cast("bigint")
+        .alias("err_permyriad"),
+    )
+
+
+# =========================================================================
+# wave 72
+# Round-3 coverage wave 72: order-insensitive dedup and peer
+# percentiles.
+#
+# - ``dedup_bag_fingerprint``: word-order-insensitive exact dedup -- the
+#   fingerprint is the md5 of the SORTED token multiset, so shuffled or
+#   re-ordered copies (listicles, reordered boilerplate) collapse where
+#   plain exact dedup misses them.  Same one-shuffle keep-lowest shape as
+#   ``dedup_exact``; reported as fingerprints with their copy counts and
+#   survivors.
+# - ``supplier_peer_percentile``: each supplier's revenue percentile
+#   within its nation (integer permyriad percent-rank) -- the
+#   peer-comparison window every benchmark report runs; nation-partitioned
+#   windows, no global sort.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@_register(
+    "dedup_bag_fingerprint",
+    f"""
+WITH bags AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split({_NORM}, ' ')), ' '))
+           AS bag_fp
+  FROM documents
+)
+SELECT bag_fp, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM bags GROUP BY 1""",
+    ref="extension: word-order-insensitive dedup (md5 of the sorted "
+    "token multiset) -- collapses re-ordered copies plain exact dedup "
+    "misses; one digest shuffle",
+)
+def q_bag_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.md5(
+        F.array_join(F.sort_array(F.split(normalize_text("text"), " ")), " ")
+    )
+    return (
+        docs.select("doc_id", bag.alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@_register(
+    "supplier_peer_percentile",
+    """
+WITH rev AS (
+  SELECT s.s_suppkey, s.s_nationkey,
+         sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_nationkey, CAST(rev_c AS BIGINT) AS rev_c,
+       CAST((row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY rev_c, s_suppkey) - 1) * 10000
+            // greatest(count(*) OVER (PARTITION BY s_nationkey) - 1, 1)
+            AS BIGINT) AS pct_permyriad
+FROM rev""",
+    ref="extension: peer percentile -- integer permyriad percent-rank "
+    "of supplier revenue within its nation; nation-partitioned windows",
+)
+def q_supplier_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            ).alias("rev_c")
+        )
+    )
+    return rev.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        F.expr(
+            "CAST((row_number() OVER (PARTITION BY s_nationkey"
+            " ORDER BY rev_c, s_suppkey) - 1) * 10000"
+            " div greatest(count(*) OVER (PARTITION BY s_nationkey) - 1, 1)"
+            " AS BIGINT)"
+        ).alias("pct_permyriad"),
+    )
+
+
+# =========================================================================
+# wave 75
+# Round-3 coverage wave 75: prefix dedup, curriculum staging, rolling
+# reach.
+#
+# - ``dedup_prefix_fp``: prefix-fingerprint dedup -- md5 of the first 32
+#   normalized tokens, the standard corpus trick for collapsing
+#   truncated/extended variants of the same page (same lead, different
+#   tail) that exact and bag dedup both miss.  One digest group-by
+#   shuffle, same keep-lowest shape as ``dedup_exact``.
+# - ``curriculum_buckets``: curriculum-learning staging -- documents
+#   ordered by the shared quality score (``text_quality``'s oracle CTE
+#   reused verbatim) and cut into 4 stages with ``ntile(4)`` on a
+#   deterministic (quality, doc_id) order; per stage: doc count, token
+#   budget, and the permyriad quality range.  This is the table a
+#   staged-training data loader consumes.
+# - ``rolling_7d_distinct_users``: trailing-7-day distinct users per
+#   active day.  Sliding-window COUNT DISTINCT does not decompose into a
+#   plain window frame, so the scalable shape is: distinct (day, user)
+#   pairs (one shuffle, cardinality-bounded), then a range join against
+#   the tiny distinct-day dimension (broadcast; day count is bounded by
+#   the calendar, not the data) and a per-day distinct count.
+#
+# Scale: prefix dedup and the curation stages are single-shuffle
+# aggregations (the ntile is a global window over documents -- at 100 TB
+# the cut-points come from approx_percentile instead, as recorded for
+# ``rfm_segments``).  The rolling reach join fans each (day, user) pair
+# out 7x against a broadcast calendar -- linear, no self-join on the
+# event stream.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: the standalone quality query's oracle, reused verbatim (extensions
+#: registers before this module, enforced by plans/__init__ order)
+_QUALITY_SQL = REGISTRY["text_quality"].oracle
+
+
+@_register(
+    "dedup_prefix_fp",
+    f"""
+WITH prefixed AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split({_NORM}, ' ')[1:32], ' '))
+           AS prefix_fp
+  FROM documents
+)
+SELECT prefix_fp, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM prefixed GROUP BY 1""",
+    ref="extension: first-32-token prefix fingerprint dedup -- "
+    "collapses truncated/extended variants sharing a lead; one digest "
+    "shuffle",
+)
+def q_dedup_prefix_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.slice(F.split(normalize_text("text"), " "), 1, 32), " "
+        )
+    )
+    return (
+        docs.select("doc_id", fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@_register(
+    "curriculum_buckets",
+    f"""
+WITH q AS (
+  {_QUALITY_SQL}
+), staged AS (
+  SELECT ntile(4) OVER (ORDER BY quality, doc_id) AS stage,
+         n_tokens,
+         CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS q_pm
+  FROM q
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+       CAST(min(q_pm) AS BIGINT) AS min_q_pm,
+       CAST(max(q_pm) AS BIGINT) AS max_q_pm
+FROM staged GROUP BY 1""",
+    ref="extension: curriculum-learning stages -- quality-ordered "
+    "ntile(4) over the shared scorer, per-stage doc/token budgets",
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    staged = q.select(
+        F.ntile(4).over(Window.orderBy("quality", "doc_id")).alias("stage"),
+        "n_tokens",
+        F.floor(F.col("quality") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_pm"),
+    )
+    return staged.groupBy(F.col("stage").cast("bigint").alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_budget"),
+        F.min("q_pm").alias("min_q_pm"),
+        F.max("q_pm").alias("max_q_pm"),
+    )
+
+
+@_register(
+    "rolling_7d_distinct_users",
+    """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM pairs
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users_7d
+FROM days d
+JOIN pairs p
+  ON p.day <= d.day AND p.day >= d.day - INTERVAL 6 DAY
+GROUP BY d.day""",
+    ref="extension: trailing-7-day distinct-user reach per day -- "
+    "distinct (day,user) pairs range-joined to a broadcast calendar; "
+    "sliding COUNT DISTINCT without an event-stream self-join",
+)
+def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    pairs = ev.distinct()
+    days = pairs.select("day").distinct()
+    d = days.withColumnRenamed("day", "d_day")
+    joined = pairs.join(
+        F.broadcast(d),
+        (F.col("day") <= F.col("d_day"))
+        & (F.col("day") >= F.date_sub(F.col("d_day"), 6)),
+    )
+    return joined.groupBy(
+        F.col("d_day").cast("string").alias("day")
+    ).agg(F.count_distinct("user_id").alias("n_users_7d"))
+
+
+# =========================================================================
+# wave 92
+# Round-3 coverage wave 92: dedup bias audit, annual seasonality,
+# first-purchase predictiveness.
+#
+# - ``dedup_survivor_length_bias``: does exact dedup disproportionately
+#   drop certain document lengths?  Keep-first survivorship (min doc_id
+#   per fingerprint, the ``dedup_exact`` rule) compared against the
+#   population across length quartile bands: a keep rate that varies by
+#   band means the deduped corpus has a different length profile than
+#   the raw one -- the curation-bias audit that should accompany every
+#   dedup stage (cf. ``corpus_dedup_inflation`` for the volume side).
+#   Bands come from fixed character thresholds (map-only, no ntile).
+# - ``month_of_year_index``: month-of-year seasonality of order revenue
+#   across the multi-year history -- mean revenue share per calendar
+#   month vs the uniform 1/12, in permyriad (the annual analogue of
+#   ``weekday_value_index``; with ~6 years of orders each month-of-year
+#   has multiple observations).  Exact cent sums, one final widened
+#   division.
+# - ``first_order_vs_ltv``: does the first order's value predict the
+#   customer's lifetime revenue?  Per customer: first order (min date,
+#   orderkey tie-break, taken via one min_by-style struct-min -- no
+#   second scan) vs total revenue; Pearson r from DECIMAL(38) power sums
+#   (``acf1_daily_value`` convention) plus the exact covariance sign.
+#   The single number behind "can we forecast LTV at day 0".
+#
+# Scale: all three reduce to customer/month/band grids before any
+# statistics; the first-order pick is one struct-min aggregation.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: fixed char-length band edges (map-only; ntile would need a sort)
+_BANDS = (200, 400, 800)
+
+
+def _band_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} < {_BANDS[0]} THEN 0"
+        f" WHEN {col} < {_BANDS[1]} THEN 1"
+        f" WHEN {col} < {_BANDS[2]} THEN 2 ELSE 3 END"
+    )
+
+
+@_register(
+    "dedup_survivor_length_bias",
+    f"""
+WITH fp AS (
+  SELECT doc_id, n_chars, md5({_NORM}) AS f FROM documents
+), surv AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY f)
+              THEN 1 ELSE 0 END AS kept
+  FROM fp
+)
+SELECT CAST({_band_sql("n_chars")} AS BIGINT) AS len_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(kept) * 10000 // count(*) AS BIGINT) AS keep_pm
+FROM surv GROUP BY 1""",
+    ref="extension: dedup survivorship bias by length band -- keep-"
+    "first exact-dedup keep rate across fixed char bands; the "
+    "curation-bias audit behind dedup_exact",
+)
+def q_dedup_survivor_length_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "n_chars", F.md5(normalize_text("text")).alias("f")
+    )
+    surv = fp.select(
+        "n_chars",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("f")),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return (
+        surv.select(
+            F.expr(_band_sql("n_chars")).cast("bigint").alias("len_band"),
+            "kept",
+        )
+        .groupBy("len_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.expr("sum(kept) * 10000 div count(*)")
+            .cast("bigint")
+            .alias("keep_pm"),
+        )
+    )
+
+
+@_register(
+    "month_of_year_index",
+    """
+WITH m AS (
+  SELECT month(CAST(o_orderdate AS DATE)) AS moy,
+         count(*) AS n,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT CAST(moy AS BIGINT) AS moy,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(rev_c AS BIGINT) AS revenue_c,
+       CAST(CAST(rev_c AS HUGEINT) * 120000
+            // sum(CAST(rev_c AS HUGEINT)) OVER () AS BIGINT)
+         AS index_pm
+FROM m""",
+    ref="extension: month-of-year revenue seasonality index (share of "
+    "annual revenue vs the uniform 1/12, permyriad x12) -- annual "
+    "analogue of weekday_value_index over the multi-year order history",
+)
+def q_month_of_year_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        F.month(F.col("o_orderdate").cast("date")).alias("moy"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "v"
+        ),
+    ).groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("rev_c")
+    )
+    w = Window.partitionBy()
+    return m.select(
+        F.col("moy").cast("bigint").alias("moy"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("rev_c").cast("bigint").alias("revenue_c"),
+        (F.col("rev_c").cast("decimal(38,0)") * 120000).alias("_tmp"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).over(w).alias("_den"),
+    ).select(
+        "moy",
+        "n_orders",
+        "revenue_c",
+        F.expr("CAST(_tmp div _den AS BIGINT)").alias("index_pm"),
+    )
+
+
+@_register(
+    "first_order_vs_ltv",
+    """
+WITH rk AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_c,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS r
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey,
+         max(CASE WHEN r = 1 THEN v_c END) AS first_c,
+         sum(v_c) AS ltv_c
+  FROM rk GROUP BY 1
+), xy AS (
+  SELECT CAST(first_c AS DECIMAL(38,0)) AS x,
+         CAST(ltv_c AS DECIMAL(38,0)) AS y
+  FROM per_cust
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT n AS n_customers,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS r
+FROM s""",
+    ref="extension: Pearson r between first-order value and customer "
+    "lifetime revenue -- struct-min first-order pick (one scan), "
+    "DECIMAL(38) power sums, acf1 rounding convention",
+)
+def q_first_order_vs_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rk = o.select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "v_c"
+        ),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("r"),
+    )
+    per_cust = rk.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("r") == 1, F.col("v_c"))).alias("first_c"),
+        F.sum("v_c").alias("ltv_c"),
+    )
+    xy = per_cust.select(
+        F.col("first_c").cast("decimal(38,0)").alias("x"),
+        F.col("ltv_c").cast("decimal(38,0)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.floor(num / den * 10000 + F.lit(0.5)) / 10000.0).alias("r"),
+    )

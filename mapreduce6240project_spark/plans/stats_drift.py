@@ -1,0 +1,1451 @@
+"""statistical tests, drift monitors, trend estimators and distribution audits.
+
+Consolidated from the round-3 coverage waves (round-4 verdict item
+7: thematic domain modules instead of flat wave numbering).  Each
+section below is the original wave body verbatim; registry names,
+oracles and semantics are unchanged (guarded by the registry
+snapshot test and the full sf0.01 mirror).
+
+* wave 49: Round-3 coverage wave 49: hypothesis testing and CDC apply.
+* wave 53: Round-3 coverage wave 53: cross-source quantile normalization.
+* wave 66: Round-3 coverage wave 66: change-point localization and tie-aware
+* wave 73: Round-3 coverage wave 73: distribution-drift and score-separability
+* wave 81: Round-3 coverage wave 81: Mann-Kendall trend test, fixed-bin
+* wave 84: Round-3 coverage wave 84: PSI drift, conversion latency, linear
+* wave 90: Round-3 coverage wave 90: tail-index estimation, join-skew
+* wave 93: Round-3 coverage wave 93: vocabulary growth, discount response,
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from mapreduce6240project_spark.plans.registry import _register
+from mapreduce6240project_spark.sources.tables import load_table
+from mapreduce6240project_spark.operators.sketch import (
+    QSKETCH_BID_SQL,
+    QSKETCH_REP_SQL,
+)
+from pyspark.sql import DataFrame, SparkSession, Window
+from mapreduce6240project_spark.plans.text_corpus import _POIS_T
+
+# =========================================================================
+# wave 49
+# Round-3 coverage wave 49: hypothesis testing and CDC apply.
+#
+# - ``permutation_test_value``: distributed permutation test -- is the
+#   mean event value of purchasers really different from clickers, or
+#   noise?  The observed integer-cents mean gap is compared against 20
+#   deterministic label permutations (LCG re-labelings of users), and the
+#   p-value numerator is the count of permuted gaps at least as extreme.
+#   Every permutation is a hash re-labeling, so the full test is one
+#   explode (x21) + two hash aggregates -- the scale-honest way to run
+#   resampling statistics (no driver-side resampling loop).
+# - ``cdc_latest_state``: changelog apply with delete semantics -- the
+#   event stream read as CDC (``error`` = tombstone, everything else =
+#   upsert of the event value); final state = last event per user, users
+#   whose last event is a tombstone are absent.  The MERGE-style
+#   compaction every lakehouse table maintenance job runs.
+# =========================================================================
+
+_K_PERMS = 20
+
+#: deterministic permutation label: LCG over (user_id, k) -> {0, 1}
+_PERM = (
+    "(((user_id * 31 + {k}) % 2147483648) * 1103515245 + 12345)"
+    " % 2147483648 % 2"
+)
+
+
+def _perm_test_sql() -> str:
+    perm_branches = " UNION ALL ".join(
+        f"SELECT {k} AS perm, CAST({_PERM.format(k=k)} AS BIGINT) AS grp,"
+        " cents FROM base"
+        for k in range(1, _K_PERMS + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+obs AS (
+  SELECT abs(
+    (SELECT sum(cents) // count(*) FROM base WHERE event_type = 'purchase')
+    - (SELECT sum(cents) // count(*) FROM base WHERE event_type = 'click')
+  ) AS gap
+),
+perms AS ({perm_branches}),
+pgaps AS (
+  SELECT perm,
+         abs(
+           sum(CASE WHEN grp = 1 THEN cents END)
+             // count(CASE WHEN grp = 1 THEN 1 END)
+           - sum(CASE WHEN grp = 0 THEN cents END)
+             // count(CASE WHEN grp = 0 THEN 1 END)
+         ) AS gap
+  FROM perms GROUP BY perm
+)
+SELECT CAST((SELECT gap FROM obs) AS BIGINT) AS obs_gap_cents,
+       CAST(count(*) AS BIGINT) AS n_perms,
+       CAST(sum(CASE WHEN p.gap >= (SELECT gap FROM obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme
+FROM pgaps p"""
+
+
+@_register(
+    "permutation_test_value",
+    _perm_test_sql(),
+    ref="extension: distributed permutation test (20 LCG label "
+    "permutations, integer-cents mean gap) -- resampling statistics as "
+    "one explode + hash aggregates, no driver loop",
+)
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    obs = base.agg(
+        F.abs(
+            F.expr(
+                "sum(CASE WHEN event_type = 'purchase' THEN cents END)"
+                " div count(CASE WHEN event_type = 'purchase' THEN 1 END)"
+                " - sum(CASE WHEN event_type = 'click' THEN cents END)"
+                " div count(CASE WHEN event_type = 'click' THEN 1 END)"
+            )
+        ).alias("obs_gap")
+    )
+    perms = base.select(
+        "user_id",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _K_PERMS + 1)])
+        ).alias("perm"),
+    ).withColumn("grp", F.expr(_PERM.format(k="perm")).cast("bigint"))
+    pgaps = perms.groupBy("perm").agg(
+        F.abs(
+            F.expr(
+                "sum(CASE WHEN grp = 1 THEN cents END)"
+                " div count(CASE WHEN grp = 1 THEN 1 END)"
+                " - sum(CASE WHEN grp = 0 THEN cents END)"
+                " div count(CASE WHEN grp = 0 THEN 1 END)"
+            )
+        ).alias("gap")
+    )
+    return pgaps.crossJoin(F.broadcast(obs)).agg(
+        F.max("obs_gap").cast("bigint").alias("obs_gap_cents"),
+        F.count(F.lit(1)).alias("n_perms"),
+        F.sum(F.when(F.col("gap") >= F.col("obs_gap"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_extreme"),
+    )
+
+
+@_register(
+    "cdc_latest_state",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, cents AS last_value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+    ref="extension: CDC/MERGE compaction with tombstones -- last event "
+    "per key wins, trailing 'error' deletes the key; WindowGroupLimit "
+    "keeps one row per key below the sort",
+)
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    ranked = ev.withColumn(
+        "rn",
+        F.expr(
+            "row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts DESC, event_id DESC)"
+        ),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", F.col("cents").alias("last_value_cents"))
+    )
+
+
+# =========================================================================
+# wave 53
+# Round-3 coverage wave 53: cross-source quantile normalization.
+#
+# ``quantile_normalize_doclen``: batch-effect correction for corpus
+# mixing -- each document's token count is ranked WITHIN its source
+# (integer percent-rank in permyriad), then mapped onto the GLOBAL
+# distribution by looking the rank up in the mergeable log-bucket
+# quantile sketch.  After normalization every source contributes the
+# same length distribution, which is the point of quantile normalization
+# (sources with systematically shorter docs stop being under-weighted by
+# length-based curation rules).
+#
+# Scale shape: the per-source rank is a source-partitioned window (hash-
+# balanced); the global distribution is the ~512-row quantile sketch --
+# never a global sort -- and the rank->value lookup is a banded join
+# against the BROADCAST cumulative bucket table.  Every step is integer
+# arithmetic (permyriad ranks, ceil-div targets, bucket midpoints), so
+# the whole mapping replays bit-for-bit in SQL.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _qnorm_sql() -> str:
+    bid = QSKETCH_BID_SQL.format(m="m")
+    rep = QSKETCH_REP_SQL.format(b="bid")
+    return f"""
+WITH scores AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         CAST((row_number() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) - 1) * 10000
+              // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+              AS BIGINT) AS pr10k
+  FROM scores
+),
+mm AS (SELECT score * 1000000 AS m FROM scores),
+b AS (SELECT {bid} AS bid, count(*) AS n FROM mm GROUP BY 1),
+c AS (
+  SELECT bid, n, sum(n) OVER (ORDER BY bid) AS cum,
+         coalesce(sum(n) OVER (ORDER BY bid ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS prev_cum,
+         sum(n) OVER () AS total
+  FROM b
+)
+SELECT r.doc_id, r.source, r.pr10k,
+       CAST({rep} AS BIGINT) AS norm_micros
+FROM ranked r JOIN c
+  ON greatest((r.pr10k * c.total + 9999) // 10000, 1) > c.prev_cum
+ AND greatest((r.pr10k * c.total + 9999) // 10000, 1) <= c.cum"""
+
+
+@_register(
+    "quantile_normalize_doclen",
+    _qnorm_sql(),
+    ref="extension: cross-source quantile normalization -- per-source "
+    "integer percent-rank mapped through the ~512-row mergeable "
+    "quantile sketch (broadcast banded join), no global sort",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+    from mapreduce6240project_spark.operators.sketch import quantile_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text("text"), " ")).cast("bigint").alias("score"),
+    )
+    ranked = scores.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST((row_number() OVER (PARTITION BY source ORDER BY score,"
+            " doc_id) - 1) * 10000"
+            " div greatest(count(*) OVER (PARTITION BY source) - 1, 1)"
+            " AS BIGINT)"
+        ).alias("pr10k"),
+    )
+    # quantile_sketch micro-quantizes internally (m = floor(v*1e6+0.5)),
+    # exact for integer scores -- the oracle's mm = score * 1e6 twin
+    sk = quantile_sketch(scores, "score")
+    c = sk.select(
+        "bid",
+        "n",
+        F.expr("sum(n) OVER (ORDER BY bid)").alias("cum"),
+        F.expr(
+            "coalesce(sum(n) OVER (ORDER BY bid ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND 1 PRECEDING), 0)"
+        ).alias("prev_cum"),
+        F.expr("sum(n) OVER ()").alias("total"),
+    )
+    target = "greatest((pr10k * total + 9999) div 10000, 1)"
+    joined = ranked.join(
+        F.broadcast(c),
+        F.expr(f"{target} > prev_cum AND {target} <= cum"),
+    )
+    return joined.selectExpr(
+        "doc_id",
+        "source",
+        "pr10k",
+        f"CAST({QSKETCH_REP_SQL.format(b='bid')} AS BIGINT) AS norm_micros",
+    )
+
+
+# =========================================================================
+# wave 66
+# Round-3 coverage wave 66: change-point localization and tie-aware
+# leaderboards.
+#
+# - ``changepoint_day``: WHERE the daily event-value level shifted -- the
+#   two-segment scan statistic argmax ((S1*n2 - S2*n1)^2 / (n1*n2*n),
+#   the between-segment variance-reduction numerator) over the day-grain
+#   series.  CUSUM (``cusum_max_deviation``) says THAT a shift happened;
+#   this localizes it.  All candidate gains are exact integer/decimal
+#   arithmetic over day-grain prefix sums (the series is days-bounded, so
+#   the single-partition window is a ~30-row frame at any data volume).
+# - ``top_revenue_days_ties``: top-3 revenue days per market segment with
+#   DENSE_RANK -- ties share a rank and all tied days surface, the
+#   leaderboard semantics row_number silently breaks.
+# =========================================================================
+
+@_register(
+    "changepoint_day",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM events GROUP BY 1
+),
+pre AS (
+  SELECT day, y,
+         sum(y) OVER (ORDER BY day) AS s1,
+         count(*) OVER (ORDER BY day) AS n1,
+         sum(y) OVER () AS st,
+         count(*) OVER () AS nt
+  FROM daily
+),
+gains AS (
+  SELECT day,
+         CAST(CAST(s1 * (nt - n1) - (st - s1) * n1 AS HUGEINT)
+              * CAST(s1 * (nt - n1) - (st - s1) * n1 AS HUGEINT) AS DOUBLE)
+           / (n1 * (nt - n1) * nt) AS gain
+  FROM pre WHERE n1 < nt
+)
+SELECT CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS split_day,
+       round(gain, 4) AS gain
+FROM gains ORDER BY gain DESC, day LIMIT 1""",
+    ref="extension: change-point localization -- two-segment scan "
+    "statistic over day-grain prefix sums (exact wide-integer "
+    "numerator, days-bounded frame); localizes what CUSUM only flags",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("y")
+    )
+    pre = daily.select(
+        "day",
+        F.expr("sum(y) OVER (ORDER BY day)").alias("s1"),
+        F.expr("count(*) OVER (ORDER BY day)").alias("n1"),
+        F.expr("sum(y) OVER ()").alias("st"),
+        F.expr("count(*) OVER ()").alias("nt"),
+    )
+    gains = pre.filter(F.col("n1") < F.col("nt")).select(
+        "day",
+        (
+            F.expr(
+                "CAST(CAST(s1 AS DECIMAL(38,0)) * (nt - n1)"
+                " - CAST(st - s1 AS DECIMAL(38,0)) * n1 AS DECIMAL(38,0))"
+            ).cast("double")
+            * F.expr(
+                "CAST(CAST(s1 AS DECIMAL(38,0)) * (nt - n1)"
+                " - CAST(st - s1 AS DECIMAL(38,0)) * n1 AS DECIMAL(38,0))"
+            ).cast("double")
+            / F.expr("n1 * (nt - n1) * nt")
+        ).alias("gain"),
+    )
+    return (
+        gains.select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.round("gain", 4).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), "split_day")
+        .limit(1)
+    )
+
+
+@_register(
+    "top_revenue_days_ties",
+    """
+WITH daily AS (
+  SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS day,
+       CAST(rev_c AS BIGINT) AS rev_c, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, dense_rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY rev_c DESC) AS rk
+  FROM daily
+) WHERE rk <= 3""",
+    ref="extension: tie-aware leaderboard -- dense_rank keeps every day "
+    "sharing a top-3 revenue level (row_number would break ties "
+    "arbitrarily)",
+)
+def q_top_revenue_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.col("o_orderdate").cast("date").alias("day0"))
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+                "rev_c"
+            )
+        )
+    )
+    return (
+        daily.withColumn(
+            "rk",
+            F.expr(
+                "dense_rank() OVER (PARTITION BY c_mktsegment"
+                " ORDER BY rev_c DESC)"
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.date_format("day0", "yyyy-MM-dd").alias("day"),
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# =========================================================================
+# wave 73
+# Round-3 coverage wave 73: distribution-drift and score-separability
+# audits.
+#
+# - ``ks_value_drift``: two-sample Kolmogorov-Smirnov statistic between
+#   the ``value`` distributions of two deterministic user cohorts
+#   (user_id parity -- the A/B-split drift check every experimentation
+#   pipeline runs).  Values are quantized to unit-width bins so the CDF
+#   comparison runs over a BOUNDED histogram (~500 rows), not the raw
+#   event stream: per-bin counts are one group-by shuffle, the cumulative
+#   scan is a window over the tiny histogram.  The statistic is exact
+#   integer arithmetic -- ``|cumA*nB - cumB*nA| * 10000 div (nA*nB)`` in
+#   DECIMAL(38,0) -- so Spark and the DuckDB oracle agree bit-for-bit
+#   (no float CDF summation).
+# - ``score_auc_audit``: Mann-Whitney / rank-sum AUC of how well
+#   ``value`` separates purchase events from the rest.  Scores are
+#   quantized to integer cents; per-bin (n_pos, n_neg) is one group-by,
+#   then ``U2 = sum(2*n_pos*cum_neg_below + n_pos*n_neg)`` over the
+#   bounded bin table (ties get the standard half credit, doubled into
+#   integers).  AUC is reported as the exact rational (auc_num2,
+#   auc_den2) plus an integer permyriad -- no floating point anywhere.
+#
+# Scale: both audits reduce the data to a quantized histogram first (one
+# partial-aggregated shuffle at any input size); the windowed cumulative
+# pass runs over the histogram, whose size is bounded by the
+# quantization, not the row count.  DECIMAL(38,0) sufficient statistics
+# keep the cross-products overflow-safe past bigint range (same pattern
+# as the wave-53 trend slope).
+# =========================================================================
+
+@_register(
+    "ks_value_drift",
+    """
+WITH binned AS (
+  SELECT CAST(floor(value) AS BIGINT) AS bin,
+         count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+         count(*) FILTER (WHERE user_id % 2 = 1) AS n_b
+  FROM events GROUP BY 1
+), cdf AS (
+  SELECT bin,
+         CAST(sum(n_a) OVER (ORDER BY bin) AS DECIMAL(38,0)) AS cum_a,
+         CAST(sum(n_b) OVER (ORDER BY bin) AS DECIMAL(38,0)) AS cum_b,
+         CAST(sum(n_a) OVER () AS DECIMAL(38,0)) AS tot_a,
+         CAST(sum(n_b) OVER () AS DECIMAL(38,0)) AS tot_b
+  FROM binned
+), diffs AS (
+  SELECT bin, tot_a, tot_b,
+         abs(cum_a * tot_b - cum_b * tot_a) AS num
+  FROM cdf
+)
+SELECT CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b,
+       CAST(num * 10000 AS BIGINT) // CAST(tot_a * tot_b AS BIGINT)
+         AS ks_permyriad,
+       CAST(bin AS BIGINT) AS argmax_bin
+FROM diffs ORDER BY num DESC, bin ASC LIMIT 1""",
+    ref="extension: two-sample KS drift audit over unit-value bins -- "
+    "exact integer CDF comparison on a bounded histogram",
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    binned = (
+        ev.groupBy(F.floor("value").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n_b"),
+        )
+    )
+    # The window runs over the bounded bin histogram (<= ~500 rows at
+    # any scale), not the raw events -- a single-partition scan here is
+    # deliberate and safe.
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    dec = "decimal(38,0)"
+    cdf = binned.select(
+        "bin",
+        F.sum("n_a").over(w_cum).cast(dec).alias("cum_a"),
+        F.sum("n_b").over(w_cum).cast(dec).alias("cum_b"),
+        F.sum("n_a").over(w_all).cast(dec).alias("tot_a"),
+        F.sum("n_b").over(w_all).cast(dec).alias("tot_b"),
+    ).select(
+        "bin",
+        "tot_a",
+        "tot_b",
+        F.abs(
+            F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")
+        ).alias("num"),
+    )
+    return (
+        cdf.orderBy(F.col("num").desc(), F.col("bin").asc())
+        .limit(1)
+        .select(
+            F.col("tot_a").cast("bigint").alias("n_a"),
+            F.col("tot_b").cast("bigint").alias("n_b"),
+            F.expr("CAST(num * 10000 div (tot_a * tot_b) AS BIGINT)").alias(
+                "ks_permyriad"
+            ),
+            F.col("bin").cast("bigint").alias("argmax_bin"),
+        )
+    )
+
+
+@_register(
+    "score_auc_audit",
+    """
+WITH binned AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_pos,
+         count(*) FILTER (WHERE event_type <> 'purchase') AS n_neg
+  FROM events GROUP BY 1
+), scanned AS (
+  SELECT CAST(n_pos AS DECIMAL(38,0)) AS n_pos,
+         CAST(n_neg AS DECIMAL(38,0)) AS n_neg,
+         CAST(coalesce(sum(n_neg) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DECIMAL(38,0)) AS cum_neg_below
+  FROM binned
+)
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(sum(2 * n_pos * cum_neg_below + n_pos * n_neg) AS BIGINT)
+         AS auc_num2,
+       CAST(2 * sum(n_pos) * sum(n_neg) AS BIGINT) AS auc_den2,
+       CAST(sum(2 * n_pos * cum_neg_below + n_pos * n_neg) * 10000
+            AS BIGINT)
+         // CAST(2 * sum(n_pos) * sum(n_neg) AS BIGINT) AS auc_permyriad
+FROM scanned""",
+    ref="extension: Mann-Whitney rank-sum AUC of value vs purchase "
+    "label over cent-quantized score bins -- exact rational, tie-aware",
+)
+def q_score_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    binned = (
+        ev.groupBy(
+            F.floor(F.col("value") * 100).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_pos"
+            ),
+            F.count(F.when(F.col("event_type") != "purchase", 1)).alias(
+                "n_neg"
+            ),
+        )
+    )
+    # Bounded histogram (<= ~49k cent bins); the ordered scan is over
+    # bins, never raw rows.
+    w_below = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = "decimal(38,0)"
+    scanned = binned.select(
+        F.col("n_pos").cast(dec).alias("n_pos"),
+        F.col("n_neg").cast(dec).alias("n_neg"),
+        F.coalesce(F.sum("n_neg").over(w_below), F.lit(0))
+        .cast(dec)
+        .alias("cum_neg_below"),
+    )
+    u2 = F.sum(
+        2 * F.col("n_pos") * F.col("cum_neg_below")
+        + F.col("n_pos") * F.col("n_neg")
+    )
+    return scanned.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("auc_num2"),
+        (2 * F.sum("n_pos") * F.sum("n_neg")).cast("bigint").alias("auc_den2"),
+        F.expr(
+            "CAST(sum(2 * n_pos * cum_neg_below + n_pos * n_neg) * 10000"
+            " div (2 * sum(n_pos) * sum(n_neg)) AS BIGINT)"
+        ).alias("auc_permyriad"),
+    )
+
+
+# =========================================================================
+# wave 81
+# Round-3 coverage wave 81: Mann-Kendall trend test, fixed-bin
+# calibration, mutual information.
+#
+# - ``mann_kendall_daily``: the Mann-Kendall S statistic over the daily
+#   revenue series -- the standard non-parametric monotone-trend test
+#   (rank-based, outlier-immune), the distribution-free companion to
+#   ``segment_trend_slope`` (OLS).  Events aggregate to exact daily cent
+#   totals FIRST (one shuffle); the pairwise ``sign(v_j - v_i)`` join
+#   then runs over the tiny day dimension only (calendar-bounded, ~30
+#   rows at any scale factor, ~3.6k at a 10-year corpus) -- the same
+#   "shrink before the quadratic step" shape as ``changepoint_day``.
+#   Ties contribute 0 via ``sign``.  All integer.
+# - ``value_bin_purchase_rate``: reliability/calibration audit -- events
+#   bucketed into fixed $10 value bins (integer division, NO ntile/global
+#   sort), per-bin event count, purchase count, and purchase share in
+#   permyriad.  The fixed-width binning is the scale-safe calibration
+#   shape: bin assignment is map-only and the bin table is bounded by
+#   the value domain.
+# - ``mi_type_valuebin``: mutual information between event type and
+#   value bin in integer micro-nats -- the feature-selection statistic
+#   (does knowing the value band tell you the event type?), companion to
+#   ``chi2_segment_status`` (independence test) and ``token_entropy``
+#   (marginal uncertainty).  Shape: one (type, bin) count shuffle; the
+#   contingency table is tiny (5 types x bounded bins), marginals and
+#   the quantized-log sum run on it locally-parallel.  Per-cell log
+#   terms are floor-quantized to micro-nats before the integer sum --
+#   the repo's established deterministic-float convention
+#   (``zipf_slope_tokens``).
+#
+# Scale: every quadratic or log step runs on a domain-bounded table
+# (days, bins, cells), never on raw rows.
+# =========================================================================
+
+@_register(
+    "mann_kendall_daily",
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_c
+  FROM events GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST(sum(sign(b.v_c - a.v_c)) AS BIGINT) AS s_stat,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM d a JOIN d b ON b.day > a.day""",
+    ref="extension: Mann-Kendall monotone-trend S over daily revenue -- "
+    "aggregate to the bounded day dimension first, pairwise sign join "
+    "on days only; rank-based companion to segment_trend_slope",
+)
+def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v_c").alias("v_c"))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.day") > F.col("a.day"))
+    n_days = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    stats = pairs.agg(
+        F.sum(F.signum(F.col("b.v_c") - F.col("a.v_c")))
+        .cast("bigint")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return n_days.crossJoin(F.broadcast(stats))
+
+
+@_register(
+    "value_bin_purchase_rate",
+    """
+WITH e AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(bin * 1000 AS BIGINT) AS bin_lo_c,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_p) AS BIGINT) AS n_purchases,
+       CAST(sum(is_p) * 10000 // count(*) AS BIGINT) AS purchase_pm
+FROM e GROUP BY bin""",
+    ref="extension: fixed-width $10 value-bin purchase-rate calibration "
+    "table -- map-only bin assignment (no ntile/global sort), bounded "
+    "bin dimension",
+)
+def q_value_bin_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000").alias(
+            "bin"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_p"
+        ),
+    )
+    return (
+        e.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_p").alias("n_purchases"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            (F.col("bin") * 1000).cast("bigint").alias("bin_lo_c"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_purchases").cast("bigint").alias("n_purchases"),
+            F.expr("n_purchases * 10000 div n_events")
+            .cast("bigint")
+            .alias("purchase_pm"),
+        )
+    )
+
+
+@_register(
+    "mi_type_valuebin",
+    """
+WITH cell AS (
+  SELECT event_type AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS y,
+         count(*) AS n_xy
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT x, y, n_xy,
+         sum(n_xy) OVER (PARTITION BY x) AS n_x,
+         sum(n_xy) OVER (PARTITION BY y) AS n_y,
+         sum(n_xy) OVER () AS n
+  FROM cell
+)
+SELECT CAST(max(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n_xy * CAST(floor(ln(CAST(n AS DOUBLE) * n_xy
+                                     / (n_x * n_y)) * 1000000 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS mi_micro_sum
+FROM m""",
+    ref="extension: mutual information I(event_type; value bin) in "
+    "micro-nats -- one contingency shuffle, quantized per-cell log "
+    "terms (zipf_slope_tokens convention); feature-selection gauge "
+    "next to chi2_segment_status",
+)
+def q_mi_type_valuebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000")
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    m = cell.select(
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    return m.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(
+            F.col("n_xy")
+            * F.expr(
+                "CAST(floor(ln(CAST(n AS DOUBLE) * n_xy / (n_x * n_y))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("mi_micro_sum"),
+    )
+
+
+# =========================================================================
+# wave 84
+# Round-3 coverage wave 84: PSI drift, conversion latency, linear
+# attribution.
+#
+# - ``psi_value_drift``: Population Stability Index between the parity
+#   user cohorts' value distributions -- the industry-standard drift
+#   score next to ``ks_value_drift`` (KS is the sup-norm; PSI weights
+#   every bin and is what model-monitoring dashboards alarm on, with
+#   0.1/0.25 watch/act thresholds).  Same $10 bins and cohorts as the
+#   KS/calibration queries; Laplace add-one smoothing keeps empty-bin
+#   logs finite (documented, applied identically in both engines).  The
+#   per-bin log ratio is floor-quantized to micro-nats (the
+#   ``zipf_slope_tokens`` convention) and the whole sum stays in
+#   DECIMAL(38) with ONE final division -- bit-exact across engines.
+# - ``signup_to_purchase_latency``: per-user conversion latency -- first
+#   signup event to the first purchase at-or-after it, in whole seconds.
+#   Two user-keyed aggregations (signup min, then conditional purchase
+#   min after the join); users who never convert are dropped.  The
+#   funnel-latency table every growth dashboard starts from, the
+#   continuous companion to ``event_funnel``/``funnel_strict_3step``
+#   (which count stage reach, not time-to-convert).
+# - ``linear_attribution``: equal-credit (linear) multi-touch
+#   attribution -- each view/click within 1 hour BEFORE a purchase by
+#   the same user shares that purchase's credit equally; credits sum per
+#   touch type in exact micro units (``floor(n_type * 1e6 / n_touches)``
+#   per purchase, then an integer sum).  The forward as-of window
+#   (``asof_next_purchase`` pattern) assigns each touch its next
+#   purchase with NO range join: one user-partitioned ordered window,
+#   then a (user, purchase) group-by.  Complements
+#   ``last_touch_attribution`` (winner-take-all).
+#
+# Scale: PSI reduces to a bounded histogram before any math; latency is
+# two user-keyed shuffles; attribution is a user-partitioned window plus
+# two bounded aggregations -- no pairwise range join anywhere.
+# =========================================================================
+
+@_register(
+    "psi_value_drift",
+    """
+WITH binned AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS bin,
+         count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+         count(*) FILTER (WHERE user_id % 2 = 1) AS n_b
+  FROM events GROUP BY 1
+), sm AS (
+  SELECT bin, n_a + 1 AS a, n_b + 1 AS b,
+         CAST(sum(n_a + 1) OVER () AS DECIMAL(38,0)) AS ta,
+         CAST(sum(n_b + 1) OVER () AS DECIMAL(38,0)) AS tb
+  FROM binned
+), term AS (
+  SELECT ta, tb,
+         (a * tb - b * ta)
+           * CAST(floor(ln(CAST(a * tb AS DOUBLE) / CAST(b * ta AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS num
+  FROM sm
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(max(ta) AS BIGINT) AS tot_a_sm,
+       CAST(max(tb) AS BIGINT) AS tot_b_sm,
+       CAST(CAST(sum(num) AS HUGEINT)
+            // CAST(max(ta) * max(tb) AS HUGEINT) AS BIGINT) AS psi_micro
+FROM term""",
+    ref="extension: Population Stability Index between parity cohorts "
+    "over $10 value bins -- add-one smoothing, micro-nat quantized "
+    "log ratios, DECIMAL(38) sum, one final division; PSI companion "
+    "to ks_value_drift",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binned = (
+        ev.select(
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000")
+            .alias("bin"),
+            F.col("user_id"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()
+    sm = binned.select(
+        (F.col("n_a") + 1).alias("a"),
+        (F.col("n_b") + 1).alias("b"),
+        F.sum(F.col("n_a") + 1).over(w).cast("decimal(38,0)").alias("ta"),
+        F.sum(F.col("n_b") + 1).over(w).cast("decimal(38,0)").alias("tb"),
+    )
+    term = sm.select(
+        "ta",
+        "tb",
+        (
+            (F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))
+            * F.expr(
+                "CAST(floor(ln(CAST(a * tb AS DOUBLE)"
+                " / CAST(b * ta AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            )
+        ).alias("num"),
+    )
+    return term.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.max("ta").cast("bigint").alias("tot_a_sm"),
+        F.max("tb").cast("bigint").alias("tot_b_sm"),
+        F.expr("CAST(sum(num) div (max(ta) * max(tb)) AS BIGINT)").alias(
+            "psi_micro"
+        ),
+    )
+
+
+@_register(
+    "signup_to_purchase_latency",
+    """
+WITH signup AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), conv AS (
+  SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+  FROM signup s JOIN events e
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(epoch_us(signup_ts) AS BIGINT) AS signup_us,
+       CAST(epoch_us(purchase_ts) AS BIGINT) AS purchase_us,
+       CAST((epoch_us(purchase_ts) - epoch_us(signup_ts)) // 1000000
+            AS BIGINT) AS latency_s
+FROM conv""",
+    ref="extension: first-signup -> first-subsequent-purchase latency "
+    "per user -- two user-keyed aggregations, whole-second deltas; "
+    "time-to-convert companion to the funnel reach queries",
+)
+def q_signup_to_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(
+            p,
+            (signup.user_id == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    su = F.unix_micros(F.col("signup_ts"))
+    pu = F.unix_micros(F.col("purchase_ts"))
+    return conv.select(
+        "user_id",
+        su.cast("bigint").alias("signup_us"),
+        pu.cast("bigint").alias("purchase_us"),
+        ((pu - su) / F.lit(1000000)).cast("bigint").alias("latency_s"),
+    )
+
+
+@_register(
+    "linear_attribution",
+    """
+WITH nxt AS (
+  SELECT event_type, user_id, epoch_us(ts) AS t_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS purch_us
+  FROM events
+), touch AS (
+  SELECT event_type, user_id, purch_us
+  FROM nxt
+  WHERE event_type IN ('view', 'click')
+    AND purch_us IS NOT NULL AND purch_us - t_us <= 3600000000
+), grp AS (
+  SELECT user_id, purch_us, event_type, count(*) AS n_type,
+         sum(count(*)) OVER (PARTITION BY user_id, purch_us) AS n_touch
+  FROM touch GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(sum(n_type) AS BIGINT) AS n_touches,
+       CAST(sum(n_type * 1000000 // n_touch) AS BIGINT) AS credit_micro
+FROM grp GROUP BY 1""",
+    ref="extension: linear (equal-share) multi-touch attribution over "
+    "a 1h lookback -- forward as-of window assigns each touch its "
+    "next purchase (no range join), per-purchase equal split in exact "
+    "micro units; winner-take-all variant is last_touch_attribution",
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        )
+        .over(w)
+        .alias("purch_us"),
+    )
+    touch = nxt.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("purch_us").isNotNull()
+        & (F.col("purch_us") - F.col("t_us") <= 3600000000)
+    )
+    grp = touch.groupBy("user_id", "purch_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    grp = grp.withColumn(
+        "n_touch",
+        F.sum("n_type").over(Window.partitionBy("user_id", "purch_us")),
+    )
+    return grp.groupBy("event_type").agg(
+        F.sum("n_type").cast("bigint").alias("n_touches"),
+        F.sum(F.expr("n_type * 1000000 div n_touch"))
+        .cast("bigint")
+        .alias("credit_micro"),
+    )
+
+
+# =========================================================================
+# wave 90
+# Round-3 coverage wave 90: tail-index estimation, join-skew
+# profiling, leaderboard stability.
+#
+# - ``hill_tail_index``: the Hill estimator of the value distribution's
+#   tail exponent over the top-200 order statistics -- the standard
+#   fat-tail diagnostic (alpha ~ 1/mean(ln(x_i/x_k))): alpha <= 2 means
+#   infinite variance and every mean-based dashboard is lying; the
+#   parametric companion to ``value_overdispersion`` and
+#   ``benford_totalprice``.  Top-k is a rank over cents (no global
+#   materialized sort -- Catalyst takes TakeOrdered for the k rows);
+#   each log term is micro-quantized (``zipf_slope_tokens`` convention)
+#   and the estimate is one integer division: alpha_micro =
+#   k * 1e12 / sum(ln_micro).
+# - ``join_key_skew_profile``: count-of-counts profile of the
+#   orders |><| lineitem join key -- how many orders have 1, 2, ... line
+#   items, plus each multiplicity's share of join output rows.  The
+#   exact-skew companion to ``join_size_cms`` (sketched) and
+#   ``join_strategy_advisor`` (decision): a key whose multiplicity share
+#   concentrates is the key you salt (``salted_*``).  Two bounded
+#   aggregations.
+# - ``topk_stability_bootstrap``: is the top-10 customer leaderboard
+#   real or noise?  Re-rank customers under each of 20 Poisson(1)
+#   bootstrap replicates (per-ORDER integer-threshold hash weights, the
+#   ``bootstrap_mean_value`` machinery) and report, for every customer
+#   appearing in any replicate's top 10, how many replicates keep them
+#   there.  A customer in 20/20 is a stable fact; 3/20 is sampling
+#   noise.  One explode + replicate-partitioned rank over per-customer
+#   aggregates -- parallel across replicates, never a global sort of raw
+#   facts.
+#
+# Scale: top-k and count-of-counts are bounded outputs; the bootstrap
+# ranks run per replicate over customer aggregates (|customers| <<
+# |orders|).
+# =========================================================================
+
+_HILL_K = 200
+_B = 20
+
+_W_SQL = " + ".join(
+    f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+)
+
+
+@_register(
+    "hill_tail_index",
+    f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         row_number() OVER (ORDER BY floor(value * 100 + 0.5) DESC,
+                            event_id) AS r
+  FROM events
+), topk AS (
+  SELECT x, r FROM v WHERE r <= {_HILL_K}
+), xk AS (
+  SELECT x AS x_k FROM topk WHERE r = {_HILL_K}
+), terms AS (
+  SELECT CAST(floor(ln(CAST(t.x AS DOUBLE) / k.x_k) * 1000000 + 0.5)
+              AS BIGINT) AS ln_micro
+  FROM topk t CROSS JOIN xk k
+  WHERE t.r < {_HILL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(ln_micro) AS BIGINT) AS sum_ln_micro,
+       CAST(count(*) * 1000000000000 // greatest(sum(ln_micro), 1)
+            AS BIGINT) AS alpha_micro
+FROM terms""",
+    ref="extension: Hill tail-exponent estimator over the top-200 "
+    "value order statistics -- TakeOrdered top-k, micro-quantized log "
+    "terms, one integer division; fat-tail gate next to "
+    "value_overdispersion",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("x"),
+        "event_id",
+    ).select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), F.col("event_id")))
+        .alias("r"),
+    )
+    topk = v.filter(F.col("r") <= _HILL_K)
+    xk = topk.filter(F.col("r") == _HILL_K).select(
+        F.col("x").alias("x_k")
+    )
+    terms = (
+        topk.filter(F.col("r") < _HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.expr(
+                "CAST(floor(ln(CAST(x AS DOUBLE) / x_k) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("ln_micro")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum("ln_micro").cast("bigint").alias("sum_ln_micro"),
+        F.expr(
+            "CAST(count(*) * 1000000000000"
+            " div greatest(sum(ln_micro), 1) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
+@_register(
+    "join_key_skew_profile",
+    """
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS m FROM lineitem GROUP BY 1
+), cc AS (
+  SELECT m, count(*) AS n_keys FROM per_key GROUP BY m
+)
+SELECT CAST(m AS BIGINT) AS multiplicity,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(m * n_keys AS BIGINT) AS join_rows,
+       CAST(m * n_keys * 10000 // sum(m * n_keys) OVER () AS BIGINT)
+         AS join_rows_pm
+FROM cc""",
+    ref="extension: exact count-of-counts skew profile of the "
+    "orders-lineitem join key with per-multiplicity join-output "
+    "share; the measured input to join_strategy_advisor / salting",
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("m"))
+    cc = per_key.groupBy("m").agg(F.count(F.lit(1)).alias("n_keys"))
+    w = Window.partitionBy()
+    return cc.select(
+        F.col("m").cast("bigint").alias("multiplicity"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        (F.col("m") * F.col("n_keys")).cast("bigint").alias("join_rows"),
+        F.expr(
+            "m * n_keys * 10000 div "
+            "sum(m * n_keys) OVER ()"
+        )
+        .cast("bigint")
+        .alias("join_rows_pm"),
+    )
+
+
+@_register(
+    "topk_stability_bootstrap",
+    f"""
+WITH r AS (
+  SELECT o.o_custkey,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v_c,
+         b.b,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                             || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders o CROSS JOIN (
+    SELECT unnest(generate_series(0, {_B - 1})) AS b) b
+), w AS (
+  SELECT b, o_custkey, sum(({_W_SQL}) * v_c) AS rev_c FROM r
+  GROUP BY 1, 2
+), rk AS (
+  SELECT b, o_custkey,
+         row_number() OVER (PARTITION BY b
+                            ORDER BY rev_c DESC, o_custkey) AS r
+  FROM w
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_top10
+FROM rk WHERE r <= 10 GROUP BY o_custkey""",
+    ref="extension: leaderboard stability audit -- re-rank customers "
+    "under 20 Poisson bootstrap replicates (bootstrap_mean_value "
+    "machinery) and count how often each holds a top-10 seat",
+)
+def q_topk_stability_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").cast("string").alias("oid"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "v_c"
+        ),
+    )
+    r = o.select(
+        "o_custkey",
+        "v_c",
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        "oid",
+    ).select(
+        "o_custkey",
+        "v_c",
+        "b",
+        hash60(
+            F.concat(F.col("oid"), F.lit(":"), F.col("b").cast("string"))
+        ).alias("h"),
+    )
+    w = r.groupBy("b", "o_custkey").agg(
+        F.sum(F.expr(f"({_W_SQL}) * v_c")).alias("rev_c")
+    )
+    rk = w.select(
+        "b",
+        "o_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("b").orderBy(
+                F.desc("rev_c"), F.col("o_custkey")
+            )
+        )
+        .alias("r"),
+    )
+    return (
+        rk.filter(F.col("r") <= 10)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_top10"))
+    )
+
+
+# =========================================================================
+# wave 93
+# Round-3 coverage wave 93: vocabulary growth, discount response,
+# class rebalancing.
+#
+# - ``heaps_law_curve``: Heaps'-law vocabulary growth -- distinct token
+#   types vs cumulative token count at doc-order checkpoints (every 100
+#   docs).  Natural corpora grow types ~ tokens^beta with beta ~ 0.5-0.6;
+#   a flattening curve means the corpus has gone repetitive (the growth-
+#   over-time companion to ``zipf_slope_tokens``).  NO sequential scan:
+#   each type reduces to its FIRST doc (one min per token), each
+#   checkpoint's type count is "tokens whose first doc <= cutoff" and
+#   its token count is a prefix sum of per-doc lengths -- two bounded
+#   aggregations over the checkpoint grid.
+# - ``discount_qty_response``: quantity response by discount band -- the
+#   demand-elasticity proxy table (does a deeper discount move more
+#   units?): per integer discount percent, line count, exact mean
+#   quantity (milli units) and revenue.  Map-only banding (the discount
+#   domain is bounded), one shuffle.
+# - ``balanced_downsample_labels``: deterministic class rebalancing --
+#   every label downsampled to the minority class size by keeping the
+#   lowest-``hash60`` vec_ids (re-run stable, the property training
+#   splits need; the classification analogue of
+#   ``mixture_resample_docs``).  One rank per label over the hash, the
+#   cap broadcast from the tiny per-label count table.
+#
+# Scale: Heaps reduces tokens to first-occurrence rows before any
+# cumulative step; banding is map-only; rebalancing is one label-
+# partitioned rank.
+# =========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_STEP = 100
+
+
+@_register(
+    "heaps_law_curve",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
+  FROM documents WHERE {_NORM} <> ''
+), first_doc AS (
+  SELECT t, min(doc_id) AS fd FROM tok GROUP BY t
+), doc_len AS (
+  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+), cuts AS (
+  -- greatest(max, step): one checkpoint even when max(doc_id) < step,
+  -- matching Spark's guarded sequence (round-3 advice)
+  SELECT unnest(generate_series({_STEP},
+           (SELECT greatest(CAST(max(doc_id) AS BIGINT), {_STEP})
+            FROM documents),
+           {_STEP})) AS cutoff
+)
+SELECT CAST(c.cutoff AS BIGINT) AS cutoff_doc,
+       COALESCE((SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_len
+                 WHERE doc_id <= c.cutoff), 0) AS n_tokens,
+       COALESCE((SELECT CAST(count(*) AS BIGINT) FROM first_doc
+                 WHERE fd <= c.cutoff), 0) AS n_types
+FROM cuts c""",
+    ref="extension: Heaps'-law vocabulary growth at doc checkpoints -- "
+    "per-type first-doc reduction + prefix sums, no sequential scan; "
+    "growth companion to zipf_slope_tokens",
+)
+def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", normalize_text("text").alias("nm"))
+        .filter(F.col("nm") != "")
+        .select("doc_id", F.explode(F.split("nm", " ")).alias("t"))
+    )
+    first_doc = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # greatest(mx, step) guards sequence() (which THROWS when stop <
+    # start under a positive step) and pins one checkpoint on tiny /
+    # offset doc_id spaces (round-3 advice)
+    cuts = (
+        docs.agg(F.max("doc_id").cast("bigint").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(_STEP).cast("bigint"),
+                    F.greatest(F.col("mx"), F.lit(_STEP).cast("bigint")),
+                    F.lit(_STEP).cast("bigint"),
+                )
+            ).alias("cutoff")
+        )
+    )
+    # both "counts below cutoff" reduce via a conditional-join-free
+    # broadcast of the tiny checkpoint grid
+    types_at = (
+        first_doc.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fd") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    tokens_at = (
+        doc_len.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    # left-join the checkpoint grid so a cutoff with zero docs or zero
+    # first-seen types below it still emits a row (coalesced to 0),
+    # matching the oracle's correlated-subquery-per-cutoff shape
+    return (
+        cuts.join(tokens_at, "cutoff", "left")
+        .join(types_at, "cutoff", "left")
+        .select(
+            F.col("cutoff").cast("bigint").alias("cutoff_doc"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+        )
+    )
+
+
+@_register(
+    "discount_qty_response",
+    """
+WITH b AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+         l_quantity,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem
+)
+SELECT disc_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT))
+            // count(*) AS BIGINT) AS avg_qty_milli,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_c
+FROM b GROUP BY disc_pct""",
+    ref="extension: quantity response by integer discount percent -- "
+    "demand-elasticity proxy table; map-only banding over the bounded "
+    "discount domain",
+)
+def q_discount_qty_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_pct"
+        ),
+        F.expr("CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT)").alias(
+            "q_milli"
+        ),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    return b.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("sum(q_milli) div count(*)")
+        .cast("bigint")
+        .alias("avg_qty_milli"),
+        F.sum("rev_c").cast("bigint").alias("revenue_c"),
+    )
+
+
+@_register(
+    "balanced_downsample_labels",
+    """
+WITH h AS (
+  SELECT label,
+         ('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS hv
+  FROM embeddings
+), ranked AS (
+  SELECT label, row_number() OVER (PARTITION BY label ORDER BY hv) AS r,
+         count(*) OVER (PARTITION BY label) AS n_before
+  FROM h
+), cap AS (
+  SELECT min(n_before) AS n_min FROM (SELECT DISTINCT label, n_before
+                                      FROM ranked)
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(max(n_before) AS BIGINT) AS n_before,
+       CAST(count(*) AS BIGINT) AS n_after
+FROM ranked, cap WHERE r <= cap.n_min
+GROUP BY label""",
+    ref="extension: deterministic downsample-to-minority class "
+    "rebalance (lowest-hash60 keep per label) -- re-run-stable splits; "
+    "classification analogue of mixture_resample_docs",
+)
+def q_balanced_downsample_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = emb.select(
+        "label",
+        hash60(
+            F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))
+        ).alias("hv"),
+    )
+    ranked = h.select(
+        "label",
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy("hv"))
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias(
+            "n_before"
+        ),
+    )
+    cap = (
+        ranked.select("label", "n_before")
+        .distinct()
+        .agg(F.min("n_before").alias("n_min"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("r") <= F.col("n_min"))
+        .groupBy("label")
+        .agg(
+            F.max("n_before").cast("bigint").alias("n_before"),
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        )
+        .select(F.col("label").cast("bigint").alias("label"), "n_before",
+                "n_after")
+    )

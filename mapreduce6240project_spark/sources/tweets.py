@@ -194,6 +194,26 @@ def feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def release_feature_store(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Unpersist the session's materialized feature store(s) -- for
+    ``sf_dir`` only, or all of them when omitted.  Weakref eviction
+    already covers session GC; this is the explicit hook for a
+    long-lived multi-tenant driver that rotates datasets within one
+    session (round-3 verdict minor #3).  Returns the number of stores
+    released."""
+    per_session = _FEATURE_STORE_CACHE.get(spark)
+    if not per_session:
+        return 0
+    keys = [sf_dir] if sf_dir is not None else list(per_session)
+    n = 0
+    for k in keys:
+        df = per_session.pop(k, None)
+        if df is not None:
+            df.unpersist(blocking=False)
+            n += 1
+    return n
+
+
 #: ANSI-SQL (DuckDB) mirror of :func:`tweet_features_from_events`, used as
 #: a CTE by every oracle query that consumes tweet features.
 TWEET_FEATURES_SQL_CTE = """

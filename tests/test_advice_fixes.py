@@ -10,7 +10,7 @@ import pytest
 def test_heaps_law_tiny_doc_space(spark, monkeypatch):
     # max(doc_id) < step: sequence() must not throw, and the single
     # guarded checkpoint at 100 must count everything below it
-    from mapreduce6240project_spark.plans import wave93
+    from mapreduce6240project_spark.plans import stats_drift as wave93
 
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta gamma"), (7, "alpha")],
@@ -28,7 +28,7 @@ def test_heaps_law_tiny_doc_space(spark, monkeypatch):
 def test_heaps_law_sparse_prefix_emits_zero_rows(spark, monkeypatch):
     # no doc below the first checkpoints: rows must appear with 0s, not
     # be dropped by an inner join (round-3 advice)
-    from mapreduce6240project_spark.plans import wave93
+    from mapreduce6240project_spark.plans import stats_drift as wave93
 
     docs = spark.createDataFrame(
         [(250, "alpha beta gamma")], "doc_id long, text string"
@@ -46,7 +46,7 @@ def test_heaps_law_sparse_prefix_emits_zero_rows(spark, monkeypatch):
 def test_isotropy_integer_centroid(spark, monkeypatch):
     # single vector: centroid equals its quantization, cosine is exactly
     # 1.0 -> mean_cos_micro == 1_000_000 with no float-mean wobble
-    from mapreduce6240project_spark.plans import wave70
+    from mapreduce6240project_spark.plans import vectors_ext as wave70
 
     emb = spark.createDataFrame(
         [(1, [0.5, -0.25, 0.125, 1.0])], "vec_id long, embedding array<float>"

@@ -96,3 +96,23 @@ def test_oracle_micros_sums_match_canonical_helper():
                 frag,
                 re.DOTALL,
             ), f"{spec.name}: non-canonical quantized sum: {frag[:120]}"
+
+
+def test_registry_snapshot_names_and_oracles():
+    """Round-4 consolidation guard: the wave->domain merge must keep
+    every registered name and every oracle byte-identical.  The
+    snapshot was taken immediately before the merge; future refactors
+    that INTENTIONALLY change an oracle must update it."""
+    import hashlib
+    import pathlib
+
+    snap = json.loads(
+        (pathlib.Path(__file__).parent / "registry_snapshot.json").read_text()
+    )
+    now = {
+        n: hashlib.md5((spec.oracle or "").encode()).hexdigest()
+        for n, spec in REGISTRY.items()
+    }
+    assert set(now) >= set(snap), sorted(set(snap) - set(now))[:5]
+    drift = [n for n in snap if snap[n] != now[n]]
+    assert drift == []

@@ -45,3 +45,21 @@ def test_bucketed_feature_store(spark):
     txt = "\n".join(str(r) for r in desc)
     assert "tweet_id" in txt and ("Num Buckets" in txt or "bucket" in txt.lower())
     spark.sql("DROP TABLE bucketed_feature_store_test")
+
+
+def test_release_feature_store(spark):
+    from mapreduce6240project_spark.sources.tweets import (
+        _FEATURE_STORE_CACHE,
+        feature_store,
+        release_feature_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = feature_store(spark, sf)
+    assert df is feature_store(spark, sf)  # cached handle
+    assert release_feature_store(spark, sf) == 1
+    assert sf not in _FEATURE_STORE_CACHE.get(spark, {})
+    df2 = feature_store(spark, sf)  # re-derivable after release
+    assert df2 is not df
+    assert release_feature_store(spark) == 1
+    assert release_feature_store(spark) == 0

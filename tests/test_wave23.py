@@ -150,7 +150,7 @@ def test_last_touch_brute_force(spark):
 
 
 def test_python_datasource_reads_all_rows_in_parallel(spark):
-    from mapreduce6240project_spark.plans.wave23 import _PYDS_N, _PYDS_PARTS
+    from mapreduce6240project_spark.plans.engineering import _PYDS_N, _PYDS_PARTS
 
     df = REGISTRY["python_datasource_range"].fn(spark, SF)
     agg = df.agg(F.sum("n").alias("total")).collect()[0]

@@ -8,7 +8,7 @@ import math
 from collections import defaultdict
 
 from mapreduce6240project_spark.plans.registry import REGISTRY
-from mapreduce6240project_spark.plans.wave28 import _copurchase_edges
+from mapreduce6240project_spark.plans.graph_ext import _copurchase_edges
 
 SF = "/root/testdata/sf0.001"
 

@@ -7,7 +7,7 @@ from collections import Counter
 
 from mapreduce6240project_spark.operators.dedup import normalize_text  # noqa: F401
 from mapreduce6240project_spark.plans.registry import REGISTRY
-from mapreduce6240project_spark.plans.wave29 import _MASK_PCT, _MAXLEN, _VOCAB
+from mapreduce6240project_spark.plans.text_corpus import _MASK_PCT, _MAXLEN, _VOCAB
 from mapreduce6240project_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"

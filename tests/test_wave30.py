@@ -10,7 +10,7 @@ from collections import defaultdict
 from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.plans.registry import REGISTRY
-from mapreduce6240project_spark.plans.wave30 import (
+from mapreduce6240project_spark.plans.curation_ext import (
     _ES_K,
     _TRIPLE_SUPPORT_DIV,
     _TRIPLE_SUPPORT_MIN,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from mapreduce6240project_spark.operators.dedup import tokens
 from mapreduce6240project_spark.operators.graph import kcore
 from mapreduce6240project_spark.plans.registry import REGISTRY
-from mapreduce6240project_spark.plans.wave31 import (
+from mapreduce6240project_spark.plans.retrieval import (
     _BUDGET_TOKENS,
     _MIN_DF,
     _POSTING_CAP,
@@ -103,7 +103,7 @@ def test_kcore_invariants(spark):
 
 
 def test_kcore_degree_bound(spark):
-    from mapreduce6240project_spark.plans.wave28 import (
+    from mapreduce6240project_spark.plans.graph_ext import (
         _copurchase_edges_with_pairs,
     )
 

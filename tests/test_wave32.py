@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from mapreduce6240project_spark.operators.dedup import tokens
 from mapreduce6240project_spark.plans.registry import REGISTRY
-from mapreduce6240project_spark.plans.wave32 import _BPE_TOP_WORDS
+from mapreduce6240project_spark.plans.text_corpus import _BPE_TOP_WORDS
 from mapreduce6240project_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"

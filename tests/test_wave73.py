@@ -13,7 +13,7 @@ def test_ks_identical_cohorts_is_zero(spark):
     rows = [(u, float(v)) for v in (1, 2, 3, 4, 5) for u in (0, 1)]
     ev = spark.createDataFrame(rows, "user_id long, value double")
     ev.createOrReplaceTempView("_wave73_ev")
-    import mapreduce6240project_spark.plans.wave73 as w73
+    import mapreduce6240project_spark.plans.stats_drift as w73
     from unittest import mock
 
     with mock.patch.object(w73, "load_table", lambda s, d, n: ev):
@@ -27,7 +27,7 @@ def test_ks_disjoint_cohorts_is_full(spark):
     # KS must be 10000 (CDFs are 1 vs 0 at the crossover).
     rows = [(0, 1.0), (0, 2.0), (2, 3.0), (1, 100.0), (3, 200.0)]
     ev = spark.createDataFrame(rows, "user_id long, value double")
-    import mapreduce6240project_spark.plans.wave73 as w73
+    import mapreduce6240project_spark.plans.stats_drift as w73
     from unittest import mock
 
     with mock.patch.object(w73, "load_table", lambda s, d, n: ev):
@@ -41,7 +41,7 @@ def test_auc_perfect_separation(spark):
     rows = [("purchase", 10.0), ("purchase", 11.0), ("click", 1.0),
             ("view", 2.0)]
     ev = spark.createDataFrame(rows, "event_type string, value double")
-    import mapreduce6240project_spark.plans.wave73 as w73
+    import mapreduce6240project_spark.plans.stats_drift as w73
     from unittest import mock
 
     with mock.patch.object(w73, "load_table", lambda s, d, n: ev):
@@ -56,7 +56,7 @@ def test_auc_all_tied_is_half(spark):
     rows = [("purchase", 5.0), ("purchase", 5.0), ("click", 5.0),
             ("view", 5.0), ("error", 5.0)]
     ev = spark.createDataFrame(rows, "event_type string, value double")
-    import mapreduce6240project_spark.plans.wave73 as w73
+    import mapreduce6240project_spark.plans.stats_drift as w73
     from unittest import mock
 
     with mock.patch.object(w73, "load_table", lambda s, d, n: ev):

@@ -24,7 +24,7 @@ def test_rfm_codes_partition_customers(spark):
 
 def test_gini_uniform_is_zero(spark):
     # Equal revenue for every customer -> Gini exactly 0.
-    import mapreduce6240project_spark.plans.wave74 as w74
+    import mapreduce6240project_spark.plans.tpch_analytics as w74
     from unittest import mock
 
     o = spark.createDataFrame(
@@ -48,7 +48,7 @@ def test_gini_bounds_real_data(spark):
 
 def test_hhi_monopoly_is_full(spark):
     # One supplier per nation -> HHI = 10000 exactly.
-    import mapreduce6240project_spark.plans.wave74 as w74
+    import mapreduce6240project_spark.plans.tpch_analytics as w74
     from unittest import mock
 
     li = spark.createDataFrame(

@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_prefix_fp_collapses_extended_copies(spark):
-    import mapreduce6240project_spark.plans.wave75 as w75
+    import mapreduce6240project_spark.plans.dedup_ext as w75
 
     lead = " ".join(f"tok{i}" for i in range(32))
     docs = spark.createDataFrame(
@@ -29,7 +29,7 @@ def test_prefix_fp_collapses_extended_copies(spark):
 
 
 def test_prefix_fp_short_docs_unaffected(spark):
-    import mapreduce6240project_spark.plans.wave75 as w75
+    import mapreduce6240project_spark.plans.dedup_ext as w75
 
     docs = spark.createDataFrame(
         [(1, "short doc"), (2, "short doc"), (3, "short dog")],
@@ -55,7 +55,7 @@ def test_curriculum_stages_partition_docs(spark):
 
 
 def test_rolling_reach_superset_of_daily(spark):
-    import mapreduce6240project_spark.plans.wave75 as w75
+    import mapreduce6240project_spark.plans.dedup_ext as w75
 
     rows = [
         ("2024-01-01 10:00:00", 1),

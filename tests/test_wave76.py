@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_cross_doc_repetition_planted(spark):
-    import mapreduce6240project_spark.plans.wave76 as w76
+    import mapreduce6240project_spark.plans.text_corpus as w76
 
     shared = "the quick brown fox jumps"
     docs = spark.createDataFrame(
@@ -43,7 +43,7 @@ def test_cross_doc_repetition_bounds(spark):
 
 
 def test_welch_t_matches_closed_form(spark):
-    import mapreduce6240project_spark.plans.wave76 as w76
+    import mapreduce6240project_spark.plans.text_corpus as w76
 
     # user parity defines cohorts; values chosen with clear separation
     rows = [(0, 1.0), (2, 2.0), (4, 3.0), (1, 10.0), (3, 12.0), (5, 14.0)]

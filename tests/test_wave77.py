@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_backlog_event_sourcing(spark):
-    import mapreduce6240project_spark.plans.wave77 as w77
+    import mapreduce6240project_spark.plans.tpch_analytics as w77
 
     orders = spark.createDataFrame(
         [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
@@ -53,7 +53,7 @@ def test_weekday_index_covers_week(spark):
 
 
 def test_dedup_inflation_planted(spark):
-    import mapreduce6240project_spark.plans.wave77 as w77
+    import mapreduce6240project_spark.plans.tpch_analytics as w77
 
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d"), (3, "x y")],

@@ -36,7 +36,7 @@ def test_fixed_width_is_lossless(spark):
 
 
 def test_except_all_multiplicity(spark):
-    import mapreduce6240project_spark.plans.wave78 as w78
+    import mapreduce6240project_spark.plans.engineering as w78
 
     # cust 1: 3 open, 1 fulfilled -> survives twice; cust 2: 1 open,
     # 2 fulfilled -> eliminated; cust 3: fulfilled only -> absent.

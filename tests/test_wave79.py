@@ -10,7 +10,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_streaks_gaps_and_islands(spark):
-    import mapreduce6240project_spark.plans.wave79 as w79
+    import mapreduce6240project_spark.plans.behavior as w79
 
     # user 1: days 1,2,3, 5,6, 9  -> streaks 3,2,1; user 2: single day
     ev = spark.createDataFrame(
@@ -39,7 +39,7 @@ def test_streaks_real_data_consistent(spark):
 
 
 def test_fk_audit_planted_orphans(spark):
-    import mapreduce6240project_spark.plans.wave79 as w79
+    import mapreduce6240project_spark.plans.behavior as w79
 
     tables = {
         "orders": spark.createDataFrame(
@@ -82,7 +82,7 @@ def test_fk_audit_real_data_clean(spark):
 
 
 def test_hapax_planted(spark):
-    import mapreduce6240project_spark.plans.wave79 as w79
+    import mapreduce6240project_spark.plans.behavior as w79
 
     docs = spark.createDataFrame(
         [(1, "a b b c", "s1"), (2, "c c", "s1"), (3, "x x", "s2")],

@@ -27,7 +27,7 @@ def test_quintile_migration_real_data(spark):
 
 
 def test_quintile_migration_planted(spark):
-    import mapreduce6240project_spark.plans.wave80 as w80
+    import mapreduce6240project_spark.plans.tpch_analytics as w80
 
     # two Mondays one week apart; 5 users, values reverse order in wk2
     rows = []
@@ -66,7 +66,7 @@ def test_winsorized_mean_bounds(spark):
 
 
 def test_winsorized_clips_outlier(spark):
-    import mapreduce6240project_spark.plans.wave80 as w80
+    import mapreduce6240project_spark.plans.tpch_analytics as w80
 
     # 99 values of 1.00 and one huge outlier: plain mean follows the
     # outlier, winsorized mean stays at 100 cents

@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_mann_kendall_monotone_series(spark):
-    import mapreduce6240project_spark.plans.wave81 as w81
+    import mapreduce6240project_spark.plans.stats_drift as w81
 
     # strictly increasing daily totals -> S = n_pairs
     rows = [
@@ -46,7 +46,7 @@ def test_calibration_bins_real_data(spark):
 
 
 def test_mi_independent_is_zero(spark):
-    import mapreduce6240project_spark.plans.wave81 as w81
+    import mapreduce6240project_spark.plans.stats_drift as w81
 
     # perfectly independent 2x2 table: MI terms are ln(1) = 0
     rows = []
@@ -66,7 +66,7 @@ def test_mi_independent_is_zero(spark):
 
 
 def test_mi_dependent_is_positive(spark):
-    import mapreduce6240project_spark.plans.wave81 as w81
+    import mapreduce6240project_spark.plans.stats_drift as w81
 
     # perfectly dependent: type determines the bin -> MI = ln(2) per row
     rows = [(0, "2024-01-01 00:00:00", "a", 1.0)] * 10 + [

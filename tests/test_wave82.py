@@ -29,7 +29,7 @@ def test_bootstrap_weights_match_poisson_mass(spark):
     close to Poisson(1) pmf: ~36.8% zeros, ~36.8% ones."""
     from pyspark.sql import functions as F
 
-    import mapreduce6240project_spark.plans.wave82 as w82
+    import mapreduce6240project_spark.plans.text_corpus as w82
     from mapreduce6240project_spark.functions.hashing import hash60
     from mapreduce6240project_spark.sources.tables import load_table
 
@@ -56,7 +56,7 @@ def test_bootstrap_weights_match_poisson_mass(spark):
 
 
 def test_sentence_stats_planted(spark):
-    import mapreduce6240project_spark.plans.wave82 as w82
+    import mapreduce6240project_spark.plans.text_corpus as w82
 
     docs = spark.createDataFrame(
         [

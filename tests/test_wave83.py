@@ -52,7 +52,7 @@ def test_corr_matrix_shape_and_bounds(spark):
 
 
 def test_corr_matrix_perfect_correlation(spark):
-    import mapreduce6240project_spark.plans.wave83 as w83
+    import mapreduce6240project_spark.plans.engineering as w83
 
     # type b count = 2x type a count each day -> r = 1 exactly
     rows = []
@@ -74,7 +74,7 @@ def test_corr_matrix_perfect_correlation(spark):
 
 
 def test_overdispersion_constant_is_zero(spark):
-    import mapreduce6240project_spark.plans.wave83 as w83
+    import mapreduce6240project_spark.plans.engineering as w83
 
     # constant values -> variance 0 -> VMR 0
     ev = spark.createDataFrame(

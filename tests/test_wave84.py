@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_psi_identical_cohorts_near_zero(spark):
-    import mapreduce6240project_spark.plans.wave84 as w84
+    import mapreduce6240project_spark.plans.stats_drift as w84
 
     # mirrored cohorts (same values for even/odd users) -> PSI ~ 0
     rows = []
@@ -33,7 +33,7 @@ def test_psi_identical_cohorts_near_zero(spark):
 
 
 def test_psi_disjoint_cohorts_large(spark):
-    import mapreduce6240project_spark.plans.wave84 as w84
+    import mapreduce6240project_spark.plans.stats_drift as w84
 
     # even users only in low bin, odd users only in high bin -> big PSI
     rows = []
@@ -58,7 +58,7 @@ def test_psi_real_data_small(spark):
 
 
 def test_latency_planted(spark):
-    import mapreduce6240project_spark.plans.wave84 as w84
+    import mapreduce6240project_spark.plans.stats_drift as w84
 
     ev = spark.createDataFrame(
         [
@@ -93,7 +93,7 @@ def test_latency_real_data(spark):
 
 
 def test_linear_attribution_planted(spark):
-    import mapreduce6240project_spark.plans.wave84 as w84
+    import mapreduce6240project_spark.plans.stats_drift as w84
 
     ev = spark.createDataFrame(
         [

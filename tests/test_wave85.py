@@ -24,7 +24,7 @@ def test_group_kfold_sources_partition(spark):
 
 
 def test_out_of_order_lag_planted(spark):
-    import mapreduce6240project_spark.plans.wave85 as w85
+    import mapreduce6240project_spark.plans.curation_ext as w85
 
     # arrival order (event_id) vs event time: event 2 arrives 5 min
     # late relative to event 1's time
@@ -53,7 +53,7 @@ def test_out_of_order_lag_real_data(spark):
 
 
 def test_km_planted_censoring(spark):
-    import mapreduce6240project_spark.plans.wave85 as w85
+    import mapreduce6240project_spark.plans.curation_ext as w85
 
     # user 1: purchases day 1 and day 3 (event spell, dur 2) then
     # censored to corpus end day 11 (dur 8)

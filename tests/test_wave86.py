@@ -22,7 +22,7 @@ def test_kmv_estimates_in_range(spark):
 
 
 def test_kmv_exact_below_k(spark):
-    import mapreduce6240project_spark.plans.wave86 as w86
+    import mapreduce6240project_spark.plans.sketch_ext as w86
 
     ev = spark.createDataFrame(
         [(i, "a", i % 3) for i in range(30)],
@@ -35,7 +35,7 @@ def test_kmv_exact_below_k(spark):
 
 
 def test_theil_sen_linear_series(spark):
-    import mapreduce6240project_spark.plans.wave86 as w86
+    import mapreduce6240project_spark.plans.sketch_ext as w86
 
     # perfectly linear daily series: every pairwise slope is the same
     rows = [
@@ -51,7 +51,7 @@ def test_theil_sen_linear_series(spark):
 
 
 def test_theil_sen_outlier_immune(spark):
-    import mapreduce6240project_spark.plans.wave86 as w86
+    import mapreduce6240project_spark.plans.sketch_ext as w86
 
     # linear slope 1000c/day with two wild outlier days: the median
     # slope stays near the true trend while OLS would not
@@ -69,7 +69,7 @@ def test_theil_sen_outlier_immune(spark):
 
 
 def test_churn_planted(spark):
-    import mapreduce6240project_spark.plans.wave86 as w86
+    import mapreduce6240project_spark.plans.sketch_ext as w86
 
     # two Mondays; user 1 active both weeks, user 2 only week 1,
     # user 3 only week 2 (week 2 is the last week -> unlabeled)

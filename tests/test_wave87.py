@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_calendar_fill_planted_gap(spark):
-    import mapreduce6240project_spark.plans.wave87 as w87
+    import mapreduce6240project_spark.plans.vectors_ext as w87
 
     # days 1, 2, 5 active -> days 3 and 4 must appear as zeros
     ev = spark.createDataFrame(
@@ -55,7 +55,7 @@ def test_label_affinity_bounds_and_shape(spark):
 
 
 def test_label_affinity_identical_vs_orthogonal(spark):
-    import mapreduce6240project_spark.plans.wave87 as w87
+    import mapreduce6240project_spark.plans.vectors_ext as w87
 
     emb = spark.createDataFrame(
         [
@@ -89,7 +89,7 @@ def test_cohort_ltv_monotone(spark):
 
 
 def test_cohort_ltv_planted(spark):
-    import mapreduce6240project_spark.plans.wave87 as w87
+    import mapreduce6240project_spark.plans.vectors_ext as w87
 
     # one user first active week 0, spends 1.00 then 2.00 a week later
     ev = spark.createDataFrame(

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_mom_growth_planted(spark):
-    import mapreduce6240project_spark.plans.wave88 as w88
+    import mapreduce6240project_spark.plans.tpch_analytics as w88
 
     orders = spark.createDataFrame(
         [

@@ -53,7 +53,7 @@ def test_standardize_moments(spark):
 def test_standardize_constant_dim_zero(spark):
     from unittest import mock
 
-    import mapreduce6240project_spark.plans.wave89 as w89
+    import mapreduce6240project_spark.plans.tpch_analytics as w89
 
     emb = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [1.0, 4.0]), (3, [1.0, 6.0])],

@@ -18,7 +18,7 @@ def test_hill_real_data(spark):
 
 
 def test_hill_pareto_planted(spark):
-    import mapreduce6240project_spark.plans.wave90 as w90
+    import mapreduce6240project_spark.plans.stats_drift as w90
 
     # exact Pareto(alpha=2) order statistics: x_r = C * r^(-1/2)
     # (quantile construction) -> Hill estimate near alpha = 2

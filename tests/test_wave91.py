@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_margin_selects_ambiguous(spark):
-    import mapreduce6240project_spark.plans.wave91 as w91
+    import mapreduce6240project_spark.plans.curation_ext as w91
 
     # two tight clusters on the axes plus one vector on the diagonal:
     # the diagonal vector is equidistant from both centroids -> the
@@ -38,7 +38,7 @@ def test_margin_real_data(spark):
 
 
 def test_label_conflicts_planted(spark):
-    import mapreduce6240project_spark.plans.wave91 as w91
+    import mapreduce6240project_spark.plans.curation_ext as w91
 
     docs = spark.createDataFrame(
         [
@@ -64,7 +64,7 @@ def test_quartiles_ordering(spark):
 
 
 def test_quartiles_planted_exact(spark):
-    import mapreduce6240project_spark.plans.wave91 as w91
+    import mapreduce6240project_spark.plans.curation_ext as w91
 
     # values 1..100 cents -> p25 = 25, p50 = 50, p75 = 75 under the
     # ceil(q*n) cumulative definition

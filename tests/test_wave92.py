@@ -22,7 +22,7 @@ def test_dedup_bias_totals(spark):
 
 
 def test_dedup_bias_planted(spark):
-    import mapreduce6240project_spark.plans.wave92 as w92
+    import mapreduce6240project_spark.plans.dedup_ext as w92
 
     # two short dups (one kept) and one long unique doc (kept)
     docs = spark.createDataFrame(
@@ -53,7 +53,7 @@ def test_month_index_covers_year(spark):
 
 
 def test_first_order_ltv_perfect_corr(spark):
-    import mapreduce6240project_spark.plans.wave92 as w92
+    import mapreduce6240project_spark.plans.dedup_ext as w92
 
     # one order per customer -> first value IS the LTV -> r = 1
     orders = spark.createDataFrame(
