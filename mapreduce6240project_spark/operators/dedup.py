@@ -221,14 +221,18 @@ def minhash_candidate_pairs(
     list; :func:`minhash_dedup` and the connected-components fold never
     materialize within-group pairs quadratically per task.
 
-    ``collapse_identical=None`` (default) is ADAPTIVE: the group
-    fingerprint rides through the signature aggregate for free
-    (``carry_fp``), and one cheap probe over the cached signature table
-    finds the largest identical group.  Below ``collapse_min_group``
-    (64^2/2 pairs per bucket -- harmless) the plain banded self-join
-    runs, because the collapse machinery's extra shuffles are a measured
-    ~2x on dup-light corpora; at or above it the collapse engages.
-    Pass True/False to force either path.
+    ``collapse_identical=None`` (default) is ADAPTIVE: a standalone
+    pre-probe (``groupBy(xxhash64(normalize_text))`` -> max group count)
+    finds the largest identical group BEFORE any signature work.  The
+    probe scans the text once with no shingle explode and no signature
+    hashes -- measured ~15% of the signature job -- so the dup-light
+    common path then runs the plain banded self-join with none of the
+    collapse machinery (no ``carry_fp``, no extra aggregate column, no
+    second decision job; an earlier design probed the cached signature
+    table instead and cost a measured +50% end-to-end on dup-light
+    corpora).  Below ``collapse_min_group`` (64^2/2 pairs per bucket --
+    harmless) the plain join runs; at or above it the collapse engages.
+    Pass True/False to force either path and skip the probe.
 
     Caches one frame per call (signatures; plus two lazy derivations
     when collapsing) -- release with :func:`release_dedup_caches`."""
@@ -267,6 +271,24 @@ def minhash_candidate_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
 
+    if collapse_identical is None:
+        # adaptive pre-probe on the raw corpus: normalized-text hash ->
+        # per-group count -> max.  One narrow text scan, no shingle
+        # explode, no signature hashes; decides the path before the
+        # expensive signature job so the dup-light branch pays nothing
+        # beyond this scan.  Small max group -> the plain join's worst
+        # bucket is bounded and the collapse machinery would only add
+        # shuffles.
+        mx_row = (
+            docs.groupBy(F.xxhash64(normalize_text(text_col)).alias("_fp"))
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n"))
+            .first()
+        )
+        collapse_identical = bool(
+            mx_row is not None and (mx_row[0] or 0) >= collapse_min_group
+        )
+
     if collapse_identical is False:
         return _naive(
             _track_persist(
@@ -286,15 +308,6 @@ def minhash_candidate_pairs(
     allsigs = _track_persist(
         minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, carry_fp=True)
     )
-    if collapse_identical is None:
-        # adaptive probe: one (fp, id)-width aggregate over the cached
-        # signatures.  Small max group -> the plain join's worst bucket
-        # is bounded and the collapse machinery would only add shuffles.
-        mx_row = (
-            allsigs.groupBy("_fp").agg(F.count("*").alias("_n")).agg(F.max("_n")).first()
-        )
-        if mx_row is None or (mx_row[0] or 0) < collapse_min_group:
-            return _naive(allsigs.select(id_col, "sig"))
     members = allsigs.select("_fp", id_col)
     # lazy persists: groups and rep_sigs are cheap derivations of the
     # cached signature table; the one eager materialization below
