@@ -840,3 +840,278 @@ def q_hapax_ratio_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's `//` bit-for-bit
         .withColumn("hapax_pm", F.expr("n_hapax * 10000 div n_types"))
     )
+
+
+# =========================================================================
+# round-4 attribution family
+#
+# - ``time_decay_attribution``: exponential time-decay multi-touch
+#   attribution -- each view/click within 1 hour before the same user's
+#   next purchase earns weight halving every 15 minutes of age
+#   (integer bit-shift, exact in both engines), normalized per purchase
+#   to micro credits by truncating division.  Completes the attribution
+#   triptych with ``last_touch_attribution`` (winner-take-all) and
+#   ``linear_attribution`` (equal split).
+# - ``markov_removal_attribution``: Markov-chain removal-effect
+#   attribution (Anderl et al.) -- user journeys truncated at first
+#   purchase become a transition-count matrix; conversion probability
+#   within 4 steps from START is computed by unrolled integer-micro
+#   matrix powers (per-term ``(v * p) div 1e6`` truncation, so the sum
+#   is order-independent and replays bit-exactly on any engine and any
+#   partitioning); each channel's removal effect = conversion drop when
+#   transitions touching that channel are redirected to the implicit
+#   null absorber (no renormalization).  The journey scan is one
+#   user-keyed window; everything after the count aggregate is
+#   fixed-size (<= states^2 rows), so the unrolled powers are free at
+#   any scale.
+# =========================================================================
+
+
+@_register(
+    "time_decay_attribution",
+    """
+WITH nxt AS (
+  SELECT event_type, user_id, epoch_us(ts) AS t_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS purch_us
+  FROM events
+), touch AS (
+  SELECT event_type, user_id, purch_us,
+         1000000 // (1 << CAST(((purch_us - t_us) // 60000000) // 15
+                               AS BIGINT)) AS w
+  FROM nxt
+  WHERE event_type IN ('view', 'click')
+    AND purch_us IS NOT NULL AND purch_us - t_us <= 3600000000
+), norm AS (
+  SELECT event_type, w,
+         sum(w) OVER (PARTITION BY user_id, purch_us) AS w_tot
+  FROM touch
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum((w * 1000000) // w_tot) AS BIGINT) AS credit_micro
+FROM norm GROUP BY event_type""",
+    ref="extension: time-decay multi-touch attribution -- half-life 15 "
+    "min via integer bit-shift weights, per-purchase truncating-div "
+    "normalization; same forward as-of window as linear_attribution "
+    "(no range join)",
+)
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("purch_us"),
+    )
+    touch = nxt.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("purch_us").isNotNull()
+        & (F.col("purch_us") - F.col("t_us") <= 3600000000)
+    ).withColumn(
+        "w",
+        F.expr(
+            "1000000 div shiftleft(1, CAST(((purch_us - t_us) div 60000000)"
+            " div 15 AS INT))"
+        ),
+    )
+    norm = touch.withColumn(
+        "w_tot", F.sum("w").over(Window.partitionBy("user_id", "purch_us"))
+    )
+    return norm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(F.expr("(w * 1000000) div w_tot"))
+        .cast("bigint")
+        .alias("credit_micro"),
+    )
+
+
+_MARKOV_SCEN_SQL = (
+    "SELECT * FROM (VALUES ('full', NULL), ('no_view', 'view'),"
+    " ('no_click', 'click'), ('no_signup', 'signup'),"
+    " ('no_error', 'error')) AS scen(scenario, rm)"
+)
+
+
+def _markov_removal_sql() -> str:
+    # unrolled 4-step integer-micro matrix powers; per-term truncating
+    # division makes every sum order-independent (exact cross-engine)
+    steps = []
+    prev = "t1"
+    steps.append(
+        """
+v1 AS (
+  SELECT scenario, t AS st, sum(p) AS m
+  FROM ps WHERE f = 'start' GROUP BY 1, 2
+),
+t1 AS (SELECT * FROM v1 WHERE st <> 'purchase')"""
+    )
+    for k in range(2, 5):
+        steps.append(
+            f"""
+v{k} AS (
+  SELECT ps.scenario, ps.t AS st, sum(({prev}.m * ps.p) // 1000000) AS m
+  FROM {prev} JOIN ps ON ps.scenario = {prev}.scenario AND ps.f = {prev}.st
+  GROUP BY 1, 2
+),
+t{k} AS (SELECT * FROM v{k} WHERE st <> 'purchase')"""
+        )
+        prev = f"t{k}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), cut AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS pr
+  FROM seq GROUP BY 1
+), j AS (
+  SELECT s.user_id, s.event_type, s.rn
+  FROM seq s JOIN cut c ON s.user_id = c.user_id
+  WHERE c.pr IS NULL OR s.rn <= c.pr
+), tr AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                  'start') AS f,
+         event_type AS t
+  FROM j
+), cnt AS (
+  SELECT f, t, count(*) AS c FROM tr GROUP BY 1, 2
+), ends AS (
+  SELECT event_type AS f, count(*) AS e FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+    FROM j) last_rows
+  WHERE rr = 1 AND event_type <> 'purchase' GROUP BY 1
+), outs AS (
+  SELECT cnt.f, sum(cnt.c) + coalesce(min(e.e), 0) AS tot
+  FROM cnt LEFT JOIN ends e USING (f) GROUP BY cnt.f
+), p AS (
+  SELECT cnt.f, cnt.t, (1000000 * cnt.c) // outs.tot AS p
+  FROM cnt JOIN outs USING (f)
+), scen AS ({_MARKOV_SCEN_SQL}), ps AS (
+  SELECT scen.scenario, p.f, p.t, p.p
+  FROM p CROSS JOIN scen
+  WHERE scen.rm IS NULL OR (p.f <> scen.rm AND p.t <> scen.rm)
+),{",".join(steps)},
+allv AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+  UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
+), conv AS (
+  SELECT scen.scenario,
+         CAST(coalesce(sum(allv.m) FILTER (WHERE allv.st = 'purchase'), 0)
+              AS BIGINT) AS conv_micro
+  FROM scen LEFT JOIN allv ON allv.scenario = scen.scenario
+  GROUP BY 1
+)
+SELECT c.scenario, c.conv_micro,
+       CAST(f.conv_micro - c.conv_micro AS BIGINT) AS removal_effect_micro
+FROM conv c CROSS JOIN (SELECT conv_micro FROM conv
+                        WHERE scenario = 'full') f"""
+
+
+@_register(
+    "markov_removal_attribution",
+    _markov_removal_sql(),
+    ref="extension: Markov removal-effect attribution -- journeys "
+    "truncated at first purchase, transition probs as truncating "
+    "integer micros, conversion within 4 steps from START via unrolled "
+    "matrix powers (per-term (v*p) div 1e6, order-independent), "
+    "removal = transitions touching the channel redirected to the "
+    "implicit null absorber; everything after the count aggregate is "
+    "fixed-size",
+)
+def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w_rn).alias("rn")
+    )
+    cut = seq.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias(
+            "pr"
+        )
+    )
+    j = seq.join(cut, "user_id").filter(
+        F.col("pr").isNull() | (F.col("rn") <= F.col("pr"))
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("rn")
+    tr = j.select(
+        F.coalesce(F.lag("event_type").over(w_lag), F.lit("start")).alias(
+            "f"
+        ),
+        F.col("event_type").alias("t"),
+    )
+    cnt = tr.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    w_rr = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+    ends = (
+        j.withColumn("rr", F.row_number().over(w_rr))
+        .filter((F.col("rr") == 1) & (F.col("event_type") != "purchase"))
+        .groupBy(F.col("event_type").alias("f"))
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    outs = (
+        cnt.join(ends, "f", "left")
+        .groupBy("f")
+        .agg(
+            (F.sum("c") + F.coalesce(F.min("e"), F.lit(0))).alias("tot")
+        )
+    )
+    p = cnt.join(outs, "f").select(
+        "f", "t", F.expr("(1000000 * c) div tot").alias("p")
+    )
+    # The transition-prob table is fixed-size (|event-type enum|+1
+    # squared, <= 36 rows here) -- C-row driver state like the kmedoids
+    # combo table, NOT data-scale.  The 4-step powers over 5 scenarios
+    # are pure integer micro math, identical term-by-term to the
+    # oracle's unrolled CTEs ((v * p) div 1e6 per term, then integer
+    # sums -- order-independent).
+    prows = p.collect()
+    if len(prows) > 4096:  # pragma: no cover - enum-bounded by design
+        raise ValueError(
+            "markov_removal_attribution: transition matrix exceeds the "
+            f"bounded-state cap ({len(prows)} rows); the state space "
+            "must be a small enum"
+        )
+    base = {(r["f"], r["t"]): r["p"] for r in prows}
+    scenarios = [
+        ("full", None),
+        ("no_view", "view"),
+        ("no_click", "click"),
+        ("no_signup", "signup"),
+        ("no_error", "error"),
+    ]
+    convs: list[tuple[str, int]] = []
+    for scen, rm in scenarios:
+        probs = {
+            (f, t): pp
+            for (f, t), pp in base.items()
+            if rm is None or (f != rm and t != rm)
+        }
+        v = {"start": 1_000_000}
+        conv = 0
+        for _ in range(4):
+            nv: dict[str, int] = {}
+            for (f, t), pp in probs.items():
+                if f in v:
+                    nv[t] = nv.get(t, 0) + (v[f] * pp) // 1_000_000
+            conv += nv.pop("purchase", 0)
+            v = nv
+        convs.append((scen, conv))
+    full_conv = dict(convs)["full"]
+    return spark.createDataFrame(
+        [(s, c, full_conv - c) for s, c in convs],
+        "scenario string, conv_micro long, removal_effect_micro long",
+    )

@@ -2072,3 +2072,145 @@ def q_value_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * n * (sx div n)) AS BIGINT)"
         ).alias("vmr_pm"),
     )
+
+
+# =========================================================================
+# round-4 layout audit
+#
+# ``zonemap_pruning_audit``: quantifies what parquet row-group zone
+# maps (min/max statistics) would prune for time-range predicates under
+# two physical layouts -- natural insertion order vs clustered by
+# l_shipdate.  Rows are assigned to 4096-row "files"; per-file min/max
+# epoch micros form the zone map; an 8-slice predicate grid over the
+# observed span counts prunable files (max < lo OR min >= hi) per
+# layout, alongside the true selected-row count.  The point at 100 TB:
+# scan pruning is a LAYOUT property -- the same predicate prunes ~0%
+# of naturally-ordered files and ~(7/8) of date-clustered ones, which
+# is the quantitative case for sort-on-write / Z-order.  All math is
+# integer epoch micros; boundaries are exact truncating divisions.
+# =========================================================================
+
+
+@_register(
+    "zonemap_pruning_audit",
+    """
+WITH base AS (
+  SELECT epoch_us(l_shipdate) AS t_us,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn_nat,
+         row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+           AS rn_clu
+  FROM lineitem
+), bounds AS (
+  SELECT min(t_us) AS mn, max(t_us) - min(t_us) + 1 AS span FROM base
+), slices AS (
+  SELECT i,
+         mn + (span * i) // 8 AS lo,
+         mn + (span * (i + 1)) // 8 AS hi
+  FROM (SELECT unnest(range(8)) AS i), bounds
+), zm_nat AS (
+  SELECT (rn_nat - 1) // 4096 AS fid, min(t_us) AS f_min, max(t_us) AS f_max
+  FROM base GROUP BY 1
+), zm_clu AS (
+  SELECT (rn_clu - 1) // 4096 AS fid, min(t_us) AS f_min, max(t_us) AS f_max
+  FROM base GROUP BY 1
+), pr_nat AS (
+  SELECT s.i, count(*) AS files_total,
+         count(*) FILTER (WHERE z.f_max < s.lo OR z.f_min >= s.hi)
+           AS pruned_natural
+  FROM slices s CROSS JOIN zm_nat z GROUP BY 1
+), pr_clu AS (
+  SELECT s.i, count(*) FILTER (WHERE z.f_max < s.lo OR z.f_min >= s.hi)
+           AS pruned_clustered
+  FROM slices s CROSS JOIN zm_clu z GROUP BY 1
+), sel AS (
+  SELECT s.i, count(*) FILTER (WHERE b.t_us >= s.lo AND b.t_us < s.hi)
+           AS rows_selected
+  FROM slices s CROSS JOIN base b GROUP BY 1
+)
+SELECT CAST(pr_nat.i AS BIGINT) AS slice_id,
+       CAST(files_total AS BIGINT) AS files_total,
+       CAST(pruned_natural AS BIGINT) AS pruned_natural,
+       CAST(pruned_clustered AS BIGINT) AS pruned_clustered,
+       CAST(rows_selected AS BIGINT) AS rows_selected
+FROM pr_nat JOIN pr_clu USING (i) JOIN sel USING (i)""",
+    ref="extension: zone-map (row-group min/max) pruning audit under "
+    "natural vs shipdate-clustered layout, 8-slice predicate grid -- "
+    "the quantitative case for sort-on-write at scan-pruning scale",
+)
+def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.unix_micros("l_shipdate").alias("t_us"),
+        F.row_number()
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("rn_nat"),
+        F.row_number()
+        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("rn_clu"),
+    )
+    bounds = base.agg(
+        F.min("t_us").alias("mn"),
+        (F.max("t_us") - F.min("t_us") + 1).alias("span"),
+    )
+    slices = (
+        spark.range(8)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "i",
+            F.expr("mn + (span * i) div 8").alias("lo"),
+            F.expr("mn + (span * (i + 1)) div 8").alias("hi"),
+        )
+    )
+
+    def _zonemap(rn_col: str) -> DataFrame:
+        return base.groupBy(
+            F.expr(f"({rn_col} - 1) div 4096").alias("fid")
+        ).agg(F.min("t_us").alias("f_min"), F.max("t_us").alias("f_max"))
+
+    def _pruned(zm: DataFrame, out: str) -> DataFrame:
+        return (
+            slices.crossJoin(zm)
+            .groupBy("i")
+            .agg(
+                F.count(F.lit(1)).alias("files_total"),
+                F.count(
+                    F.when(
+                        (F.col("f_max") < F.col("lo"))
+                        | (F.col("f_min") >= F.col("hi")),
+                        1,
+                    )
+                ).alias(out),
+            )
+        )
+
+    pr_nat = _pruned(_zonemap("rn_nat"), "pruned_natural")
+    pr_clu = _pruned(_zonemap("rn_clu"), "pruned_clustered").drop(
+        "files_total"
+    )
+    sel = (
+        base.crossJoin(F.broadcast(slices))
+        .groupBy("i")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("t_us") >= F.col("lo"))
+                    & (F.col("t_us") < F.col("hi")),
+                    1,
+                )
+            ).alias("rows_selected")
+        )
+    )
+    return (
+        pr_nat.join(pr_clu, "i")
+        .join(sel, "i")
+        .select(
+            F.col("i").cast("bigint").alias("slice_id"),
+            F.col("files_total").cast("bigint").alias("files_total"),
+            F.col("pruned_natural").cast("bigint").alias("pruned_natural"),
+            F.col("pruned_clustered").cast("bigint").alias(
+                "pruned_clustered"
+            ),
+            F.col("rows_selected").cast("bigint").alias("rows_selected"),
+        )
+    )

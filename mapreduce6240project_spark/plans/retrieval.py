@@ -1417,3 +1417,99 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rel_in_top10"),
     )
+
+
+# round-4: NDCG@10 companion to retrieval_mrr_at10.  The 1/log2(r+1)
+# gain weights are pre-quantized micro-unit literals (round(1e6 /
+# log2(r+1)) for r = 1..10) embedded identically in both engines, so
+# DCG, ideal DCG and their permyriad ratio are pure integer math -- no
+# cross-engine log calls anywhere.
+_DCG_W = {
+    1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853,
+    6: 356207, 7: 333333, 8: 315465, 9: 301030, 10: 289065,
+}
+_DCG_CASE = (
+    "CASE rank " + " ".join(f"WHEN {r} THEN {w}" for r, w in _DCG_W.items())
+    + " END"
+)
+_IDCG_CUM = {
+    r: sum(_DCG_W[i] for i in range(1, r + 1)) for r in range(1, 11)
+}
+_IDCG_CASE = (
+    "CASE least(n_rel, 10) "
+    + " ".join(f"WHEN {r} THEN {c}" for r, c in _IDCG_CUM.items())
+    + " END"
+)
+
+
+@_register(
+    "ndcg_at10",
+    f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS s,
+         q.qlabel
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+rk AS (
+  SELECT label, qlabel,
+         row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+  FROM sims
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN rank <= 10 AND label = qlabel
+             THEN {_DCG_CASE} ELSE 0 END) AS BIGINT) AS dcg_micro,
+    CAST(count(*) FILTER (WHERE label = qlabel) AS BIGINT) AS n_rel
+  FROM rk
+)
+SELECT dcg_micro, n_rel,
+       CAST({_IDCG_CASE} AS BIGINT) AS idcg_micro,
+       CAST((10000 * dcg_micro) // {_IDCG_CASE} AS BIGINT)
+         AS ndcg_permyriad
+FROM agg""",
+    ref="extension: NDCG@10 against label ground truth -- exact cosine "
+    "ranking, pre-quantized integer micro gain weights (identical "
+    "literals both engines), integer permyriad ratio",
+)
+def q_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.similarity import cosine
+    from mapreduce6240project_spark.plans.extensions import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlabel = emb.filter(F.col("vec_id") == 0).select("label").first().label
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sims = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", cosine("embedding", q).alias("s")
+    )
+    rk = sims.select(
+        "label",
+        F.expr("row_number() OVER (ORDER BY s DESC, vec_id)").alias("rank"),
+    )
+    agg = rk.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN rank <= 10 AND label = {qlabel}"
+                f" THEN {_DCG_CASE} ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("dcg_micro"),
+        F.count(F.when(F.col("label") == qlabel, 1))
+        .cast("bigint")
+        .alias("n_rel"),
+    )
+    return agg.select(
+        "dcg_micro",
+        "n_rel",
+        F.expr(_IDCG_CASE).cast("bigint").alias("idcg_micro"),
+        F.expr(f"(10000 * dcg_micro) div ({_IDCG_CASE})")
+        .cast("bigint")
+        .alias("ndcg_permyriad"),
+    )

@@ -1449,3 +1449,321 @@ def q_balanced_downsample_labels(
         .select(F.col("label").cast("bigint").alias("label"), "n_before",
                 "n_after")
     )
+
+
+# =========================================================================
+# round-4 experimentation family
+#
+# - ``diff_in_diff_value``: difference-in-differences over the purchase
+#   stream -- treatment = even user_id (the deterministic assignment the
+#   parity cohorts already use), period split at the midpoint of the
+#   observed time span (computed from min/max epoch micros, so the query
+#   is scale-factor agnostic).  All math is integer cents with
+#   truncating division: four cell means + the DiD contrast replay
+#   bit-exactly on any engine.
+# - ``cuped_adjusted_lift``: CUPED variance reduction -- per-user
+#   pre-period covariate X and post-period metric Y (integer-cent
+#   sums), theta = cov(X,Y)/var(X) computed from DECIMAL(38) integer
+#   moment sums (n*Sxy - Sx*Sy over n*Sxx - Sx^2, HUGEINT in DuckDB),
+#   quantized once to micro units, then the adjusted lift
+#   raw_lift - theta * covariate_gap entirely in integer micro math.
+# - ``nelson_aalen_hazard``: Nelson-Aalen cumulative-hazard estimator
+#   for signup->purchase conversion latency (day grain), right-censored
+#   at each user's last observed event.  Each hazard increment is the
+#   exactly-quantized rational (1e6 * d_t) div n_t; the cumulative sum
+#   is an integer window sum -- the KM companion
+#   (``km_repurchase_survival``) done additively.
+#
+# Scale: DiD and CUPED are two hash aggregates over a filtered scan
+# (the 1-row threshold/moment frames broadcast); Nelson-Aalen is one
+# user-keyed aggregate + one day-grain window over <=span-days rows.
+# =========================================================================
+
+
+@_register(
+    "diff_in_diff_value",
+    """
+WITH b AS (
+  SELECT user_id % 2 = 0 AS treat,
+         epoch_us(ts) AS t_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM b
+), cell AS (
+  SELECT treat, t_us >= (SELECT mid_us FROM thr) AS post,
+         sum(cents) AS s, count(*) AS n
+  FROM b GROUP BY 1, 2
+), m AS (
+  SELECT
+    sum(s) FILTER (WHERE treat AND post)
+      // sum(n) FILTER (WHERE treat AND post) AS m_tp,
+    sum(s) FILTER (WHERE treat AND NOT post)
+      // sum(n) FILTER (WHERE treat AND NOT post) AS m_tq,
+    sum(s) FILTER (WHERE NOT treat AND post)
+      // sum(n) FILTER (WHERE NOT treat AND post) AS m_cp,
+    sum(s) FILTER (WHERE NOT treat AND NOT post)
+      // sum(n) FILTER (WHERE NOT treat AND NOT post) AS m_cq,
+    CAST(sum(n) AS BIGINT) AS n_purchases
+  FROM cell
+)
+SELECT CAST(m_tp AS BIGINT) AS mean_treat_post_cents,
+       CAST(m_tq AS BIGINT) AS mean_treat_pre_cents,
+       CAST(m_cp AS BIGINT) AS mean_ctrl_post_cents,
+       CAST(m_cq AS BIGINT) AS mean_ctrl_pre_cents,
+       CAST((m_tp - m_tq) - (m_cp - m_cq) AS BIGINT) AS did_cents,
+       n_purchases
+FROM m""",
+    ref="extension: difference-in-differences (parity assignment, "
+    "midpoint period split) in exact integer cents -- two hash "
+    "aggregates, broadcast scalar threshold",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.unix_micros("ts").alias("t_us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    thr = b.agg(
+        F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us")
+    )
+    cell = (
+        b.crossJoin(F.broadcast(thr))
+        .select("treat", (F.col("t_us") >= F.col("mid_us")).alias("post"), "cents")
+        .groupBy("treat", "post")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+    def _m(tr: bool, po: bool) -> F.Column:
+        return F.expr(
+            f"sum(CASE WHEN treat = {str(tr).lower()} AND post = {str(po).lower()}"
+            " THEN s END) div "
+            f"sum(CASE WHEN treat = {str(tr).lower()} AND post = {str(po).lower()}"
+            " THEN n END)"
+        )
+
+    m = cell.agg(
+        _m(True, True).alias("m_tp"),
+        _m(True, False).alias("m_tq"),
+        _m(False, True).alias("m_cp"),
+        _m(False, False).alias("m_cq"),
+        F.sum("n").cast("bigint").alias("n_purchases"),
+    )
+    return m.select(
+        F.col("m_tp").cast("bigint").alias("mean_treat_post_cents"),
+        F.col("m_tq").cast("bigint").alias("mean_treat_pre_cents"),
+        F.col("m_cp").cast("bigint").alias("mean_ctrl_post_cents"),
+        F.col("m_cq").cast("bigint").alias("mean_ctrl_pre_cents"),
+        ((F.col("m_tp") - F.col("m_tq")) - (F.col("m_cp") - F.col("m_cq")))
+        .cast("bigint")
+        .alias("did_cents"),
+        "n_purchases",
+    )
+
+
+@_register(
+    "cuped_adjusted_lift",
+    """
+WITH ev2 AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev2
+), u AS (
+  SELECT user_id, user_id % 2 = 0 AS treat,
+         coalesce(sum(cents) FILTER (WHERE t_us < (SELECT mid_us FROM thr)), 0) AS x,
+         coalesce(sum(cents) FILTER (WHERE t_us >= (SELECT mid_us FROM thr)), 0) AS y
+  FROM ev2 GROUP BY 1, 2
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(count(*) FILTER (WHERE treat) AS HUGEINT) AS n_t,
+         CAST(sum(x) FILTER (WHERE treat) AS HUGEINT) AS sx_t,
+         CAST(sum(y) FILTER (WHERE treat) AS HUGEINT) AS sy_t,
+         CAST(count(*) FILTER (WHERE NOT treat) AS HUGEINT) AS n_c,
+         CAST(sum(x) FILTER (WHERE NOT treat) AS HUGEINT) AS sx_c,
+         CAST(sum(y) FILTER (WHERE NOT treat) AS HUGEINT) AS sy_c
+  FROM u
+), th AS (
+  SELECT n, n_t, n_c,
+         (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS theta_micro,
+         (1000000 * sy_t) // n_t - (1000000 * sy_c) // n_c AS raw_lift_micro,
+         (1000000 * sx_t) // n_t - (1000000 * sx_c) // n_c AS cov_gap_micro
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n_t AS BIGINT) AS n_treat,
+       CAST(n_c AS BIGINT) AS n_ctrl,
+       CAST(theta_micro AS BIGINT) AS theta_micro,
+       CAST(raw_lift_micro AS BIGINT) AS raw_lift_micro,
+       CAST(raw_lift_micro - (theta_micro * cov_gap_micro) // 1000000
+            AS BIGINT) AS cuped_lift_micro
+FROM th""",
+    ref="extension: CUPED variance-reduced lift -- per-user pre/post "
+    "integer-cent sums, theta from DECIMAL(38)/HUGEINT moment sums "
+    "(n*Sxy-Sx*Sy over n*Sxx-Sx^2) quantized once to micro units, "
+    "adjusted lift in pure integer micro math; one user aggregate + "
+    "one 1-row moment frame",
+)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    thr = ev2.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    u = (
+        ev2.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("t_us") < F.col("mid_us"), F.col("cents"))),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("t_us") >= F.col("mid_us"), F.col("cents"))),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn("treat", F.col("user_id") % 2 == 0)
+    )
+    d38 = "decimal(38,0)"
+    mom = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.count(F.when(F.col("treat"), 1)).cast(d38).alias("n_t"),
+        F.sum(F.when(F.col("treat"), F.col("x"))).cast(d38).alias("sx_t"),
+        F.sum(F.when(F.col("treat"), F.col("y"))).cast(d38).alias("sy_t"),
+        F.count(F.when(~F.col("treat"), 1)).cast(d38).alias("n_c"),
+        F.sum(F.when(~F.col("treat"), F.col("x"))).cast(d38).alias("sx_c"),
+        F.sum(F.when(~F.col("treat"), F.col("y"))).cast(d38).alias("sy_c"),
+    )
+    th = mom.select(
+        "n",
+        "n_t",
+        "n_c",
+        F.expr(
+            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+        ).alias("theta_micro"),
+        F.expr(
+            "(1000000 * sy_t) div n_t - (1000000 * sy_c) div n_c"
+        ).alias("raw_lift_micro"),
+        F.expr(
+            "(1000000 * sx_t) div n_t - (1000000 * sx_c) div n_c"
+        ).alias("cov_gap_micro"),
+    )
+    return th.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        F.col("n_c").cast("bigint").alias("n_ctrl"),
+        F.col("theta_micro").cast("bigint").alias("theta_micro"),
+        F.col("raw_lift_micro").cast("bigint").alias("raw_lift_micro"),
+        F.expr(
+            "CAST(raw_lift_micro - (theta_micro * cov_gap_micro) div 1000000"
+            " AS BIGINT)"
+        ).alias("cuped_lift_micro"),
+    )
+
+
+@_register(
+    "nelson_aalen_hazard",
+    """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS su_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), obs AS (
+  SELECT s.user_id, min(s.su_us) AS su_us,
+         min(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) >= s.su_us
+                  THEN epoch_us(e.ts) END) AS pu_us,
+         max(epoch_us(e.ts)) AS last_us
+  FROM su s JOIN events e ON e.user_id = s.user_id
+  GROUP BY 1
+), t AS (
+  SELECT CASE WHEN pu_us IS NOT NULL
+              THEN (pu_us - su_us) // 86400000000
+              ELSE (last_us - su_us) // 86400000000 END AS day,
+         pu_us IS NOT NULL AS ev
+  FROM obs
+), risk AS (
+  SELECT day,
+         count(*) FILTER (WHERE ev) AS d,
+         sum(count(*)) OVER (ORDER BY day DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS n_risk
+  FROM t GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST((1000000 * d) // n_risk AS BIGINT) AS hazard_step_micro,
+       CAST(sum((1000000 * d) // n_risk)
+            OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro
+FROM risk""",
+    ref="extension: Nelson-Aalen cumulative hazard of signup->purchase "
+    "latency (day grain, right-censored at last observed event) -- "
+    "exactly-quantized rational increments (1e6*d) div n, integer "
+    "window cumsum; additive companion to km_repurchase_survival",
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("su_us"))
+    )
+    obs = (
+        su.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("su_us").alias("su_us"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("su_us")),
+                    F.unix_micros("ts"),
+                )
+            ).alias("pu_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    t = obs.select(
+        F.expr(
+            "CASE WHEN pu_us IS NOT NULL"
+            " THEN (pu_us - su_us) div 86400000000"
+            " ELSE (last_us - su_us) div 86400000000 END"
+        ).alias("day"),
+        F.col("pu_us").isNotNull().alias("ev"),
+    )
+    risk = t.groupBy("day").agg(
+        F.count(F.when(F.col("ev"), 1)).alias("d"),
+        F.count(F.lit(1)).alias("n_day"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = risk.withColumn("n_risk", F.sum("n_day").over(w_desc)).withColumn(
+        "step", F.expr("(1000000 * d) div n_risk")
+    )
+    return risk.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("step").cast("bigint").alias("hazard_step_micro"),
+        F.sum("step").over(w_asc).cast("bigint").alias("cum_hazard_micro"),
+    )

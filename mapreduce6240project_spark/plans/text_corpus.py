@@ -1701,3 +1701,96 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _den").cast("bigint").alias("share_pm"),
         F.expr("_cnum div _den").cast("bigint").alias("cum_share_pm"),
     )
+
+
+# round-4: per-document cross-entropy under the corpus's own add-one
+# bigram LM -- the classic KenLM-style quality filter (boilerplate and
+# gibberish score high, fluent text low), computed without any external
+# model.  Each bigram instance's -ln p(w2|w1) with p = (c12+1)/(c1+V)
+# depends only on the three corpus integers (c12, c1, V), so the
+# per-instance micro-nat quantization (token_entropy convention) is
+# identical in both engines and the per-doc mean is a truncating
+# integer division.  Scale: two token-keyed aggregates + one doc-keyed
+# aggregate; the LM join keys are (w1, w2) -- no driver state.
+
+
+@_register(
+    "bigram_perplexity_docs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w
+  FROM documents WHERE {_NORM} <> ''
+),
+uni AS (SELECT unnest(w) AS tok FROM toks),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uc),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> struct_pack(a := w[i], b := w[i + 1]))) AS p
+  FROM toks WHERE len(w) >= 2
+),
+bi AS (SELECT doc_id, p.a AS wa, p.b AS wb FROM bg),
+bc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cab
+       FROM bi GROUP BY 1, 2),
+term AS (
+  SELECT bi.doc_id,
+         CAST(floor(-ln(CAST(bc.cab + 1 AS DOUBLE) / (uc.c + v.vsz))
+                    * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM bi JOIN bc USING (wa, wb)
+          JOIN uc ON uc.tok = bi.wa
+          CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll) // count(*) AS BIGINT) AS nll_micro_mean
+FROM term GROUP BY 1""",
+    ref="extension: per-doc cross-entropy under the corpus add-one "
+    "bigram LM (KenLM-style quality filter, no external model) -- "
+    "micro-nat quantized instance terms, truncating-div doc mean",
+)
+def q_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("w")
+    ).filter(F.col("w") != F.array())
+    uni = toks.select(F.explode("w").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    v = uc.agg(F.count(F.lit(1)).alias("vsz"))
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p").getField("0").alias("wa"),
+            F.col("p").getField("1").alias("wb"),
+        )
+    )
+    bc = bi.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab"))
+    term = (
+        bi.join(bc, ["wa", "wb"])
+        .join(uc.withColumnRenamed("tok", "wa"), "wa")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor(-ln(CAST(cab + 1 AS DOUBLE) / (c + vsz))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("nll"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.expr("sum(nll) div count(*)").cast("bigint").alias(
+            "nll_micro_mean"
+        ),
+    )

@@ -1,0 +1,177 @@
+"""Planted-data semantics for the round-4 batch (experimentation,
+attribution, layout audit, LM quality)."""
+
+from __future__ import annotations
+
+import math
+
+from unittest import mock
+
+from mapreduce6240project_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def test_diff_in_diff_planted(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # treat (even uid): pre 100c -> post 300c (+200); ctrl: 100c -> 150c
+    # (+50); DiD = +150 cents.  min=01-01, max=01-20 -> mid ~ 01-10.
+    rows = [
+        (1, "2024-01-01 00:00:00", 0, "purchase", 1.00),
+        (2, "2024-01-20 00:00:00", 0, "purchase", 3.00),
+        (3, "2024-01-01 00:00:00", 1, "purchase", 1.00),
+        (4, "2024-01-20 00:00:00", 1, "purchase", 1.50),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        r = m.q_diff_in_diff(spark, SF).collect()[0]
+    assert r.mean_treat_pre_cents == 100
+    assert r.mean_treat_post_cents == 300
+    assert r.mean_ctrl_pre_cents == 100
+    assert r.mean_ctrl_post_cents == 150
+    assert r.did_cents == 150
+    assert r.n_purchases == 4
+
+
+def test_cuped_perfect_covariate_cancels_lift(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # y = 2x for every user -> theta = exactly 2e6 micro; the raw lift
+    # (200 cents) is fully explained by the pre-period covariate gap, so
+    # the CUPED-adjusted lift is exactly zero.
+    rows = []
+    eid = 0
+    for uid, x in ((0, 2.00), (2, 4.00), (1, 1.00), (3, 3.00)):
+        rows.append((eid, "2024-01-01 00:00:00", uid, "view", x))
+        eid += 1
+        rows.append((eid, "2024-01-20 00:00:00", uid, "view", 2 * x))
+        eid += 1
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        r = m.q_cuped_adjusted_lift(spark, SF).collect()[0]
+    assert r.n_users == 4 and r.n_treat == 2 and r.n_ctrl == 2
+    assert r.theta_micro == 2_000_000
+    assert r.raw_lift_micro == 200 * 1_000_000
+    assert r.cuped_lift_micro == 0
+
+
+def test_nelson_aalen_planted(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # users 0,1: signup day0 -> purchase day2; user 2: censored day5.
+    rows = [
+        (1, "2024-01-01 00:00:00", 0, "signup", 0.0),
+        (2, "2024-01-03 00:00:00", 0, "purchase", 1.0),
+        (3, "2024-01-01 00:00:00", 1, "signup", 0.0),
+        (4, "2024-01-03 00:00:00", 1, "purchase", 1.0),
+        (5, "2024-01-01 00:00:00", 2, "signup", 0.0),
+        (6, "2024-01-06 00:00:00", 2, "view", 0.0),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = {r.day: r for r in m.q_nelson_aalen_hazard(spark, SF).collect()}
+    assert set(got) == {2, 5}
+    assert got[2].d_events == 2 and got[2].n_at_risk == 3
+    assert got[2].hazard_step_micro == 2_000_000 // 3
+    assert got[5].d_events == 0 and got[5].n_at_risk == 1
+    assert got[5].cum_hazard_micro == 2_000_000 // 3  # flat after day 2
+
+
+def test_time_decay_planted(spark):
+    import mapreduce6240project_spark.plans.behavior as m
+
+    # view 10 min before purchase (weight 1e6), click 20 min before
+    # (weight 5e5): credits split 2:1 with truncating division.
+    rows = [
+        (1, "2024-01-01 00:40:00", 7, "click", 0.0),
+        (2, "2024-01-01 00:50:00", 7, "view", 0.0),
+        (3, "2024-01-01 01:00:00", 7, "purchase", 9.0),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = {
+            r.event_type: r
+            for r in m.q_time_decay_attribution(spark, SF).collect()
+        }
+    assert got["view"].credit_micro == (1_000_000 * 1_000_000) // 1_500_000
+    assert got["click"].credit_micro == (500_000 * 1_000_000) // 1_500_000
+    assert got["view"].n_touches == 1 and got["click"].n_touches == 1
+
+
+def test_markov_removal_planted(spark):
+    import mapreduce6240project_spark.plans.behavior as m
+
+    # single journey start -> view -> purchase: conversion 1.0; removing
+    # 'view' severs the only path (effect = full conversion), removing
+    # any untouched channel changes nothing.
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 0.0),
+        (2, "2024-01-01 00:10:00", 7, "purchase", 1.0),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = {
+            r.scenario: r for r in m.q_markov_removal(spark, SF).collect()
+        }
+    assert got["full"].conv_micro == 1_000_000
+    assert got["no_view"].conv_micro == 0
+    assert got["no_view"].removal_effect_micro == 1_000_000
+    assert got["no_click"].conv_micro == 1_000_000
+    assert got["no_click"].removal_effect_micro == 0
+
+
+def test_zonemap_real_data_invariants(spark):
+    rows = REGISTRY["zonemap_pruning_audit"].fn(spark, SF).collect()
+    assert len(rows) == 8
+    n_files = rows[0].files_total
+    total = None
+    sel_sum = 0
+    for r in rows:
+        assert r.files_total == n_files
+        assert 0 <= r.pruned_natural <= n_files
+        assert 0 <= r.pruned_clustered <= n_files
+        sel_sum += r.rows_selected
+        total = (total or 0) + r.rows_selected
+    # the 8 half-open slices exactly partition [min, max+1)
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    assert sel_sum == load_table(spark, SF, "lineitem").count()
+    # clustering by the predicate column can only help pruning
+    assert sum(r.pruned_clustered for r in rows) >= sum(
+        r.pruned_natural for r in rows
+    )
+
+
+def test_ndcg_real_data_invariants(spark):
+    r = REGISTRY["ndcg_at10"].fn(spark, SF).collect()[0]
+    assert 0 <= r.ndcg_permyriad <= 10000
+    assert r.idcg_micro >= 1_000_000  # at least one relevant in ideal
+    assert r.dcg_micro <= r.idcg_micro
+
+
+def test_bigram_perplexity_planted(spark):
+    import mapreduce6240project_spark.plans.text_corpus as m
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y")], "doc_id long, text string"
+    )
+    with mock.patch.object(m, "load_table", lambda s, d, n: docs):
+        got = {
+            r.doc_id: r
+            for r in m.q_bigram_perplexity_docs(spark, SF).collect()
+        }
+    # corpus: c(x)=3, c(y)=3, V=2; c(x,y)=3, c(y,x)=1
+    nll_xy = math.floor(-math.log(4 / 5) * 1_000_000 + 0.5)
+    nll_yx = math.floor(-math.log(2 / 5) * 1_000_000 + 0.5)
+    assert got[1].n_bigrams == 3
+    assert got[1].nll_micro_mean == (2 * nll_xy + nll_yx) // 3
+    assert got[2].n_bigrams == 1
+    assert got[2].nll_micro_mean == nll_xy

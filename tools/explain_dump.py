@@ -18,6 +18,14 @@ SF = "/root/testdata/sf0.01"
 
 #: headline set + scale-representative extensions
 QUERIES = [
+    "diff_in_diff_value",
+    "cuped_adjusted_lift",
+    "nelson_aalen_hazard",
+    "time_decay_attribution",
+    "markov_removal_attribution",
+    "zonemap_pruning_audit",
+    "ndcg_at10",
+    "bigram_perplexity_docs",
     "ingest_featurize",
     "cluster_assign_k3",
     "kmedoids_k3",
