@@ -1115,3 +1115,86 @@ def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, c, full_conv - c) for s, c in convs],
         "scenario string, conv_micro long, removal_effect_micro long",
     )
+
+
+# round-4: probability-calibration audit.  A user's purchase propensity
+# is "predicted" from the first half of the span (purchase share of
+# their events, integer micro) and scored against whether they actually
+# purchased in the second half: per-decile reliability bins (mean
+# predicted vs empirical rate) plus the per-bin Brier contribution in
+# micro^2 units -- every quantity an exact integer (DECIMAL(38) sums
+# for the squared terms), so the diagram replays bit-exactly.
+
+
+@_register(
+    "brier_reliability_bins",
+    """
+WITH ev2 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev2
+), u AS (
+  SELECT user_id,
+         (1000000 * count(*) FILTER (WHERE event_type = 'purchase'
+                                     AND t_us < (SELECT mid_us FROM thr)))
+           // count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) AS p,
+         CAST(coalesce(max(CASE WHEN event_type = 'purchase'
+                       AND t_us >= (SELECT mid_us FROM thr)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+  FROM ev2 GROUP BY 1
+  HAVING count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) > 0
+)
+SELECT CAST(least(p // 100000, 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(p) // count(*) AS BIGINT) AS mean_p_micro,
+       CAST((10000 * sum(y)) // count(*) AS BIGINT) AS rate_permyriad,
+       CAST(CAST(sum(CAST((p - 1000000 * y) AS HUGEINT)
+                     * (p - 1000000 * y)) AS HUGEINT)
+            // count(*) AS BIGINT) AS brier_micro2_mean
+FROM u GROUP BY 1""",
+    ref="extension: reliability diagram + per-bin Brier score for a "
+    "first-half purchase-share propensity vs second-half outcome -- "
+    "integer micro probabilities, DECIMAL(38)/HUGEINT squared sums, "
+    "truncating-div bin means",
+)
+def q_brier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    thr = ev2.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    u = (
+        ev2.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(1000000 * count(CASE WHEN event_type = 'purchase'"
+                " AND t_us < mid_us THEN 1 END))"
+                " div count(CASE WHEN t_us < mid_us THEN 1 END)"
+            ).alias("p"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN event_type = 'purchase'"
+                " AND t_us >= mid_us THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("y"),
+            F.expr(
+                "count(CASE WHEN t_us < mid_us THEN 1 END)"
+            ).alias("_npre"),
+        )
+        .filter(F.col("_npre") > 0)
+    )
+    return (
+        u.groupBy(F.expr("CAST(least(p div 100000, 9) AS BIGINT)").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr("sum(p) div count(*)").cast("bigint").alias(
+                "mean_p_micro"
+            ),
+            F.expr("(10000 * sum(y)) div count(*)")
+            .cast("bigint")
+            .alias("rate_permyriad"),
+            F.expr(
+                "CAST(sum(CAST(p - 1000000 * y AS DECIMAL(38,0))"
+                " * (p - 1000000 * y)) div count(*) AS BIGINT)"
+            ).alias("brier_micro2_mean"),
+        )
+    )

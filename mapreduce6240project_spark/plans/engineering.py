@@ -2079,15 +2079,22 @@ def q_value_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ``zonemap_pruning_audit``: quantifies what parquet row-group zone
 # maps (min/max statistics) would prune for time-range predicates under
-# two physical layouts -- natural insertion order vs clustered by
-# l_shipdate.  Rows are assigned to 4096-row "files"; per-file min/max
-# epoch micros form the zone map; an 8-slice predicate grid over the
-# observed span counts prunable files (max < lo OR min >= hi) per
-# layout, alongside the true selected-row count.  The point at 100 TB:
-# scan pruning is a LAYOUT property -- the same predicate prunes ~0%
-# of naturally-ordered files and ~(7/8) of date-clustered ones, which
-# is the quantitative case for sort-on-write / Z-order.  All math is
-# integer epoch micros; boundaries are exact truncating divisions.
+# two physical layouts -- files range-partitioned by insertion key
+# (l_orderkey: what an append-only ingest produces) vs range-partitioned
+# by l_shipdate (sort/cluster-on-write).  Each layout assigns rows to
+# ~4096-row "files" by VALUE RANGE -- fid = (key - min) * n_files div
+# span -- a pure projection expression, so the audit itself needs no
+# global sort (an earlier row_number() formulation was a single-
+# partition sort and measured 6.9x at 10x rows; this one is linear).
+# Per-file min/max epoch micros form the zone map; an 8-slice predicate
+# grid over the observed span counts prunable files (max < lo OR
+# min >= hi) per layout, alongside the true selected-row count.  The
+# point at 100 TB: scan pruning is a LAYOUT property -- the same
+# predicate prunes ~0% of ingest-ordered files and ~(7/8) of
+# date-clustered ones, the quantitative case for sort-on-write.  The
+# fid products are DECIMAL(38)/HUGEINT (key-range x file-count
+# overflows int64 at petabyte scale); all boundaries are exact
+# truncating divisions.
 # =========================================================================
 
 
@@ -2095,31 +2102,39 @@ def q_value_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zonemap_pruning_audit",
     """
 WITH base AS (
-  SELECT epoch_us(l_shipdate) AS t_us,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn_nat,
-         row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
-           AS rn_clu
+  SELECT epoch_us(l_shipdate) AS t_us, l_orderkey AS ok
   FROM lineitem
 ), bounds AS (
-  SELECT min(t_us) AS mn, max(t_us) - min(t_us) + 1 AS span FROM base
+  SELECT min(t_us) AS mn, max(t_us) - min(t_us) + 1 AS span,
+         min(ok) AS ok_mn, max(ok) - min(ok) + 1 AS ok_span,
+         greatest(count(*) // 4096, 1) AS n_files
+  FROM base
+), fids AS (
+  SELECT t_us,
+         CAST((CAST(ok - ok_mn AS HUGEINT) * n_files) // ok_span
+              AS BIGINT) AS fid_nat,
+         CAST((CAST(t_us - mn AS HUGEINT) * n_files) // span
+              AS BIGINT) AS fid_clu
+  FROM base, bounds
 ), slices AS (
   SELECT i,
          mn + (span * i) // 8 AS lo,
          mn + (span * (i + 1)) // 8 AS hi
   FROM (SELECT unnest(range(8)) AS i), bounds
 ), zm_nat AS (
-  SELECT (rn_nat - 1) // 4096 AS fid, min(t_us) AS f_min, max(t_us) AS f_max
-  FROM base GROUP BY 1
+  SELECT fid_nat AS fid, min(t_us) AS f_min, max(t_us) AS f_max
+  FROM fids GROUP BY 1
 ), zm_clu AS (
-  SELECT (rn_clu - 1) // 4096 AS fid, min(t_us) AS f_min, max(t_us) AS f_max
-  FROM base GROUP BY 1
+  SELECT fid_clu AS fid, min(t_us) AS f_min, max(t_us) AS f_max
+  FROM fids GROUP BY 1
 ), pr_nat AS (
   SELECT s.i, count(*) AS files_total,
          count(*) FILTER (WHERE z.f_max < s.lo OR z.f_min >= s.hi)
            AS pruned_natural
   FROM slices s CROSS JOIN zm_nat z GROUP BY 1
 ), pr_clu AS (
-  SELECT s.i, count(*) FILTER (WHERE z.f_max < s.lo OR z.f_min >= s.hi)
+  SELECT s.i, count(*) AS files_total_clu,
+         count(*) FILTER (WHERE z.f_max < s.lo OR z.f_min >= s.hi)
            AS pruned_clustered
   FROM slices s CROSS JOIN zm_clu z GROUP BY 1
 ), sel AS (
@@ -2130,27 +2145,38 @@ WITH base AS (
 SELECT CAST(pr_nat.i AS BIGINT) AS slice_id,
        CAST(files_total AS BIGINT) AS files_total,
        CAST(pruned_natural AS BIGINT) AS pruned_natural,
+       CAST(files_total_clu AS BIGINT) AS files_total_clustered,
        CAST(pruned_clustered AS BIGINT) AS pruned_clustered,
        CAST(rows_selected AS BIGINT) AS rows_selected
 FROM pr_nat JOIN pr_clu USING (i) JOIN sel USING (i)""",
     ref="extension: zone-map (row-group min/max) pruning audit under "
-    "natural vs shipdate-clustered layout, 8-slice predicate grid -- "
-    "the quantitative case for sort-on-write at scan-pruning scale",
+    "ingest-key-range vs shipdate-range file layout, 8-slice predicate "
+    "grid -- pure-projection file assignment (no global sort), the "
+    "quantitative case for sort-on-write at scan-pruning scale",
 )
 def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         F.unix_micros("l_shipdate").alias("t_us"),
-        F.row_number()
-        .over(Window.orderBy("l_orderkey", "l_linenumber"))
-        .alias("rn_nat"),
-        F.row_number()
-        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
-        .alias("rn_clu"),
+        F.col("l_orderkey").alias("ok"),
     )
     bounds = base.agg(
         F.min("t_us").alias("mn"),
         (F.max("t_us") - F.min("t_us") + 1).alias("span"),
+        F.min("ok").alias("ok_mn"),
+        (F.max("ok") - F.min("ok") + 1).alias("ok_span"),
+        F.expr("greatest(count(*) div 4096, 1)").alias("n_files"),
+    )
+    fids = base.crossJoin(F.broadcast(bounds)).select(
+        "t_us",
+        F.expr(
+            "CAST((CAST(ok - ok_mn AS DECIMAL(38,0)) * n_files)"
+            " div ok_span AS BIGINT)"
+        ).alias("fid_nat"),
+        F.expr(
+            "CAST((CAST(t_us - mn AS DECIMAL(38,0)) * n_files)"
+            " div span AS BIGINT)"
+        ).alias("fid_clu"),
     )
     slices = (
         spark.range(8)
@@ -2163,17 +2189,17 @@ def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _zonemap(rn_col: str) -> DataFrame:
-        return base.groupBy(
-            F.expr(f"({rn_col} - 1) div 4096").alias("fid")
-        ).agg(F.min("t_us").alias("f_min"), F.max("t_us").alias("f_max"))
+    def _zonemap(fid_col: str) -> DataFrame:
+        return fids.groupBy(F.col(fid_col).alias("fid")).agg(
+            F.min("t_us").alias("f_min"), F.max("t_us").alias("f_max")
+        )
 
-    def _pruned(zm: DataFrame, out: str) -> DataFrame:
+    def _pruned(zm: DataFrame, total: str, out: str) -> DataFrame:
         return (
             slices.crossJoin(zm)
             .groupBy("i")
             .agg(
-                F.count(F.lit(1)).alias("files_total"),
+                F.count(F.lit(1)).alias(total),
                 F.count(
                     F.when(
                         (F.col("f_max") < F.col("lo"))
@@ -2184,9 +2210,9 @@ def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pr_nat = _pruned(_zonemap("rn_nat"), "pruned_natural")
-    pr_clu = _pruned(_zonemap("rn_clu"), "pruned_clustered").drop(
-        "files_total"
+    pr_nat = _pruned(_zonemap("fid_nat"), "files_total", "pruned_natural")
+    pr_clu = _pruned(
+        _zonemap("fid_clu"), "files_total_clustered", "pruned_clustered"
     )
     sel = (
         base.crossJoin(F.broadcast(slices))
@@ -2208,9 +2234,119 @@ def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("bigint").alias("slice_id"),
             F.col("files_total").cast("bigint").alias("files_total"),
             F.col("pruned_natural").cast("bigint").alias("pruned_natural"),
+            F.col("files_total_clustered")
+            .cast("bigint")
+            .alias("files_total_clustered"),
             F.col("pruned_clustered").cast("bigint").alias(
                 "pruned_clustered"
             ),
             F.col("rows_selected").cast("bigint").alias("rows_selected"),
         )
+    )
+
+
+# round-4: shard-rebalance audit.  Growing a hash-sharded store from 16
+# to 17 shards moves ~16/17 of all keys under modulo placement but only
+# ~1/17 under rendezvous (highest-random-weight) placement -- THE
+# operational argument for consistent placement at 100 TB, quantified
+# on the actual key population.  Placement = arg_max over shards of
+# hash60(key || ':' || shard) (the cross-engine md5-prefix hash), so
+# both engines compute identical placements; the audit is one
+# 16+17-way explode + two max_by aggregates per key -- linear, no
+# shuffle wider than the key aggregate.
+
+_RDVZ_N_OLD = 16
+_RDVZ_N_NEW = 17
+
+
+def _rendezvous_sql() -> str:
+    from mapreduce6240project_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql("CAST(o_custkey AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+    return f"""
+WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+pl AS (
+  SELECT o_custkey,
+         arg_max(s, {h})
+           FILTER (WHERE s < {_RDVZ_N_OLD}) AS rdvz_old,
+         arg_max(s, {h}) AS rdvz_new
+  FROM keys, (SELECT unnest(range({_RDVZ_N_NEW})) AS s) shards
+  GROUP BY 1
+), fl AS (
+  SELECT k.o_custkey,
+         k.o_custkey % {_RDVZ_N_OLD} AS mod_old,
+         k.o_custkey % {_RDVZ_N_NEW} AS mod_new,
+         pl.rdvz_old, pl.rdvz_new
+  FROM keys k JOIN pl USING (o_custkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (WHERE mod_old <> mod_new) AS BIGINT)
+         AS moved_mod,
+       CAST(count(*) FILTER (WHERE rdvz_old <> rdvz_new) AS BIGINT)
+         AS moved_rendezvous,
+       CAST(10000 * count(*) FILTER (WHERE mod_old <> mod_new)
+            // count(*) AS BIGINT) AS moved_mod_permyriad,
+       CAST(10000 * count(*) FILTER (WHERE rdvz_old <> rdvz_new)
+            // count(*) AS BIGINT) AS moved_rendezvous_permyriad
+FROM fl"""
+
+
+@_register(
+    "shard_rebalance_audit",
+    _rendezvous_sql(),
+    ref="extension: 16->17 shard-growth rebalance audit, modulo vs "
+    "rendezvous (HRW) placement via the cross-engine md5-prefix hash "
+    "-- quantifies the ~16/17 vs ~1/17 key movement on the real key "
+    "population",
+)
+def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    keys = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    shards = spark.range(_RDVZ_N_NEW).select(F.col("id").alias("s"))
+    h = hash60(
+        F.concat(
+            F.col("o_custkey").cast("string"),
+            F.lit(":"),
+            F.col("s").cast("string"),
+        )
+    )
+    pl = (
+        keys.crossJoin(F.broadcast(shards))
+        .select("o_custkey", "s", h.alias("hv"))
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                f"max_by(s, CASE WHEN s < {_RDVZ_N_OLD} THEN hv END)"
+            ).alias("rdvz_old"),
+            F.expr("max_by(s, hv)").alias("rdvz_new"),
+        )
+    )
+    fl = pl.select(
+        "o_custkey",
+        (F.col("o_custkey") % _RDVZ_N_OLD).alias("mod_old"),
+        (F.col("o_custkey") % _RDVZ_N_NEW).alias("mod_new"),
+        "rdvz_old",
+        "rdvz_new",
+    )
+    return fl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.count(F.when(F.col("mod_old") != F.col("mod_new"), 1))
+        .cast("bigint")
+        .alias("moved_mod"),
+        F.count(F.when(F.col("rdvz_old") != F.col("rdvz_new"), 1))
+        .cast("bigint")
+        .alias("moved_rendezvous"),
+        F.expr(
+            "10000 * count(CASE WHEN mod_old <> mod_new THEN 1 END)"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("moved_mod_permyriad"),
+        F.expr(
+            "10000 * count(CASE WHEN rdvz_old <> rdvz_new THEN 1 END)"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("moved_rendezvous_permyriad"),
     )

@@ -531,3 +531,77 @@ def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders_reached"))
     )
+
+
+# round-4: HITS hubs/authorities on the bipartite customer->part
+# purchase graph -- two unrolled iterations in integer micro units with
+# max-normalization after every step ((1e6 * score) div max, exact in
+# both engines), so the scores are engine- and partitioning-exact.
+# Authority = parts bought by broadly-buying customers; hub = customers
+# buying authoritative parts.  Each iteration is one edge-keyed join +
+# aggregate; the normalizing max is a 1-row broadcast.
+
+
+@_register(
+    "hits_authorities_top10",
+    """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), a1r AS (
+  SELECT p, 1000000 * count(*) AS s FROM edges GROUP BY 1
+), a1 AS (
+  SELECT p, (1000000 * s) // (SELECT max(s) FROM a1r) AS a FROM a1r
+), h1r AS (
+  SELECT e.c, sum(a1.a) AS s FROM edges e JOIN a1 USING (p) GROUP BY 1
+), h1 AS (
+  SELECT c, (1000000 * s) // (SELECT max(s) FROM h1r) AS h FROM h1r
+), a2r AS (
+  SELECT e.p, sum(h1.h) AS s FROM edges e JOIN h1 USING (c) GROUP BY 1
+), a2 AS (
+  SELECT p, (1000000 * s) // (SELECT max(s) FROM a2r) AS a FROM a2r
+), deg AS (SELECT p, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY 1)
+SELECT CAST(a2.p AS BIGINT) AS partkey,
+       CAST(a2.a AS BIGINT) AS authority_micro,
+       deg.degree
+FROM a2 JOIN deg USING (p)
+ORDER BY a2.a DESC, a2.p LIMIT 10""",
+    ref="extension: HITS on the bipartite customer->part graph -- two "
+    "unrolled integer-micro iterations, max-normalized per step, "
+    "edge-keyed joins + 1-row broadcast maxima",
+)
+def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+    def _norm(df: DataFrame, col: str, out: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            *[x for x in df.columns if x != col],
+            F.expr(f"(1000000 * {col}) div _mx").alias(out),
+        )
+
+    a1r = edges.groupBy("p").agg(
+        (F.lit(1000000) * F.count(F.lit(1))).alias("s")
+    )
+    a1 = _norm(a1r, "s", "a")
+    h1r = edges.join(a1, "p").groupBy("c").agg(F.sum("a").alias("s"))
+    h1 = _norm(h1r, "s", "h")
+    a2r = edges.join(h1, "c").groupBy("p").agg(F.sum("h").alias("s"))
+    a2 = _norm(a2r, "s", "a")
+    deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        a2.join(deg, "p")
+        .orderBy(F.col("a").desc(), "p")
+        .limit(10)
+        .select(
+            F.col("p").cast("bigint").alias("partkey"),
+            F.col("a").cast("bigint").alias("authority_micro"),
+            F.col("degree").cast("bigint").alias("degree"),
+        )
+    )

@@ -1767,3 +1767,213 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("bigint").alias("hazard_step_micro"),
         F.sum("step").over(w_asc).cast("bigint").alias("cum_hazard_micro"),
     )
+
+
+# =========================================================================
+# round-4 predictive-evaluation family
+#
+# - ``quantile_regression_grid``: grid-search quantile regression --
+#   for each target quantile tau the pinball (check) loss is evaluated
+#   over the 19 ventile candidates of the value distribution and the
+#   argmin wins.  Loss terms are integer permyriad x cents products, so
+#   every (tau, candidate) cell is an exact integer; the grid is a
+#   57-row broadcast and the scan aggregates map-side into 57 cells --
+#   resampling-free robust regression at any scale.
+# - ``conformal_coverage_audit``: split-conformal prediction audit --
+#   even users calibrate a per-event-type interval (group mean +/- the
+#   k-th order statistic of absolute residuals, k = ceil(0.9*(n+1)),
+#   the standard finite-sample-valid split-conformal rank), odd users
+#   test it; reports the interval halfwidth and the empirical coverage
+#   permyriad per event type.  All order statistics are exact
+#   rank-position picks -- no interpolation, no floats.
+# =========================================================================
+
+
+@_register(
+    "quantile_regression_grid",
+    """
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id
+  FROM events
+), rk AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM v
+), cand AS (
+  SELECT DISTINCT cents AS q
+  FROM rk, (SELECT unnest(range(1, 20)) AS k) ks
+  WHERE rn = (n * k) // 20
+), taus AS (SELECT unnest([2500, 5000, 9000]) AS tau),
+loss AS (
+  SELECT t.tau, c.q,
+         sum(CASE WHEN v.cents >= c.q
+                  THEN t.tau * (v.cents - c.q)
+                  ELSE (10000 - t.tau) * (c.q - v.cents) END) AS pinball
+  FROM v CROSS JOIN cand c CROSS JOIN taus t
+  GROUP BY 1, 2
+), best AS (
+  SELECT tau, q, pinball,
+         row_number() OVER (PARTITION BY tau ORDER BY pinball, q) AS r
+  FROM loss
+)
+SELECT CAST(tau AS BIGINT) AS tau_permyriad,
+       CAST(q AS BIGINT) AS best_q_cents,
+       CAST(pinball AS BIGINT) AS pinball_loss
+FROM best WHERE r = 1""",
+    ref="extension: grid-search quantile regression (pinball loss over "
+    "ventile candidates x 3 taus) -- exact integer permyriad-cents "
+    "loss cells, map-side combine into a 57-cell aggregate",
+)
+def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    rk = v.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, 20).select(F.col("id").alias("k"))
+    cand = (
+        rk.crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") == F.expr("(n * k) div 20"))
+        .select(F.col("cents").alias("q"))
+        .distinct()
+    )
+    taus = spark.createDataFrame([(2500,), (5000,), (9000,)], "tau long")
+    loss = (
+        v.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(taus))
+        .groupBy("tau", "q")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN cents >= q THEN tau * (cents - q)"
+                    " ELSE (10000 - tau) * (q - cents) END"
+                )
+            ).alias("pinball")
+        )
+    )
+    best = loss.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("tau").orderBy("pinball", "q")
+        ),
+    ).filter(F.col("r") == 1)
+    return best.select(
+        F.col("tau").cast("bigint").alias("tau_permyriad"),
+        F.col("q").cast("bigint").alias("best_q_cents"),
+        F.col("pinball").cast("bigint").alias("pinball_loss"),
+    )
+
+
+@_register(
+    "conformal_coverage_audit",
+    """
+WITH v AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id
+  FROM events
+), mu AS (
+  SELECT event_type, sum(cents) // count(*) AS mean_cents
+  FROM v WHERE user_id % 2 = 0 GROUP BY 1
+), resid AS (
+  SELECT v.event_type, abs(v.cents - mu.mean_cents) AS r, v.event_id
+  FROM v JOIN mu USING (event_type) WHERE v.user_id % 2 = 0
+), rr AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY r, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM resid
+), qhat AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_cal, min(r) AS q
+  FROM rr
+  WHERE rn = least((9 * (n + 1) + 9) // 10, n)
+  GROUP BY 1
+), test AS (
+  SELECT v.event_type,
+         count(*) AS n_test,
+         count(*) FILTER (WHERE abs(v.cents - mu.mean_cents) <= qhat.q)
+           AS covered
+  FROM v JOIN mu USING (event_type) JOIN qhat USING (event_type)
+  WHERE v.user_id % 2 = 1
+  GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(t.n_test AS BIGINT) AS n_test,
+       CAST(q.q AS BIGINT) AS halfwidth_cents,
+       CAST((10000 * t.covered) // t.n_test AS BIGINT)
+         AS coverage_permyriad
+FROM test t JOIN qhat q USING (event_type)""",
+    ref="extension: split-conformal interval audit -- parity-split "
+    "calibration, ceil(0.9*(n+1))-th order-statistic residual "
+    "halfwidth (finite-sample-valid rank), exact test coverage "
+    "permyriad per event type",
+)
+def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    cal = v.filter(F.col("user_id") % 2 == 0)
+    mu = cal.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    )
+    resid = cal.join(mu, "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("mean_cents")).alias("r"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "event_id")
+    rr = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    qhat = (
+        rr.filter(F.col("rn") == F.expr("least((9 * (n + 1) + 9) div 10, n)"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_cal"),
+            F.min("r").alias("q"),
+        )
+    )
+    test = (
+        v.filter(F.col("user_id") % 2 == 1)
+        .join(mu, "event_type")
+        .join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(
+                F.when(
+                    F.abs(F.col("cents") - F.col("mean_cents"))
+                    <= F.col("q"),
+                    1,
+                )
+            ).alias("covered"),
+        )
+    )
+    return test.join(qhat, "event_type").select(
+        "event_type",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.col("q").cast("bigint").alias("halfwidth_cents"),
+        F.expr("(10000 * covered) div n_test")
+        .cast("bigint")
+        .alias("coverage_permyriad"),
+    )

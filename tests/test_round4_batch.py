@@ -131,23 +131,24 @@ def test_markov_removal_planted(spark):
 def test_zonemap_real_data_invariants(spark):
     rows = REGISTRY["zonemap_pruning_audit"].fn(spark, SF).collect()
     assert len(rows) == 8
-    n_files = rows[0].files_total
-    total = None
     sel_sum = 0
     for r in rows:
-        assert r.files_total == n_files
-        assert 0 <= r.pruned_natural <= n_files
-        assert 0 <= r.pruned_clustered <= n_files
+        assert r.files_total == rows[0].files_total
+        assert r.files_total_clustered == rows[0].files_total_clustered
+        assert 0 <= r.pruned_natural <= r.files_total
+        assert 0 <= r.pruned_clustered <= r.files_total_clustered
         sel_sum += r.rows_selected
-        total = (total or 0) + r.rows_selected
     # the 8 half-open slices exactly partition [min, max+1)
     from mapreduce6240project_spark.sources.tables import load_table
 
     assert sel_sum == load_table(spark, SF, "lineitem").count()
-    # clustering by the predicate column can only help pruning
-    assert sum(r.pruned_clustered for r in rows) >= sum(
-        r.pruned_natural for r in rows
+    # date-range-clustered files prune (proportionally) at least as well
+    # as ingest-ordered ones on date predicates
+    nat = sum(r.pruned_natural for r in rows) / (8 * rows[0].files_total)
+    clu = sum(r.pruned_clustered for r in rows) / (
+        8 * rows[0].files_total_clustered
     )
+    assert clu >= nat
 
 
 def test_ndcg_real_data_invariants(spark):
@@ -175,3 +176,81 @@ def test_bigram_perplexity_planted(spark):
     assert got[1].nll_micro_mean == (2 * nll_xy + nll_yx) // 3
     assert got[2].n_bigrams == 1
     assert got[2].nll_micro_mean == nll_xy
+
+
+def test_quantile_regression_grid_planted(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "view", i / 100.0)
+        for i in range(1, 101)
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = {
+            r.tau_permyriad: r
+            for r in m.q_quantile_regression_grid(spark, SF).collect()
+        }
+    # cents 1..100, candidates at every 5th order statistic: the pinball
+    # argmin over that grid is the nearest ventile to each tau
+    assert got[2500].best_q_cents == 25
+    assert got[5000].best_q_cents == 50
+    assert got[9000].best_q_cents == 90
+
+
+def test_conformal_real_data_invariants(spark):
+    rows = REGISTRY["conformal_coverage_audit"].fn(spark, SF).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.halfwidth_cents >= 0
+        assert 0 <= r.coverage_permyriad <= 10000
+        # split-conformal at alpha=0.1 should land near 90% coverage;
+        # allow finite-sample slack on tiny per-type groups
+        assert r.coverage_permyriad >= 7500
+
+
+def test_hits_planted(spark):
+    import mapreduce6240project_spark.plans.graph_ext as m
+
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(100, 10), (100, 11), (101, 12), (102, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    tables = {"orders": orders, "lineitem": li}
+    with mock.patch.object(m, "load_table", lambda s, d, n: tables[n]):
+        got = {r.partkey: r for r in m.q_hits_authorities(spark, SF).collect()}
+    # c1 -> {10,11,12}, c2 -> {10}: after one full HITS round part 10
+    # (bought by both) normalizes to 1e6, parts 11/12 to 2/3
+    assert got[10].authority_micro == 1_000_000
+    assert got[11].authority_micro == (1_000_000 * 1_000_000) // 1_500_000
+    assert got[12].authority_micro == got[11].authority_micro
+    assert got[10].degree == 2
+
+
+def test_shard_rebalance_real_data(spark):
+    r = REGISTRY["shard_rebalance_audit"].fn(spark, SF).collect()[0]
+    # modulo moves ~16/17 of keys, rendezvous ~1/17
+    assert r.moved_mod_permyriad > 8000
+    assert r.moved_rendezvous_permyriad < 2000
+    assert r.moved_rendezvous < r.moved_mod
+
+
+def test_brier_planted_single_user(spark):
+    import mapreduce6240project_spark.plans.behavior as m
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-01 01:00:00", 1, "view", 0.0),
+        (3, "2024-01-20 00:00:00", 1, "purchase", 2.0),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = m.q_brier_reliability_bins(spark, SF).collect()
+    assert len(got) == 1
+    r = got[0]
+    # p = 1/2 in micro, outcome = purchased in second half
+    assert r.bin == 5
+    assert r.mean_p_micro == 500_000
+    assert r.rate_permyriad == 10000
+    assert r.brier_micro2_mean == 500_000 * 500_000

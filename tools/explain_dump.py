@@ -18,6 +18,11 @@ SF = "/root/testdata/sf0.01"
 
 #: headline set + scale-representative extensions
 QUERIES = [
+    "quantile_regression_grid",
+    "conformal_coverage_audit",
+    "hits_authorities_top10",
+    "shard_rebalance_audit",
+    "brier_reliability_bins",
     "diff_in_diff_value",
     "cuped_adjusted_lift",
     "nelson_aalen_hazard",
