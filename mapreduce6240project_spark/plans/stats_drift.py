@@ -1591,9 +1591,15 @@ WITH ev2 AS (
   FROM u
 ), th AS (
   SELECT n, n_t, n_c,
-         (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS theta_micro,
-         (1000000 * sy_t) // n_t - (1000000 * sy_c) // n_c AS raw_lift_micro,
-         (1000000 * sx_t) // n_t - (1000000 * sx_c) // n_c AS cov_gap_micro
+         CASE WHEN n * sxx - sx * sx <> 0
+           THEN (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           ELSE 0 END AS theta_micro,
+         CASE WHEN n_t > 0 AND n_c > 0
+           THEN (1000000 * sy_t) // n_t - (1000000 * sy_c) // n_c
+           END AS raw_lift_micro,
+         CASE WHEN n_t > 0 AND n_c > 0
+           THEN (1000000 * sx_t) // n_t - (1000000 * sx_c) // n_c
+           END AS cov_gap_micro
   FROM mom
 )
 SELECT CAST(n AS BIGINT) AS n_users,
@@ -1652,13 +1658,17 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_t",
         "n_c",
         F.expr(
-            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            "CASE WHEN n * sxx - sx * sx <> 0"
+            " THEN (1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " ELSE 0 END"
         ).alias("theta_micro"),
         F.expr(
-            "(1000000 * sy_t) div n_t - (1000000 * sy_c) div n_c"
+            "CASE WHEN n_t > 0 AND n_c > 0"
+            " THEN (1000000 * sy_t) div n_t - (1000000 * sy_c) div n_c END"
         ).alias("raw_lift_micro"),
         F.expr(
-            "(1000000 * sx_t) div n_t - (1000000 * sx_c) div n_c"
+            "CASE WHEN n_t > 0 AND n_c > 0"
+            " THEN (1000000 * sx_t) div n_t - (1000000 * sx_c) div n_c END"
         ).alias("cov_gap_micro"),
     )
     return th.select(
@@ -1976,4 +1986,273 @@ def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(10000 * covered) div n_test")
         .cast("bigint")
         .alias("coverage_permyriad"),
+    )
+
+
+# =========================================================================
+# round-4 survival/uplift completions
+#
+# - ``log_rank_test``: two-arm log-rank statistic over the
+#   signup->purchase survival curves (parity arms, same cohort
+#   construction as ``nelson_aalen_hazard``).  Per event-day terms --
+#   expectation (1e6*d*n1) div n and hypergeometric variance
+#   (1e12*d*n1*(n-n1)*(n-d)) div (n*n*(n-1)) -- are exactly-quantized
+#   integers (DECIMAL(38)/HUGEINT products), so O1, E1 and V replay
+#   bit-exactly; the chi-square statistic is a final integer ratio.
+# - ``qini_uplift_deciles``: cumulative uplift (Qini) curve -- users
+#   ranked by first-half purchase propensity (integer micro), split
+#   into row-number deciles, per-decile cumulative treated/control
+#   outcomes and the Qini value y_t - y_c * (n_t/n_c) in exact micro
+#   units.  The audit every uplift model ships with, as one ranking
+#   window + one decile aggregate.
+# =========================================================================
+
+
+@_register(
+    "log_rank_test",
+    """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS su_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), obs AS (
+  SELECT s.user_id, min(s.su_us) AS su_us,
+         min(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) >= s.su_us
+                  THEN epoch_us(e.ts) END) AS pu_us,
+         max(epoch_us(e.ts)) AS last_us
+  FROM su s JOIN events e ON e.user_id = s.user_id
+  GROUP BY 1
+), t AS (
+  SELECT user_id % 2 = 0 AS arm1,
+         CASE WHEN pu_us IS NOT NULL
+              THEN (pu_us - su_us) // 86400000000
+              ELSE (last_us - su_us) // 86400000000 END AS day,
+         pu_us IS NOT NULL AS ev
+  FROM obs
+), risk AS (
+  SELECT day,
+         count(*) FILTER (WHERE ev) AS d,
+         count(*) FILTER (WHERE ev AND arm1) AS d1,
+         sum(count(*)) OVER (ORDER BY day DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS n,
+         sum(count(*) FILTER (WHERE arm1))
+           OVER (ORDER BY day DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+  FROM t GROUP BY day
+), terms AS (
+  SELECT d, d1, n, n1,
+         (1000000 * d * n1) // n AS e1_term,
+         CASE WHEN n > 1 THEN
+           CAST((CAST(1000000000000 AS HUGEINT) * d * n1 * (n - n1)
+                 * (n - d)) // (CAST(n AS HUGEINT) * n * (n - 1))
+                AS BIGINT)
+         ELSE 0 END AS v_term
+  FROM risk WHERE d > 0
+)
+SELECT CAST(sum(d1) AS BIGINT) AS o1_events,
+       CAST(sum(e1_term) AS BIGINT) AS e1_micro,
+       CAST(sum(v_term) AS BIGINT) AS v_micro2,
+       CAST(CASE WHEN sum(v_term) > 0 THEN
+         CAST((CAST(1000000 * sum(d1) - sum(e1_term) AS HUGEINT)
+               * (1000000 * sum(d1) - sum(e1_term)))
+              // CAST(sum(v_term) AS HUGEINT) AS BIGINT)
+       ELSE 0 END AS BIGINT) AS chi2_micro
+FROM terms""",
+    ref="extension: two-arm log-rank test over signup->purchase "
+    "survival (parity arms, right-censored) -- exactly-quantized "
+    "hypergeometric expectation/variance terms, integer chi-square "
+    "ratio; completes the KM / Nelson-Aalen survival family",
+)
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("su_us"))
+    )
+    obs = (
+        su.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("su_us").alias("su_us"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("su_us")),
+                    F.unix_micros("ts"),
+                )
+            ).alias("pu_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    t = obs.select(
+        (F.col("user_id") % 2 == 0).alias("arm1"),
+        F.expr(
+            "CASE WHEN pu_us IS NOT NULL"
+            " THEN (pu_us - su_us) div 86400000000"
+            " ELSE (last_us - su_us) div 86400000000 END"
+        ).alias("day"),
+        F.col("pu_us").isNotNull().alias("ev"),
+    )
+    byday = t.groupBy("day").agg(
+        F.count(F.when(F.col("ev"), 1)).alias("d"),
+        F.count(F.when(F.col("ev") & F.col("arm1"), 1)).alias("d1"),
+        F.count(F.lit(1)).alias("n_day"),
+        F.count(F.when(F.col("arm1"), 1)).alias("n1_day"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byday.withColumn("n", F.sum("n_day").over(w_desc)).withColumn(
+        "n1", F.sum("n1_day").over(w_desc)
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "d",
+        "d1",
+        "n",
+        "n1",
+        F.expr("(1000000 * d * n1) div n").alias("e1_term"),
+        F.expr(
+            "CASE WHEN n > 1 THEN"
+            " CAST((CAST(1000000000000 AS DECIMAL(38,0)) * d * n1"
+            " * (n - n1) * (n - d))"
+            " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("v_term"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1_events"),
+        F.sum("e1_term").cast("bigint").alias("e1_micro"),
+        F.sum("v_term").cast("bigint").alias("v_micro2"),
+        F.expr(
+            "CAST(CASE WHEN sum(v_term) > 0 THEN"
+            " CAST((CAST(1000000 * sum(d1) - sum(e1_term)"
+            " AS DECIMAL(38,0))"
+            " * (1000000 * sum(d1) - sum(e1_term)))"
+            " div CAST(sum(v_term) AS DECIMAL(38,0)) AS BIGINT)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+@_register(
+    "qini_uplift_deciles",
+    """
+WITH ev2 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev2
+), u AS (
+  SELECT user_id, user_id % 2 = 0 AS treat,
+         (1000000 * count(*) FILTER (WHERE event_type = 'purchase'
+                                     AND t_us < (SELECT mid_us FROM thr)))
+           // count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) AS p,
+         CAST(coalesce(max(CASE WHEN event_type = 'purchase'
+                       AND t_us >= (SELECT mid_us FROM thr)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+  FROM ev2 GROUP BY 1
+  HAVING count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) > 0
+), rk AS (
+  SELECT treat, y,
+         row_number() OVER (ORDER BY p DESC, user_id) AS rn,
+         count(*) OVER () AS nu
+  FROM u
+), dec AS (
+  SELECT ((rn - 1) * 10) // nu AS decile, treat, y FROM rk
+), cum AS (
+  SELECT decile,
+         sum(sum(CASE WHEN treat THEN 1 ELSE 0 END))
+           OVER (ORDER BY decile) AS n_t,
+         sum(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END))
+           OVER (ORDER BY decile) AS n_c,
+         sum(sum(CASE WHEN treat THEN y ELSE 0 END))
+           OVER (ORDER BY decile) AS y_t,
+         sum(sum(CASE WHEN NOT treat THEN y ELSE 0 END))
+           OVER (ORDER BY decile) AS y_c
+  FROM dec GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_t AS BIGINT) AS n_treat_cum,
+       CAST(n_c AS BIGINT) AS n_ctrl_cum,
+       CAST(y_t AS BIGINT) AS y_treat_cum,
+       CAST(y_c AS BIGINT) AS y_ctrl_cum,
+       CAST(CASE WHEN n_c > 0
+            THEN 1000000 * y_t - (1000000 * y_c * n_t) // n_c
+            END AS BIGINT) AS qini_micro
+FROM cum""",
+    ref="extension: Qini uplift curve -- propensity-ranked row-number "
+    "deciles, cumulative treated/control outcomes, exact micro "
+    "y_t - y_c * n_t/n_c per decile; one ranking window + one decile "
+    "aggregate",
+)
+def q_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    thr = ev2.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    u = (
+        ev2.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(1000000 * count(CASE WHEN event_type = 'purchase'"
+                " AND t_us < mid_us THEN 1 END))"
+                " div count(CASE WHEN t_us < mid_us THEN 1 END)"
+            ).alias("p"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN event_type = 'purchase'"
+                " AND t_us >= mid_us THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("y"),
+            F.expr("count(CASE WHEN t_us < mid_us THEN 1 END)").alias(
+                "_npre"
+            ),
+        )
+        .filter(F.col("_npre") > 0)
+        .withColumn("treat", F.col("user_id") % 2 == 0)
+    )
+    rk = u.select(
+        "treat",
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.col("p").desc(), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nu"),
+    )
+    dec = rk.select(
+        F.expr("((rn - 1) * 10) div nu").alias("decile"), "treat", "y"
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).alias("nt_d"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0)).alias("nc_d"),
+        F.sum(F.when(F.col("treat"), F.col("y")).otherwise(0)).alias(
+            "yt_d"
+        ),
+        F.sum(F.when(~F.col("treat"), F.col("y")).otherwise(0)).alias(
+            "yc_d"
+        ),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "decile",
+        F.sum("nt_d").over(w_cum).alias("n_t"),
+        F.sum("nc_d").over(w_cum).alias("n_c"),
+        F.sum("yt_d").over(w_cum).alias("y_t"),
+        F.sum("yc_d").over(w_cum).alias("y_c"),
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_t").cast("bigint").alias("n_treat_cum"),
+        F.col("n_c").cast("bigint").alias("n_ctrl_cum"),
+        F.col("y_t").cast("bigint").alias("y_treat_cum"),
+        F.col("y_c").cast("bigint").alias("y_ctrl_cum"),
+        F.expr(
+            "CAST(CASE WHEN n_c > 0"
+            " THEN 1000000 * y_t - (1000000 * y_c * n_t) div n_c"
+            " END AS BIGINT)"
+        ).alias("qini_micro"),
     )

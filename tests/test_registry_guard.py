@@ -11,7 +11,7 @@ from mapreduce6240project_spark.plans import DRIVER_ORDER, REGISTRY
 
 
 def test_registry_is_complete():
-    assert len(REGISTRY) >= 377
+    assert len(REGISTRY) >= 379
 
 
 def test_driver_order_names_all_registered():
@@ -64,7 +64,7 @@ def test_entry_module_fresh_interpreter():
         check=True,
     )
     info = json.loads(out.stdout.strip().splitlines()[-1])
-    assert info["q"] >= 377
+    assert info["q"] >= 379
     assert info["o"] >= 300
     assert info["first"] == "hll_distinct_users"
 

@@ -254,3 +254,45 @@ def test_brier_planted_single_user(spark):
     assert r.mean_p_micro == 500_000
     assert r.rate_permyriad == 10000
     assert r.brier_micro2_mean == 500_000 * 500_000
+
+
+def test_log_rank_identical_arms_zero(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # mirrored arms (same event/censor days) -> O1 == E1 -> chi2 == 0
+    rows = [
+        (1, "2024-01-01 00:00:00", 0, "signup", 0.0),
+        (2, "2024-01-03 00:00:00", 0, "purchase", 1.0),
+        (3, "2024-01-01 00:00:00", 1, "signup", 0.0),
+        (4, "2024-01-03 00:00:00", 1, "purchase", 1.0),
+        (5, "2024-01-01 00:00:00", 2, "signup", 0.0),
+        (6, "2024-01-06 00:00:00", 2, "view", 0.0),
+        (7, "2024-01-01 00:00:00", 3, "signup", 0.0),
+        (8, "2024-01-06 00:00:00", 3, "view", 0.0),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        r = m.q_log_rank_test(spark, SF).collect()[0]
+    assert r.o1_events == 1
+    assert r.e1_micro == 1_000_000
+    assert r.chi2_micro == 0
+    # day-2 hypergeometric variance: (1e12*2*2*2*2)//(4*4*3)
+    assert r.v_micro2 == (10**12 * 16) // 48
+
+
+def test_qini_real_data_invariants(spark):
+    rows = sorted(
+        REGISTRY["qini_uplift_deciles"].fn(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert 1 <= len(rows) <= 10
+    last = rows[-1]
+    # cumulative counts are monotone and end at the full population
+    prev_nt = prev_nc = 0
+    for r in rows:
+        assert r.n_treat_cum >= prev_nt and r.n_ctrl_cum >= prev_nc
+        prev_nt, prev_nc = r.n_treat_cum, r.n_ctrl_cum
+        assert 0 <= r.y_treat_cum <= r.n_treat_cum
+        assert 0 <= r.y_ctrl_cum <= r.n_ctrl_cum
+    # parity arms on symmetric data: final qini should be small relative
+    # to the population (no real treatment effect planted)
+    assert abs(last.qini_micro) <= 1_000_000 * last.n_treat_cum

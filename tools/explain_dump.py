@@ -18,6 +18,8 @@ SF = "/root/testdata/sf0.01"
 
 #: headline set + scale-representative extensions
 QUERIES = [
+    "log_rank_test",
+    "qini_uplift_deciles",
     "quantile_regression_grid",
     "conformal_coverage_audit",
     "hits_authorities_top10",
