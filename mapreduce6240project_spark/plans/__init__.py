@@ -47,15 +47,31 @@ for _mod in (
 
 #: The driver verifies queries in dict order with a bounded budget
 #: (50 per round).  Round-4 rotation: rounds 2+3 hard-verified 77
-#: distinct queries (CORRECTNESS_r02/r03); this round front-loads 50
-#: queries the external driver has NEVER checked, drawn from the
-#: highest-risk families -- sketches (HLL/CMS/KMV/qsketch), SCD2/CDC,
-#: graph (BFS/diameter/triangles/PPR), ANN audits (PQ/IVF/recall),
+#: distinct queries (CORRECTNESS_r02/r03); this round front-loads the
+#: 15 operators written THIS round (least verification history) plus
+#: 35 never-driver-checked queries from the highest-risk families --
+#: sketches (HLL/CMS/KMV/qsketch), SCD2/CDC, graph, ANN/PQ audits,
 #: streaming variants, extra source formats, and the round-4-edited
 #: stats queries.  Previously-verified queries and everything else keep
 #: their registration order at the tail -- the reorder can never lose
 #: an entry (guarded by tests/test_registry_guard.py).
 DRIVER_ORDER: tuple[str, ...] = (
+    # -- round-4 additions (newest code, no driver history) --
+    "diff_in_diff_value",
+    "cuped_adjusted_lift",
+    "nelson_aalen_hazard",
+    "log_rank_test",
+    "qini_uplift_deciles",
+    "time_decay_attribution",
+    "markov_removal_attribution",
+    "brier_reliability_bins",
+    "quantile_regression_grid",
+    "conformal_coverage_audit",
+    "zonemap_pruning_audit",
+    "shard_rebalance_audit",
+    "hits_authorities_top10",
+    "ndcg_at10",
+    "bigram_perplexity_docs",
     # -- sketch family --
     "hll_distinct_users",
     "cms_heavy_hitters",
@@ -84,20 +100,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ppr_seeded",
     "knn_graph_top3",
     # -- clustering / ANN / embedding audits --
-    "kmedoids_elbow",
     "ann_pq_topk",
-    "ann_recall_at10",
     "ivf_recall_curve",
-    "semantic_dedup",
-    "kcenter_select_8",
     "pca_power_top",
-    "embedding_covariance",
-    "mmr_select_diverse",
-    "matryoshka_recall16",
-    "int8_recall_audit",
     # -- dedup variants --
-    "dedup_paragraphs",
-    "dedup_method_agreement",
     # -- source formats / layout --
     "orc_roundtrip",
     "xml_roundtrip",
@@ -105,11 +111,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "partitioned_scan_clicks",
     "bucketed_join_revenue",
     # -- stats (incl. round-4-edited queries) --
-    "weighted_median_price",
-    "rolling_median_7",
-    "exact_split_strata",
-    "benford_totalprice",
-    "chi2_segment_status",
     "ks_value_drift",
     "trending_event_types",
     "embedding_isotropy_audit",

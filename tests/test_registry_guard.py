@@ -66,7 +66,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 379
     assert info["o"] >= 300
-    assert info["first"] == "hll_distinct_users"
+    assert info["first"] == "diff_in_diff_value"
 
 
 def test_oracle_micros_sums_match_canonical_helper():
