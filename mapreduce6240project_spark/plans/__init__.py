@@ -72,6 +72,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "hits_authorities_top10",
     "ndcg_at10",
     "bigram_perplexity_docs",
+    "stratified_ate_quintiles",
     # -- sketch family --
     "hll_distinct_users",
     "cms_heavy_hitters",
@@ -98,7 +99,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "clustering_coefficient",
     "adamic_adar_topk",
     "ppr_seeded",
-    "knn_graph_top3",
     # -- clustering / ANN / embedding audits --
     "ann_pq_topk",
     "ivf_recall_curve",

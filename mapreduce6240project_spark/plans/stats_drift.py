@@ -2256,3 +2256,112 @@ def q_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("qini_micro"),
     )
+
+
+@_register(
+    "stratified_ate_quintiles",
+    """
+WITH ev2 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev2
+), u AS (
+  SELECT user_id, user_id % 2 = 0 AS treat,
+         (1000000 * count(*) FILTER (WHERE event_type = 'purchase'
+                                     AND t_us < (SELECT mid_us FROM thr)))
+           // count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) AS p,
+         CAST(coalesce(max(CASE WHEN event_type = 'purchase'
+                       AND t_us >= (SELECT mid_us FROM thr)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+  FROM ev2 GROUP BY 1
+  HAVING count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) > 0
+), rk AS (
+  SELECT treat, y, row_number() OVER (ORDER BY p DESC, user_id) AS rn,
+         count(*) OVER () AS nu
+  FROM u
+), strat AS (
+  SELECT ((rn - 1) * 5) // nu AS stratum, treat, y FROM rk
+)
+SELECT CAST(stratum AS BIGINT) AS stratum,
+       CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS n_treat,
+       CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS n_ctrl,
+       CAST(CASE WHEN count(*) FILTER (WHERE treat) > 0
+            THEN (10000 * sum(y) FILTER (WHERE treat))
+                 // count(*) FILTER (WHERE treat) END AS BIGINT)
+         AS rate_treat_permyriad,
+       CAST(CASE WHEN count(*) FILTER (WHERE NOT treat) > 0
+            THEN (10000 * sum(y) FILTER (WHERE NOT treat))
+                 // count(*) FILTER (WHERE NOT treat) END AS BIGINT)
+         AS rate_ctrl_permyriad,
+       CAST(CASE WHEN count(*) FILTER (WHERE treat) > 0
+                  AND count(*) FILTER (WHERE NOT treat) > 0
+            THEN (10000 * sum(y) FILTER (WHERE treat))
+                 // count(*) FILTER (WHERE treat)
+               - (10000 * sum(y) FILTER (WHERE NOT treat))
+                 // count(*) FILTER (WHERE NOT treat) END AS BIGINT)
+         AS ate_permyriad
+FROM strat GROUP BY 1""",
+    ref="extension: propensity-stratified ATE (quintile strata over the "
+    "first-half propensity, per-stratum treated/control purchase-rate "
+    "contrast in exact permyriad) -- the confounder-adjustment "
+    "companion to diff_in_diff_value / cuped_adjusted_lift / "
+    "qini_uplift_deciles",
+)
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    thr = ev2.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    u = (
+        ev2.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(1000000 * count(CASE WHEN event_type = 'purchase'"
+                " AND t_us < mid_us THEN 1 END))"
+                " div count(CASE WHEN t_us < mid_us THEN 1 END)"
+            ).alias("p"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN event_type = 'purchase'"
+                " AND t_us >= mid_us THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("y"),
+            F.expr("count(CASE WHEN t_us < mid_us THEN 1 END)").alias(
+                "_npre"
+            ),
+        )
+        .filter(F.col("_npre") > 0)
+        .withColumn("treat", F.col("user_id") % 2 == 0)
+    )
+    rk = u.select(
+        "treat",
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.col("p").desc(), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nu"),
+    )
+    strat = rk.select(
+        F.expr("((rn - 1) * 5) div nu").alias("stratum"), "treat", "y"
+    )
+    nt = "count(CASE WHEN treat THEN 1 END)"
+    nc = "count(CASE WHEN NOT treat THEN 1 END)"
+    yt = "sum(CASE WHEN treat THEN y END)"
+    yc = "sum(CASE WHEN NOT treat THEN y END)"
+    return strat.groupBy(F.col("stratum").cast("bigint").alias("stratum")).agg(
+        F.expr(f"CAST({nt} AS BIGINT)").alias("n_treat"),
+        F.expr(f"CAST({nc} AS BIGINT)").alias("n_ctrl"),
+        F.expr(
+            f"CAST(CASE WHEN {nt} > 0 THEN (10000 * {yt}) div {nt} END"
+            " AS BIGINT)"
+        ).alias("rate_treat_permyriad"),
+        F.expr(
+            f"CAST(CASE WHEN {nc} > 0 THEN (10000 * {yc}) div {nc} END"
+            " AS BIGINT)"
+        ).alias("rate_ctrl_permyriad"),
+        F.expr(
+            f"CAST(CASE WHEN {nt} > 0 AND {nc} > 0"
+            f" THEN (10000 * {yt}) div {nt} - (10000 * {yc}) div {nc} END"
+            " AS BIGINT)"
+        ).alias("ate_permyriad"),
+    )

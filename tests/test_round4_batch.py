@@ -296,3 +296,62 @@ def test_qini_real_data_invariants(spark):
     # parity arms on symmetric data: final qini should be small relative
     # to the population (no real treatment effect planted)
     assert abs(last.qini_micro) <= 1_000_000 * last.n_treat_cum
+
+
+def test_stratified_ate_planted_effect(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # all users same propensity (one stratum after quintile split is
+    # degenerate: 5 strata over 10 users, 2 per stratum -- one treated,
+    # one control per stratum by construction); treated users purchase
+    # in the post half, controls do not -> ATE = +10000 everywhere.
+    rows = []
+    eid = 0
+    for uid in range(10):
+        rows.append((eid, "2024-01-01 00:00:00", uid, "view", 0.0))
+        eid += 1
+        if uid % 2 == 0:
+            rows.append((eid, "2024-01-20 00:00:00", uid, "purchase", 1.0))
+            eid += 1
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = m.q_stratified_ate(spark, SF).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.n_treat + r.n_ctrl == 2
+        if r.n_treat > 0 and r.n_ctrl > 0:
+            assert r.rate_treat_permyriad == 10000
+            assert r.rate_ctrl_permyriad == 0
+            assert r.ate_permyriad == 10000
+
+
+def test_markov_edge_cases(spark):
+    import mapreduce6240project_spark.plans.behavior as m
+
+    # self-loop cycle with no purchase: conversion 0 in every scenario,
+    # all removal effects exactly 0 (never negative -- removal without
+    # renormalization can only lose mass)
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 7, "view", 0.0) for i in range(5)
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = {r.scenario: r for r in m.q_markov_removal(spark, SF).collect()}
+    assert all(r.conv_micro == 0 for r in got.values())
+    assert all(r.removal_effect_micro == 0 for r in got.values())
+
+    # purchase-first journey: START -> purchase directly, conversion 1.0
+    # in every scenario that keeps the purchase state
+    rows = [(1, "2024-01-01 00:00:00", 7, "purchase", 1.0)]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        got = {r.scenario: r for r in m.q_markov_removal(spark, SF).collect()}
+    assert got["full"].conv_micro == 1_000_000
+    for scen, r in got.items():
+        assert r.removal_effect_micro == 0, scen
+
+
+def test_markov_removal_never_negative_real(spark):
+    rows = REGISTRY["markov_removal_attribution"].fn(
+        spark, SF
+    ).collect()
+    for r in rows:
+        assert r.removal_effect_micro >= 0
+        assert 0 <= r.conv_micro <= 1_000_000
