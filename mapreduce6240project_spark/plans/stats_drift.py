@@ -2365,3 +2365,87 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ate_permyriad"),
     )
+
+
+@_register(
+    "power_mde_audit",
+    """
+WITH v AS (
+  SELECT user_id % 2 = 0 AS treat,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS sx,
+         CAST(sum(cents * cents) AS HUGEINT) AS sxx,
+         CAST(count(*) FILTER (WHERE treat) AS HUGEINT) AS n_t,
+         CAST(count(*) FILTER (WHERE NOT treat) AS HUGEINT) AS n_c
+  FROM v
+), stats AS (
+  SELECT n_t, n_c,
+         CASE WHEN n > 1 THEN (n * sxx - sx * sx) // (n * (n - 1))
+              ELSE 0 END AS var_cents2
+  FROM mom
+), se AS (
+  SELECT n_t, n_c, var_cents2,
+         CASE WHEN n_t > 0 AND n_c > 0
+              THEN (var_cents2 * (n_t + n_c)) // (n_t * n_c)
+              ELSE 0 END AS se2_cents2
+  FROM stats
+)
+SELECT CAST(n_t AS BIGINT) AS n_treat,
+       CAST(n_c AS BIGINT) AS n_ctrl,
+       CAST(var_cents2 AS BIGINT) AS pooled_var_cents2,
+       -- z(0.975)+z(0.8) in micro = 1959964 + 841621; IEEE sqrt is
+       -- correctly rounded, so sqrt of the same integer is the same
+       -- double in both engines and the quantization is exact
+       CAST((2801585 * CAST(floor(sqrt(CAST(se2_cents2 AS DOUBLE))
+                                  * 1000000 + 0.5) AS BIGINT))
+            // 1000000 AS BIGINT) AS mde_micro_cents
+FROM se""",
+    ref="extension: A/B power audit -- minimum detectable effect at "
+    "alpha=0.05 / power=0.8 for the parity experiment from exact "
+    "integer moments; the one float op (sqrt) is IEEE correctly "
+    "rounded, hence cross-engine exact after quantization",
+)
+def q_power_mde_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    mom = v.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("cents").cast(d38).alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast(d38).alias("sxx"),
+        F.count(F.when(F.col("treat"), 1)).cast(d38).alias("n_t"),
+        F.count(F.when(~F.col("treat"), 1)).cast(d38).alias("n_c"),
+    )
+    stats = mom.select(
+        "n_t",
+        "n_c",
+        F.expr(
+            "CASE WHEN n > 1 THEN (n * sxx - sx * sx) div (n * (n - 1))"
+            " ELSE 0 END"
+        ).alias("var_cents2"),
+    )
+    se = stats.select(
+        "n_t",
+        "n_c",
+        "var_cents2",
+        F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0"
+            " THEN (var_cents2 * (n_t + n_c)) div (n_t * n_c)"
+            " ELSE 0 END"
+        ).alias("se2_cents2"),
+    )
+    return se.select(
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        F.col("n_c").cast("bigint").alias("n_ctrl"),
+        F.col("var_cents2").cast("bigint").alias("pooled_var_cents2"),
+        F.expr(
+            "CAST((2801585 * CAST(floor(sqrt(CAST(se2_cents2 AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)) div 1000000 AS BIGINT)"
+        ).alias("mde_micro_cents"),
+    )

@@ -355,3 +355,25 @@ def test_markov_removal_never_negative_real(spark):
     for r in rows:
         assert r.removal_effect_micro >= 0
         assert 0 <= r.conv_micro <= 1_000_000
+
+
+def test_power_mde_planted(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # 4 purchases, cents {100, 200, 100, 200} -> var = (4*60000*100 -
+    # 360000)//12 ... computed directly below; sqrt path exact.
+    rows = [
+        (1, "2024-01-01 00:00:00", 0, "purchase", 1.00),
+        (2, "2024-01-02 00:00:00", 2, "purchase", 2.00),
+        (3, "2024-01-03 00:00:00", 1, "purchase", 1.00),
+        (4, "2024-01-04 00:00:00", 3, "purchase", 2.00),
+    ]
+    with mock.patch.object(m, "load_table", lambda s, d, n: _events(spark, rows)):
+        r = m.q_power_mde_audit(spark, SF).collect()[0]
+    assert r.n_treat == 2 and r.n_ctrl == 2
+    sx, sxx, n = 600, 100_000, 4
+    var = (n * sxx - sx * sx) // (n * (n - 1))
+    assert r.pooled_var_cents2 == var
+    se2 = (var * 4) // 4
+    s_micro = math.floor(math.sqrt(se2) * 1_000_000 + 0.5)
+    assert r.mde_micro_cents == (2_801_585 * s_micro) // 1_000_000
