@@ -31,6 +31,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     driver_edge_cap: int = 200_000,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id of the component.
@@ -125,17 +126,19 @@ def connected_components(
     if n_changed > 0:
         # a component with diameter > max_iter would return SPLIT labels
         # -- downstream dedup would silently over-keep (round-3 advice).
-        # Surface it loudly; callers wanting a truncated result can
-        # raise max_iter or catch the warning.
-        import warnings
-
-        warnings.warn(
+        # Surface it loudly; automated pipelines that never look at
+        # warnings pass strict=True to fail instead (round-4 advice).
+        msg = (
             f"connected_components: label propagation still changing after "
             f"max_iter={max_iter} rounds ({n_changed} labels moved last "
-            f"round); component labels may be split -- raise max_iter",
-            RuntimeWarning,
-            stacklevel=2,
+            f"round); component labels may be split -- raise max_iter"
         )
+        if strict:
+            dedup_pairs.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     dedup_pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

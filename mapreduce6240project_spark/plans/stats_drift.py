@@ -2042,7 +2042,8 @@ WITH su AS (
   FROM t GROUP BY day
 ), terms AS (
   SELECT d, d1, n, n1,
-         (1000000 * d * n1) // n AS e1_term,
+         CAST((CAST(1000000 AS HUGEINT) * d * n1)
+              // CAST(n AS HUGEINT) AS BIGINT) AS e1_term,
          CASE WHEN n > 1 THEN
            CAST((CAST(1000000000000 AS HUGEINT) * d * n1 * (n - n1)
                  * (n - d)) // (CAST(n AS HUGEINT) * n * (n - 1))
@@ -2054,8 +2055,8 @@ SELECT CAST(sum(d1) AS BIGINT) AS o1_events,
        CAST(sum(e1_term) AS BIGINT) AS e1_micro,
        CAST(sum(v_term) AS BIGINT) AS v_micro2,
        CAST(CASE WHEN sum(v_term) > 0 THEN
-         CAST((CAST(1000000 * sum(d1) - sum(e1_term) AS HUGEINT)
-               * (1000000 * sum(d1) - sum(e1_term)))
+         CAST(((CAST(1000000 AS HUGEINT) * sum(d1) - sum(e1_term))
+               * (CAST(1000000 AS HUGEINT) * sum(d1) - sum(e1_term)))
               // CAST(sum(v_term) AS HUGEINT) AS BIGINT)
        ELSE 0 END AS BIGINT) AS chi2_micro
 FROM terms""",
@@ -2113,7 +2114,13 @@ def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1",
         "n",
         "n1",
-        F.expr("(1000000 * d * n1) div n").alias("e1_term"),
+        # widened to DECIMAL(38) before the multiply (mirrors v_term):
+        # at 100 TB scale 1e6*d*n1 can exceed 2^63, which would wrap
+        # silently in non-ANSI Spark while the HUGEINT oracle errors
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d * n1) div n"
+            " AS BIGINT)"
+        ).alias("e1_term"),
         F.expr(
             "CASE WHEN n > 1 THEN"
             " CAST((CAST(1000000000000 AS DECIMAL(38,0)) * d * n1"
@@ -2128,9 +2135,10 @@ def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_term").cast("bigint").alias("v_micro2"),
         F.expr(
             "CAST(CASE WHEN sum(v_term) > 0 THEN"
-            " CAST((CAST(1000000 * sum(d1) - sum(e1_term)"
-            " AS DECIMAL(38,0))"
-            " * (1000000 * sum(d1) - sum(e1_term)))"
+            " CAST(((CAST(1000000 AS DECIMAL(38,0)) * sum(d1)"
+            " - sum(e1_term))"
+            " * (CAST(1000000 AS DECIMAL(38,0)) * sum(d1)"
+            " - sum(e1_term)))"
             " div CAST(sum(v_term) AS DECIMAL(38,0)) AS BIGINT)"
             " ELSE 0 END AS BIGINT)"
         ).alias("chi2_micro"),

@@ -205,3 +205,174 @@ def test_release_dedup_caches_empties_tracker(docs):
     assert len(D._live_caches) > 0
     D.release_dedup_caches()
     assert len(D._live_caches) == 0
+
+
+def test_track_dedup_caches_scopes_release(docs):
+    from mapreduce6240project_spark.operators import dedup as D
+
+    D.release_dedup_caches()
+    outer = D._track_persist(docs.select("doc_id"), eager=False)
+    with D.track_dedup_caches():
+        D.minhash_candidate_pairs(docs).count()
+        assert len(D._live_caches) > 1
+    # only the block's caches were released; the outer handle survives
+    assert D._live_caches == [outer]
+    D.release_dedup_caches()
+
+
+# ---------------------------------------------------------------------------
+# near-identical (templated) masses: oversized band buckets are salted
+# (round-4 verdict item 1) -- distinct fingerprints defeat the
+# identical-text collapse, but the (band, band_hash) buckets still
+# concentrate; the salted self-join must spread them without changing
+# the pair set.
+# ---------------------------------------------------------------------------
+
+
+def _templated_docs(spark, m):
+    # one-token-apart documents: every doc differs from the template in
+    # exactly one position -> distinct normalized texts (no collapse),
+    # near-total band agreement (hot buckets)
+    rows = [(i, BASE.replace("garden", f"garden{i}")) for i in range(m)] + [
+        (m + 1, FAR),
+        (m + 2, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_templated_mass_hot_buckets_salted(spark):
+    from mapreduce6240project_spark.operators import dedup as D
+
+    m = 1_000
+    docs = _templated_docs(spark, m)
+    cand = D.minhash_candidate_pairs(docs)
+    n_pairs = cand.count()
+    # the salted path actually engaged: every band's bucket holds the
+    # full mass (1000 >= default threshold 256)
+    assert D.last_run_stats["hot_buckets"] >= 1
+    # templated docs differ only in shingles touching the one changed
+    # token (pairwise jaccard ~0.77) -> nearly every pair collides in
+    # >=1 of 16 bands (analytic miss rate ~1e-3)
+    assert n_pairs >= 0.98 * (m * (m - 1) // 2)
+    # FAR/tiny never collide with the mass
+    assert cand.filter("id_b >= 1001 or id_a >= 1001").count() == 0
+    D.release_dedup_caches()
+
+
+def test_templated_mass_salted_pair_set_parity(spark):
+    # pair set under the salted path == plain-join pair set (threshold
+    # high enough that no bucket is "hot"); salting is plan-only
+    from mapreduce6240project_spark.operators import dedup as D
+
+    m = 300
+    docs = _templated_docs(spark, m)
+    salted = sorted(
+        (r.id_a, r.id_b)
+        for r in D.minhash_candidate_pairs(docs, hot_bucket_threshold=8).collect()
+    )
+    assert D.last_run_stats["hot_buckets"] >= 1
+    plain = sorted(
+        (r.id_a, r.id_b)
+        for r in D.minhash_candidate_pairs(
+            docs, hot_bucket_threshold=10**9
+        ).collect()
+    )
+    assert D.last_run_stats["hot_buckets"] == 0
+    assert salted == plain and len(salted) >= 0.98 * (m * (m - 1) // 2)
+    D.release_dedup_caches()
+
+
+def test_duplight_corpus_takes_plain_join(spark):
+    # the real documents table has no oversized bucket: the fast path
+    # (no tagging, no split) must run -- guards the bench regression
+    from mapreduce6240project_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    D.minhash_candidate_pairs(docs, collapse_identical=False).count()
+    assert D.last_run_stats["hot_buckets"] == 0
+    D.release_dedup_caches()
+
+
+def test_salt_spread_bounds_bucket_fanout(spark):
+    # mechanism check: within one hot bucket the a-side salt keys are
+    # well spread, so no single (band, band_hash, salt) join key holds
+    # more than a few times m/within_salt rows
+    from pyspark.sql import functions as F
+
+    m, salt = 1_000, 16
+    ids = spark.range(m).select(F.col("id").alias("doc_id"))
+    spread = (
+        ids.withColumn("_bs", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
+        .groupBy("_bs")
+        .count()
+        .collect()
+    )
+    assert len(spread) == salt  # every salt key used
+    assert max(r["count"] for r in spread) <= 3 * m // salt
+
+
+# ---------------------------------------------------------------------------
+# star-edge survivors (round-4 verdict item 2): standalone minhash_dedup
+# on a dup-heavy corpus must not materialize Theta(m^2) within-group
+# pairs -- representative->member star edges suffice.
+# ---------------------------------------------------------------------------
+
+
+def test_within_star_emits_linear_edges(spark):
+    from mapreduce6240project_spark.operators import dedup as D
+
+    m = 10_000
+    rows = [(i, BASE) for i in range(m)] + [(m + 1, FAR), (m + 2, "tiny")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = D.minhash_candidate_pairs(docs, within_star=True)
+    # O(m) star edges (rep=0 -> each member), not m*(m-1)/2
+    assert cand.count() == m - 1
+    assert cand.filter("id_a = 0").count() == m - 1
+    D.release_dedup_caches()
+
+
+def test_minhash_dedup_star_survivors_match_allpairs(spark):
+    from mapreduce6240project_spark.operators import dedup as D
+
+    m = 500
+    rows = [(i, BASE) for i in range(m)] + [
+        (m + 1, NEAR),
+        (m + 2, FAR),
+        (m + 3, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    star = sorted(
+        r.doc_id for r in D.minhash_dedup(docs, threshold=0.5).collect()
+    )  # default path: within_star=True
+    full = sorted(
+        r.doc_id
+        for r in D.minhash_dedup(docs, threshold=0.5, within_star=False).collect()
+    )
+    assert star == full == [0, m + 2, m + 3]
+    # transitive (connected-components) fold agrees too
+    star_cc = sorted(
+        r.doc_id
+        for r in D.minhash_dedup(docs, threshold=0.5, transitive=True).collect()
+    )
+    assert star_cc == star
+    D.release_dedup_caches()
+
+
+def test_jaccard_verify_shuffle_fallback_parity(docs):
+    # forcing the non-broadcast path (threshold 0) must not change the
+    # verified pair set
+    from mapreduce6240project_spark.operators import dedup as D
+
+    cand = D.minhash_candidate_pairs(docs)
+    bc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_verified_pairs(docs, cand, threshold=0.5).collect()
+    }
+    shuf = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_verified_pairs(
+            docs, cand, threshold=0.5, broadcast_max_docs=0
+        ).collect()
+    }
+    assert bc == shuf and (1, 2) in bc
+    D.release_dedup_caches()

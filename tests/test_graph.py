@@ -172,3 +172,20 @@ def test_label_propagation_truncation_warns(spark):
         cc = connected_components(pairs, max_iter=50, driver_edge_cap=0)
         assert cc.select("component").distinct().count() == 1
         assert not any("label propagation" in str(x.message) for x in w)
+
+
+def test_label_propagation_strict_raises(spark):
+    # strict=True turns the truncation warning into a hard error so
+    # automated pipelines fail loudly (round-4 advice)
+    import pytest
+
+    from mapreduce6240project_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="label propagation"):
+        connected_components(pairs, max_iter=3, driver_edge_cap=0, strict=True)
+    # a converged strict run returns normally
+    cc = connected_components(pairs, max_iter=50, driver_edge_cap=0, strict=True)
+    assert cc.select("component").distinct().count() == 1
