@@ -38,6 +38,30 @@ def main() -> None:
     # first measured query doesn't absorb one-time datasource/codegen init
     spark.range(1000).write.format("noop").mode("overwrite").save()
 
+    # Machine-speed calibration (round-4 verdict item 4): a fixed,
+    # data-independent, pure-Spark workload -- xxhash64 + mod-sum over
+    # spark.range(5e7) -- measured min-of-2 after its own JIT warm-up.
+    # Round-over-round wall-clock comparisons were confounded by ~18%
+    # box-speed drift between sessions (BASELINE.md drift note, r3->r4);
+    # dividing any two rounds' query times by their calib_s ratio
+    # removes the machine term.  The workload has no shuffle and no I/O,
+    # so it tracks raw CPU/codegen throughput only.
+    calib_q = (
+        spark.range(50_000_000)
+        .selectExpr("xxhash64(id) % 1000 AS b", "id")
+        .groupBy("b")
+        .agg({"id": "sum"})
+    )
+    calib_q.write.format("noop").mode("overwrite").save()  # JIT warm-up
+    calib = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        calib_q.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+    calib_s = round(calib, 3)
+    print(f"  [calib] xxhash64-range-5e7: {calib_s}s", file=sys.stderr, flush=True)
+
     # Fill the session-scoped feature-store cache OUTSIDE the timed
     # region and report the fill as its own line: the store is derived
     # once per session by design (the reference's ETL job populates its
@@ -81,6 +105,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm": warm,
+        "calib_s": calib_s,
         "runs": runs,
         "agg": "min",
         "sf": sf,

@@ -46,75 +46,78 @@ for _mod in (
         )
 
 #: The driver verifies queries in dict order with a bounded budget
-#: (50 per round).  Round-4 rotation: rounds 2+3 hard-verified 77
-#: distinct queries (CORRECTNESS_r02/r03); this round front-loads the
-#: 15 operators written THIS round (least verification history) plus
-#: 35 never-driver-checked queries from the highest-risk families --
-#: sketches (HLL/CMS/KMV/qsketch), SCD2/CDC, graph, ANN/PQ audits,
-#: streaming variants, extra source formats, and the round-4-edited
-#: stats queries.  Previously-verified queries and everything else keep
-#: their registration order at the tail -- the reorder can never lose
-#: an entry (guarded by tests/test_registry_guard.py).
+#: (50 per round).  Round-5 rotation (r4 verdict item 3): rounds 2-4
+#: hard-verified 127 distinct queries (CORRECTNESS_r02/r03/r04); this
+#: round front-loads 50 never-driver-checked, oracle-backed queries
+#: from the families with the LEAST external signal -- vectors_ext,
+#: curation_ext, text_corpus deep cuts, relational edge cases, plus
+#: proportional draws from tpch_analytics / engineering / stats /
+#: retrieval / dedup / behavior.  Previously-verified queries and
+#: everything else keep their registration order at the tail -- the
+#: reorder can never lose an entry (guarded by
+#: tests/test_registry_guard.py); cumulative external coverage is
+#: tracked in COVERAGE.md (tools/coverage_ledger.py).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- round-4 additions (newest code, no driver history) --
-    "diff_in_diff_value",
-    "cuped_adjusted_lift",
-    "nelson_aalen_hazard",
-    "log_rank_test",
-    "qini_uplift_deciles",
-    "time_decay_attribution",
-    "markov_removal_attribution",
-    "brier_reliability_bins",
-    "quantile_regression_grid",
-    "conformal_coverage_audit",
-    "zonemap_pruning_audit",
-    "shard_rebalance_audit",
-    "hits_authorities_top10",
-    "ndcg_at10",
-    "bigram_perplexity_docs",
-    "stratified_ate_quintiles",
-    # -- sketch family --
-    "hll_distinct_users",
-    "cms_heavy_hitters",
-    "kmv_distinct_users",
-    "qsketch_value_quantiles",
-    "qsketch_error_audit",
-    "hll_mergeable_rollup",
-    "hll_set_algebra",
-    # -- SCD2 / CDC --
-    "scd2_user_state",
-    "cdc_latest_state",
-    # -- streaming variants --
-    "streaming_cdc",
-    "streaming_qsketch",
-    "streaming_hll_rollup",
-    "streaming_sliding",
-    "streaming_join_pairs",
-    "streaming_left_join",
-    "streaming_enrich_static",
-    # -- graph --
-    "bfs_hops_simgraph",
-    "graph_diameter_sweep",
-    "triangle_count_simgraph",
-    "clustering_coefficient",
-    "adamic_adar_topk",
-    "ppr_seeded",
-    # -- clustering / ANN / embedding audits --
-    "ann_pq_topk",
-    "ivf_recall_curve",
-    "pca_power_top",
-    # -- dedup variants --
-    # -- source formats / layout --
-    "orc_roundtrip",
-    "xml_roundtrip",
-    "fixed_width_roundtrip",
-    "partitioned_scan_clicks",
-    "bucketed_join_revenue",
-    # -- stats (incl. round-4-edited queries) --
-    "ks_value_drift",
-    "trending_event_types",
-    "embedding_isotropy_audit",
-    "heaps_law_curve",
+    # -- vectors_ext --
+    "promo_revenue_ratio",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_parts_revenue",
+    "idle_rich_customers",
+    "source_cap_50",
+    "training_shards",
+    "token_frequency_score",
+    # -- curation_ext --
+    "split_counts",
+    "bigram_top20",
+    "customers_no_orders",
+    "discount_suppliers_semi",
+    "customer_order_profile",
+    "corr_by_returnflag",
+    "acctbal_deciles",
+    "value_histogram",
+    # -- text_corpus deep cuts --
+    "doc_size_pct_rank",
+    "bigram_pmi_top20",
+    "vocab_encode_docs",
+    "mlm_mask_plan",
+    "bpe_merges_10",
+    "embedding_covariance",
+    "vocab_coverage_100",
+    "skipgram_pairs_top",
+    # -- relational edge cases --
+    "distinct_users",
+    "kmedoids_elbow",
+    "embedding_pairs_exact",
+    "brand_revenue",
+    "supplier_nation_stats",
+    "user_running_value",
+    # -- tpch_analytics --
+    "forecast_revenue",
+    "nation_pair_revenue",
+    "market_share",
+    "returned_item_customers",
+    "customer_distribution",
+    "sole_supplier_orders",
+    # -- engineering --
+    "weighted_sample_by_status",
+    "temperature_resample_langs",
+    "mmr_select_diverse",
+    "unpivot_part_metrics",
+    # -- stats_drift --
+    "permutation_test_value",
+    "quantile_normalize_doclen",
+    "changepoint_day",
+    # -- retrieval --
+    "bm25_top_docs",
+    "rrf_fuse_topk",
+    "jaccard_prefix_pairs",
+    # -- dedup_ext --
+    "typo_pairs",
+    "dup_component_sizes",
+    # -- behavior --
+    "retention_cohorts",
+    "session_transitions",
 )
 
 _ordered: dict[str, QuerySpec] = {}

@@ -25,27 +25,34 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """Round-4 rotation: the first 50 are queries the external driver
-    NEVER checked in rounds 2-3 (CORRECTNESS_r02/r03), drawn from the
-    highest-risk families.  Guards against an import-order change
-    silently demoting them."""
+    """Round-5 rotation: the first 50 are oracle-backed queries the
+    external driver NEVER checked in rounds 2-4 (CORRECTNESS_r02/r03/
+    r04), drawn from the families with the least external signal.
+    Guards against an import-order change silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        "hll_distinct_users",
-        "scd2_user_state",
-        "streaming_left_join",
-        "bfs_hops_simgraph",
-        "ann_pq_topk",
-        "pca_power_top",
-        "orc_roundtrip",
-        "trending_event_types",
-        "heaps_law_curve",
+        "promo_revenue_ratio",
+        "split_counts",
+        "doc_size_pct_rank",
+        "distinct_users",
+        "forecast_revenue",
+        "weighted_sample_by_status",
+        "permutation_test_value",
+        "bm25_top_docs",
+        "typo_pairs",
+        "retention_cohorts",
     ):
         assert name in first50
-    # fully disjoint from the 77 queries rounds 2+3 already verified
-    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    # fully disjoint from the 127 queries rounds 2-4 already verified
+    for fname in (
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         seen = set(json.load(open(f"/root/repo/{fname}")))
         assert not (set(first50) & seen)
+    # every window query carries a hard oracle (strong signal only)
+    assert all(REGISTRY[n].oracle for n in first50)
 
 
 def test_entry_module_fresh_interpreter():
@@ -66,7 +73,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 381
     assert info["o"] >= 300
-    assert info["first"] == "diff_in_diff_value"
+    assert info["first"] == "promo_revenue_ratio"
 
 
 def test_oracle_micros_sums_match_canonical_helper():
