@@ -1775,3 +1775,154 @@ def q_value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p75_c"),
     )
+
+
+# =========================================================================
+# round 5: privacy-risk audits -- the release-gating numbers a
+# training-data pipeline computes before shipping a dataset.
+#
+# - ``k_anonymity_risk_summary``: one-row release gate over a
+#   three-attribute quasi-identifier tuple
+#   (nation, market segment, account-balance bucket): the minimum k,
+#   how many groups and rows sit below the k=5 re-identification
+#   threshold.  One hash aggregate; the QI bucket is a pure projection.
+# - ``l_diversity_audit``: distinct-sensitive-value histogram over the
+#   coarser (nation, balance-bucket) groups with market segment as the
+#   sensitive attribute -- groups with l=1 leak the attribute even
+#   when k is large.  groupBy + count distinct, both keyed and linear.
+# - ``dp_contribution_bound``: the bounded-contribution precondition of
+#   every user-level DP release: per-user event counts clipped at C=8,
+#   reporting total vs clipped mass, how many users were clipped, and
+#   the max raw contribution (the unbounded sensitivity).  Per-user
+#   aggregate then one global fold -- the clip is `least(n, C)`, exact.
+#
+# 100 TB shape: all three are single hash aggregates over projections
+# (QI tuples / user ids); no joins, no windows, output enum-bounded.
+# =========================================================================
+
+_KA_BUCKET = 200_000  # acctbal cents per QI bucket (~2000 currency units)
+_DP_CAP = 8
+
+
+@_register(
+    "k_anonymity_risk_summary",
+    f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // {_KA_BUCKET}
+           AS bal_bucket
+  FROM customer
+), g AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS k
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(min(k) AS BIGINT) AS k_min,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE k < 5) AS BIGINT) AS groups_below_5,
+       CAST(coalesce(sum(k) FILTER (WHERE k < 5), 0) AS BIGINT)
+         AS rows_below_5,
+       CAST(sum(k) AS BIGINT) AS n_rows
+FROM g""",
+    ref="extension: k-anonymity release-gate summary over the finer (nation, segment, "
+    "balance-bucket) quasi-identifier -- min group size and mass below "
+    "the k=5 re-identification threshold; release gate for dataset "
+    "publication",
+)
+def q_k_anonymity_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div {_KA_BUCKET}"
+        ).alias("bal_bucket"),
+    )
+    g = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return g.agg(
+        F.min("k").cast("bigint").alias("k_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("k") < 5, 1)).cast("bigint").alias(
+            "groups_below_5"
+        ),
+        F.coalesce(F.sum(F.when(F.col("k") < 5, F.col("k"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_below_5"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+
+
+@_register(
+    "l_diversity_audit",
+    f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // {_KA_BUCKET}
+           AS bal_bucket,
+         c_mktsegment
+  FROM customer
+), g AS (
+  SELECT c_nationkey, bal_bucket,
+         count(DISTINCT c_mktsegment) AS l
+  FROM qi GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY l""",
+    ref="extension: l-diversity audit -- distinct-sensitive-value "
+    "(market segment) histogram over (nation, balance-bucket) groups; "
+    "l=1 groups leak the attribute regardless of k",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.expr(
+            f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div {_KA_BUCKET}"
+        ).alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    g = qi.groupBy("c_nationkey", "bal_bucket").agg(
+        F.countDistinct("c_mktsegment").alias("l")
+    )
+    return g.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    ).select(F.col("l").cast("bigint").alias("l"), "n_groups")
+
+
+@_register(
+    "dp_contribution_bound",
+    f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST(sum(least(n, {_DP_CAP})) AS BIGINT) AS clipped_total,
+       CAST(count(*) FILTER (WHERE n > {_DP_CAP}) AS BIGINT)
+         AS users_clipped,
+       CAST(max(n) AS BIGINT) AS max_contribution,
+       CAST(sum(least(n, {_DP_CAP})) * 10000 // sum(n) AS BIGINT)
+         AS kept_mass_pm
+FROM per_user""",
+    ref="extension: differential-privacy contribution bounding audit "
+    "-- per-user event counts clipped at C=8, raw vs clipped mass and "
+    "the unbounded max contribution (the sensitivity a DP release "
+    "must cap)",
+)
+def q_dp_contribution_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    clip = F.least(F.col("n"), F.lit(_DP_CAP))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.sum(clip).cast("bigint").alias("clipped_total"),
+        F.count(F.when(F.col("n") > _DP_CAP, 1)).cast("bigint").alias(
+            "users_clipped"
+        ),
+        F.max("n").cast("bigint").alias("max_contribution"),
+        F.expr(
+            f"CAST(sum(least(n, {_DP_CAP})) * 10000 div sum(n) AS BIGINT)"
+        ).alias("kept_mass_pm"),
+    )

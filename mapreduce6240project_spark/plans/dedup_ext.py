@@ -1014,3 +1014,214 @@ def q_first_order_vs_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         (F.floor(num / den * 10000 + F.lit(0.5)) / 10000.0).alias("r"),
     )
+
+
+# =========================================================================
+# round 5: entity resolution beyond candidate pairs -- match clusters,
+# survivorship, and the block-skew audit that decides when the blocked
+# self-join needs salting.
+#
+# - ``er_match_clusters``: fold the blocked edit-distance match graph
+#   (the ``typo_pairs`` candidate generator) into entity clusters with
+#   the same label-propagation operator dedup uses, and report the
+#   cluster-size histogram -- the number that says whether "matching"
+#   merges 2% or 40% of the catalog.  Singleton names count as size-1
+#   entities.
+# - ``er_golden_records``: survivorship -- one golden record per
+#   matched entity cluster: representative key = min part key, plus
+#   deterministic merge rules for the attributes (min price, max size,
+#   variant count).  The output every downstream consumer joins back
+#   to; merge rules are explicit aggregates, not "first row wins".
+# - ``er_block_skew_audit``: per-block candidate-pair mass (n*(n-1)/2
+#   over block sizes) with each block's permyriad share -- the measured
+#   input to the salt/no-salt decision for the blocked ER self-join,
+#   the same decision the LSH hot-bucket salting automates
+#   (operators/dedup.py).  Block count is bounded by the last-token
+#   vocabulary, so the single-row total broadcast is enum-bounded.
+#
+# 100 TB shape: clustering runs on the match-pair graph (candidate
+# pairs, orders of magnitude smaller than the catalog); survivorship is
+# one hash join catalog->component plus one keyed aggregate; the audit
+# is a groupBy on the blocking key.  The recursive-CTE oracle replays
+# label propagation exactly (DUP_COMPONENTS_CTE pattern).
+# =========================================================================
+
+#: shared ER match-graph CTE: distinct names -> blocked typo pairs ->
+#: bidirectional edges -> min-label reach -> per-name component
+#: (singletons label themselves), replaying graph.connected_components.
+ER_COMPONENTS_CTE = f"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name,
+         split_part(p_name, ' ', -1) AS block
+  FROM part
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND {TYPO_MAX_DIST}
+),
+edges AS (
+  SELECT name_a AS u, name_b AS v FROM pairs
+  UNION ALL
+  SELECT name_b AS u, name_a AS v FROM pairs
+),
+reach(u, l) AS (
+  SELECT u, v FROM edges WHERE v < u
+  UNION
+  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v WHERE r.l < e.u
+),
+comp AS (
+  SELECT n.name,
+         coalesce((SELECT min(l) FROM reach r WHERE r.u = n.name),
+                  n.name) AS component
+  FROM names n
+)"""
+
+
+def _er_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name, component) over part names: blocked typo pairs folded
+    with connected components; singleton names label themselves."""
+    from mapreduce6240project_spark.operators.graph import (
+        connected_components,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    pairs = q_typo_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="name_a", dst="name_b").select(
+        F.col("node").alias("name"), "component"
+    )
+    return names.join(cc, "name", "left").select(
+        "name", F.coalesce("component", F.col("name")).alias("component")
+    )
+
+
+@_register(
+    "er_match_clusters",
+    ER_COMPONENTS_CTE
+    + """,
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size""",
+    ref="extension: entity-resolution match clusters -- blocked "
+    "edit-distance pair graph folded by label propagation "
+    "(operators/graph.py connected_components), cluster-size "
+    "histogram incl. singletons",
+)
+def q_er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _er_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("bigint"), "n_clusters")
+
+
+@_register(
+    "er_golden_records",
+    ER_COMPONENTS_CTE
+    + """,
+matched AS (
+  SELECT component FROM comp GROUP BY component HAVING count(*) >= 2
+),
+golden AS (
+  SELECT c.component,
+         min(p.p_partkey) AS golden_partkey,
+         count(*) AS n_parts,
+         count(DISTINCT p.p_name) AS n_name_variants,
+         min(CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT))
+           AS min_price_cents,
+         max(p.p_size) AS max_size
+  FROM comp c
+  JOIN matched m ON m.component = c.component
+  JOIN part p ON p.p_name = c.name
+  GROUP BY c.component
+)
+SELECT component, CAST(golden_partkey AS BIGINT) AS golden_partkey,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_name_variants AS BIGINT) AS n_name_variants,
+       min_price_cents, CAST(max_size AS BIGINT) AS max_size
+FROM golden""",
+    ref="extension: entity-resolution survivorship -- one golden "
+    "record per multi-member match cluster with explicit deterministic "
+    "merge rules (min key, min price, max size, variant count)",
+)
+def q_er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    comp = _er_components(spark, sf_dir)
+    matched = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("component")
+    )
+    joined = (
+        comp.join(matched, "component")
+        .join(part, comp["name"] == part["p_name"])
+    )
+    return joined.groupBy("component").agg(
+        F.min("p_partkey").cast("bigint").alias("golden_partkey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("p_name").cast("bigint").alias("n_name_variants"),
+        F.min(
+            F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+        ).alias("min_price_cents"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+    )
+
+
+@_register(
+    "er_block_skew_audit",
+    """
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         split_part(p_name, ' ', -1) AS block
+  FROM part
+),
+blocks AS (
+  SELECT block, count(*) AS n_names FROM names GROUP BY 1
+)
+SELECT block, CAST(n_names AS BIGINT) AS n_names,
+       CAST(n_names * (n_names - 1) // 2 AS BIGINT) AS cand_pairs,
+       CAST(n_names * (n_names - 1) * 10000 //
+            greatest(sum(n_names * (n_names - 1)) OVER (), 1)
+            AS BIGINT) AS pair_share_pm
+FROM blocks
+WHERE n_names >= 2""",
+    ref="extension: ER block-skew audit -- per-block candidate-pair "
+    "mass and permyriad share, the measured salt/no-salt input for the "
+    "blocked self-join (cf. operators/dedup.py hot-bucket salting)",
+)
+def q_er_block_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    ).distinct()
+    blocks = names.groupBy("block").agg(F.count(F.lit(1)).alias("n_names"))
+    sized = blocks.filter(F.col("n_names") >= 2)
+    # total pair mass as a 1-row broadcast instead of an unpartitioned
+    # window: sum() OVER () forces a SinglePartition exchange over every
+    # block, which only stays cheap while the blocking vocabulary is
+    # enum-bounded; the 1-row aggregate crossJoin is layout-safe for
+    # arbitrary blocking keys.
+    total = sized.agg(
+        F.greatest(
+            F.sum(F.expr("n_names * (n_names - 1)")), F.lit(1)
+        ).alias("_tot")
+    )
+    return sized.crossJoin(F.broadcast(total)).select(
+        "block",
+        F.col("n_names").cast("bigint").alias("n_names"),
+        F.expr("CAST(n_names * (n_names - 1) div 2 AS BIGINT)").alias(
+            "cand_pairs"
+        ),
+        F.expr(
+            "CAST(n_names * (n_names - 1) * 10000 div _tot AS BIGINT)"
+        ).alias("pair_share_pm"),
+    )

@@ -2350,3 +2350,182 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("moved_rendezvous_permyriad"),
     )
+
+
+# =========================================================================
+# round 5: leakage-free feature encoding and physical-encoding advice.
+#
+# - ``oof_target_encode``: out-of-fold target (mean) encoding -- the
+#   leakage-free categorical encoder: each (event_type, fold) cell's
+#   encoding is the mean event value computed from the OTHER four
+#   folds only, so no row's target leaks into its own feature.  Exact
+#   integer micro arithmetic: per-cell cent sums/counts, one tiny
+#   grouped fold, encoding = (total - own_fold) scaled before one
+#   division.  Two keyed aggregates over projections; the per-type
+#   totals join is enum-bounded (|event_type| rows, broadcast).
+# - ``encoding_advisor``: per-column physical-encoding advice for the
+#   lineitem flag/status/shipmode columns: distinct count (dictionary
+#   viability) and run count under the table's natural sort order
+#   (l_orderkey, l_linenumber) for RLE viability.  Runs are counted
+#   with a lag window PARTITIONED BY l_orderkey -- per-key frames, no
+#   global sort (each partition boundary conservatively starts a new
+#   run, which makes the count deterministic and layout-invariant);
+#   the compared columns join the ORDER BY as tiebreakers because the
+#   synthetic (l_orderkey, l_linenumber) is not unique, making run
+#   counts well-defined under ties --
+#   then one bounded union of three per-column aggregates.
+# =========================================================================
+
+_OOF_FOLDS = 5
+
+
+@_register(
+    "oof_target_encode",
+    f"""
+WITH e AS (
+  SELECT event_type, user_id % {_OOF_FOLDS} AS fold,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+), per AS (
+  SELECT event_type, fold, sum(v_c) AS s_c, count(*) AS c
+  FROM e GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(s_c) AS st_c, sum(c) AS ct FROM per GROUP BY 1
+)
+SELECT p.event_type, CAST(p.fold AS BIGINT) AS fold,
+       CAST(t.ct - p.c AS BIGINT) AS n_oof,
+       CAST(CASE WHEN t.ct - p.c > 0 THEN
+         (CAST(t.st_c AS HUGEINT) - p.s_c) * 10000 //
+         CAST(t.ct - p.c AS HUGEINT)
+       ELSE 0 END AS BIGINT) AS oof_mean_micro
+FROM per p JOIN tot t ON t.event_type = p.event_type""",
+    ref="extension: out-of-fold target encoding -- leakage-free "
+    "categorical mean encoder (each fold's value excludes its own "
+    "rows), exact integer micro; the feature-engineering staple for "
+    "tabular training pipelines",
+)
+def q_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"user_id % {_OOF_FOLDS}").alias("fold"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v_c"),
+    )
+    per = e.groupBy("event_type", "fold").agg(
+        F.sum("v_c").alias("s_c"), F.count(F.lit(1)).alias("c")
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("s_c").alias("st_c"), F.sum("c").alias("ct")
+    )
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("fold").cast("bigint").alias("fold"),
+            (F.col("ct") - F.col("c")).cast("bigint").alias("n_oof"),
+            F.expr(
+                "CAST(CASE WHEN ct - c > 0 THEN"
+                " (CAST(st_c AS DECIMAL(38,0)) - s_c) * 10000 div"
+                " CAST(ct - c AS DECIMAL(38,0))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("oof_mean_micro"),
+        )
+    )
+
+
+@_register(
+    "encoding_advisor",
+    """
+WITH runs AS (
+  SELECT l_orderkey,
+         CASE WHEN lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
+              THEN 1 ELSE 0 END AS rf_start,
+         CASE WHEN lag(l_linestatus) OVER w IS DISTINCT FROM l_linestatus
+              THEN 1 ELSE 0 END AS ls_start,
+         CASE WHEN lag(l_quantity) OVER w IS DISTINCT FROM l_quantity
+              THEN 1 ELSE 0 END AS sm_start
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
+    l_returnflag, l_linestatus, l_quantity)
+), agg AS (
+  SELECT count(*) AS n_rows,
+         sum(rf_start) AS rf_runs, sum(ls_start) AS ls_runs,
+         sum(sm_start) AS sm_runs
+  FROM runs
+), dis AS (
+  SELECT count(DISTINCT l_returnflag) AS rf_d,
+         count(DISTINCT l_linestatus) AS ls_d,
+         count(DISTINCT l_quantity) AS sm_d
+  FROM lineitem
+), cols AS (
+  SELECT 'l_returnflag' AS column_name, n_rows, rf_d AS n_distinct,
+         rf_runs AS n_runs FROM agg, dis
+  UNION ALL
+  SELECT 'l_linestatus', n_rows, ls_d, ls_runs FROM agg, dis
+  UNION ALL
+  SELECT 'l_quantity', n_rows, sm_d, sm_runs FROM agg, dis
+)
+SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CASE WHEN n_runs * 2 <= n_rows THEN 'dict_rle'
+            WHEN n_distinct <= 64 THEN 'dict'
+            ELSE 'plain' END AS advice
+FROM cols""",
+    ref="extension: physical-encoding advisor -- per-column distinct "
+    "count + run count under the natural (l_orderkey, l_linenumber) "
+    "order, keyed lag windows (no global sort), dictionary/RLE/plain "
+    "recommendation",
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    start = lambda c: F.when(  # noqa: E731
+        ~F.lag(c).over(w).eqNullSafe(F.col(c)), 1
+    ).otherwise(0)
+    runs = li.select(
+        start("l_returnflag").alias("rf_start"),
+        start("l_linestatus").alias("ls_start"),
+        start("l_quantity").alias("sm_start"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("rf_start").alias("rf_runs"),
+        F.sum("ls_start").alias("ls_runs"),
+        F.sum("sm_start").alias("sm_runs"),
+    )
+    dis = li.agg(
+        F.countDistinct("l_returnflag").alias("rf_d"),
+        F.countDistinct("l_linestatus").alias("ls_d"),
+        F.countDistinct("l_quantity").alias("sm_d"),
+    )
+    both = agg.crossJoin(F.broadcast(dis))
+    # stack() the single joined row into the per-column rows instead of
+    # a 3-way union: each union branch re-executes the whole upstream
+    # (two lineitem scans per branch -- 6 total); stack keeps it at one
+    # runs-scan + one distinct-scan.
+    cols = both.selectExpr(
+        "stack(3,"
+        " 'l_returnflag', n_rows, rf_d, rf_runs,"
+        " 'l_linestatus', n_rows, ls_d, ls_runs,"
+        " 'l_quantity',  n_rows, sm_d, sm_runs"
+        ") AS (column_name, n_rows, n_distinct, n_runs)"
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+    )
+    return cols.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        F.expr(
+            "CASE WHEN n_runs * 2 <= n_rows THEN 'dict_rle'"
+            " WHEN n_distinct <= 64 THEN 'dict'"
+            " ELSE 'plain' END"
+        ).alias("advice"),
+    )

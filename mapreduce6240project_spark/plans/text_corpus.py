@@ -1794,3 +1794,72 @@ def q_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll_micro_mean"
         ),
     )
+
+
+# =========================================================================
+# round 5: feature-hashing audit.
+#
+# ``feature_hash_collision_audit``: the hashing-trick sanity check --
+# map every distinct corpus token into 1024 hash buckets (the
+# SQL-replayable hash60, so both engines bucket identically) and
+# report vocabulary size, buckets used, the max bucket load and the
+# permyriad of tokens sharing a bucket with another token (the
+# collision mass a hashed feature space silently merges).  Explode ->
+# distinct -> two bounded aggregates; the bucket table is 1024 rows.
+# =========================================================================
+
+_FH_BUCKETS = 1024
+
+
+@_register(
+    "feature_hash_collision_audit",
+    f"""
+WITH tok AS (
+  SELECT DISTINCT unnest(string_split({_NORM}, ' ')) AS token
+  FROM documents
+), b AS (
+  SELECT token, {hash60_sql("token")} % {_FH_BUCKETS} AS bucket FROM tok
+  WHERE token <> ''
+), load AS (
+  SELECT bucket, count(*) AS n FROM b GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       CAST(max(n) AS BIGINT) AS max_load,
+       CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+         AS collided_tokens,
+       CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) * 10000 // sum(n)
+            AS BIGINT) AS collision_pm
+FROM load""",
+    ref="extension: hashing-trick collision audit -- distinct tokens "
+    "into 1024 hash60 buckets, max load and collided-token permyriad; "
+    "the dimensionality-vs-collision tradeoff measurement for hashed "
+    "feature spaces",
+)
+def q_feature_hash_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    b = tok.select(
+        (hash60(F.col("token")) % _FH_BUCKETS).alias("bucket")
+    )
+    load = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return load.agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.max("n").cast("bigint").alias("max_load"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("collided_tokens"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) * 10000"
+            " div sum(n) AS BIGINT)"
+        ).alias("collision_pm"),
+    )

@@ -11,7 +11,7 @@ from mapreduce6240project_spark.plans import DRIVER_ORDER, REGISTRY
 
 
 def test_registry_is_complete():
-    assert len(REGISTRY) >= 381
+    assert len(REGISTRY) >= 390
 
 
 def test_driver_order_names_all_registered():
@@ -71,7 +71,7 @@ def test_entry_module_fresh_interpreter():
         check=True,
     )
     info = json.loads(out.stdout.strip().splitlines()[-1])
-    assert info["q"] >= 381
+    assert info["q"] >= 390
     assert info["o"] >= 300
     assert info["first"] == "promo_revenue_ratio"
 
