@@ -2529,3 +2529,399 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'plain' END"
         ).alias("advice"),
     )
+
+
+# =========================================================================
+# round 5: constraint-validation audits -- the Deequ-style rule checks a
+# training-data pipeline runs before promoting a snapshot, beyond the
+# column-profile/FK coverage of ``dq_audit``.
+#
+# - ``pk_uniqueness_audit``: candidate-key verdicts (row count, key
+#   count, duplicate mass, max multiplicity) for the four natural keys,
+#   including the composite (l_orderkey, l_linenumber) that the
+#   synthetic generator deliberately leaves non-unique.  One keyed
+#   count per candidate plus a one-row fold; the union branches scan
+#   four DIFFERENT tables, so nothing is recomputed.
+# - ``value_set_conformance``: enum-domain validation -- rows whose
+#   flag/status/type columns fall outside the declared allowlist.  The
+#   event_type allowlist deliberately excludes 'error' (error beacons
+#   must not enter a training corpus), so the audit has nonzero mass;
+#   the TPC-H columns conform and prove the zero path.  One aggregate
+#   scan per table, stacked.
+# - ``cross_field_consistency``: row- and order-level business rules:
+#   unit-range discount, positive quantity/price, every order has
+#   lines, and the order-total-vs-lineitem-sum reconciliation with a
+#   1-cent-per-line rounding tolerance.  All lineitem rules ride ONE
+#   scan (per-order partial aggregate -> orders left join -> one-row
+#   fold stacked into rule rows).
+# - ``benford_first_digit``: first-significant-digit distribution of
+#   order totals vs the Benford expectation -- the classic fabricated-
+#   data screen.  digit histogram + 1-row total broadcast, permyriad
+#   integer math; the expectation is a 9-constant log10 table.
+#
+# 100 TB shape: every audit is a single hash aggregate (or one keyed
+# aggregate + broadcastable 1-row fold) per table scanned; outputs are
+# enum-bounded (4 keys / 5 columns / 6 rules / 9 digits).
+# =========================================================================
+
+_EVENT_TYPE_ALLOW = ("click", "view", "purchase", "signup")
+
+
+@_register(
+    "pk_uniqueness_audit",
+    """
+WITH k_ord AS (SELECT count(*) AS m FROM orders GROUP BY o_orderkey),
+k_cust AS (SELECT count(*) AS m FROM customer GROUP BY c_custkey),
+k_ev AS (SELECT count(*) AS m FROM events GROUP BY event_id),
+k_li AS (SELECT count(*) AS m FROM lineitem
+         GROUP BY l_orderkey, l_linenumber)
+SELECT 'orders.o_orderkey' AS candidate_key,
+       CAST(sum(m) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(m) - count(*) AS BIGINT) AS dup_rows,
+       CAST(max(m) AS BIGINT) AS max_multiplicity
+FROM k_ord
+UNION ALL
+SELECT 'customer.c_custkey', CAST(sum(m) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(sum(m) - count(*) AS BIGINT),
+       CAST(max(m) AS BIGINT)
+FROM k_cust
+UNION ALL
+SELECT 'events.event_id', CAST(sum(m) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(sum(m) - count(*) AS BIGINT),
+       CAST(max(m) AS BIGINT)
+FROM k_ev
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(sum(m) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(sum(m) - count(*) AS BIGINT),
+       CAST(max(m) AS BIGINT)
+FROM k_li""",
+    ref="extension: candidate-key uniqueness audit -- duplicate mass "
+    "and max multiplicity per declared key, incl. the composite "
+    "lineitem key the synthetic generator leaves non-unique",
+)
+def q_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def verdict(df: DataFrame, key_cols: list[str], label: str) -> DataFrame:
+        g = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("m"))
+        return g.agg(
+            F.lit(label).alias("candidate_key"),
+            F.sum("m").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            (F.sum("m") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("dup_rows"),
+            F.max("m").cast("bigint").alias("max_multiplicity"),
+        ).select(
+            "candidate_key", "n_rows", "n_keys", "dup_rows",
+            "max_multiplicity",
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        verdict(orders, ["o_orderkey"], "orders.o_orderkey")
+        .unionByName(
+            verdict(customer, ["c_custkey"], "customer.c_custkey")
+        )
+        .unionByName(verdict(events, ["event_id"], "events.event_id"))
+        .unionByName(
+            verdict(
+                lineitem,
+                ["l_orderkey", "l_linenumber"],
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+    )
+
+
+@_register(
+    "value_set_conformance",
+    f"""
+WITH o AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+           AS v_status,
+         count(DISTINCT o_orderstatus) AS d_status,
+         count(*) FILTER (WHERE o_orderpriority NOT IN
+           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+           AS v_prio,
+         count(DISTINCT o_orderpriority) AS d_prio
+  FROM orders
+), l AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+           AS v_rf,
+         count(DISTINCT l_returnflag) AS d_rf,
+         count(*) FILTER (WHERE l_linestatus NOT IN ('F','O')) AS v_ls,
+         count(DISTINCT l_linestatus) AS d_ls
+  FROM lineitem
+), e AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE event_type NOT IN
+           {_EVENT_TYPE_ALLOW!r}) AS v_et,
+         count(DISTINCT event_type) AS d_et
+  FROM events
+)
+SELECT 'orders.o_orderstatus' AS column_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(v_status AS BIGINT) AS n_violations,
+       CAST(d_status AS BIGINT) AS n_observed,
+       CAST(v_status * 10000 // n AS BIGINT) AS violation_pm
+FROM o
+UNION ALL
+SELECT 'orders.o_orderpriority', CAST(n AS BIGINT), CAST(v_prio AS BIGINT),
+       CAST(d_prio AS BIGINT), CAST(v_prio * 10000 // n AS BIGINT) FROM o
+UNION ALL
+SELECT 'lineitem.l_returnflag', CAST(n AS BIGINT), CAST(v_rf AS BIGINT),
+       CAST(d_rf AS BIGINT), CAST(v_rf * 10000 // n AS BIGINT) FROM l
+UNION ALL
+SELECT 'lineitem.l_linestatus', CAST(n AS BIGINT), CAST(v_ls AS BIGINT),
+       CAST(d_ls AS BIGINT), CAST(v_ls * 10000 // n AS BIGINT) FROM l
+UNION ALL
+SELECT 'events.event_type', CAST(n AS BIGINT), CAST(v_et AS BIGINT),
+       CAST(d_et AS BIGINT), CAST(v_et * 10000 // n AS BIGINT) FROM e""",
+    ref="extension: enum-domain conformance audit -- out-of-allowlist "
+    "row mass per flag/status/type column; the event_type allowlist "
+    "excludes 'error' so the violation path is exercised",
+)
+def q_value_set_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def viol(cond):
+        return F.count(F.when(cond, 1))
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(~F.col("o_orderstatus").isin("F", "O", "P")).alias("v_status"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        viol(
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        ).alias("v_prio"),
+        F.countDistinct("o_orderpriority").alias("d_prio"),
+    )
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_rf"),
+        F.countDistinct("l_returnflag").alias("d_rf"),
+        viol(~F.col("l_linestatus").isin("F", "O")).alias("v_ls"),
+        F.countDistinct("l_linestatus").alias("d_ls"),
+    )
+    ev = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(~F.col("event_type").isin(*_EVENT_TYPE_ALLOW)).alias("v_et"),
+        F.countDistinct("event_type").alias("d_et"),
+    )
+    o_rows = o.selectExpr(
+        "stack(2,"
+        " 'orders.o_orderstatus', n, v_status, d_status,"
+        " 'orders.o_orderpriority', n, v_prio, d_prio"
+        ") AS (column_name, n_rows, n_violations, n_observed)"
+    )
+    l_rows = li.selectExpr(
+        "stack(2,"
+        " 'lineitem.l_returnflag', n, v_rf, d_rf,"
+        " 'lineitem.l_linestatus', n, v_ls, d_ls"
+        ") AS (column_name, n_rows, n_violations, n_observed)"
+    )
+    e_rows = ev.selectExpr(
+        "stack(1, 'events.event_type', n, v_et, d_et)"
+        " AS (column_name, n_rows, n_violations, n_observed)"
+    )
+    return (
+        o_rows.unionByName(l_rows).unionByName(e_rows).select(
+            "column_name",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("n_observed").cast("bigint").alias("n_observed"),
+            F.expr("CAST(n_violations * 10000 div n_rows AS BIGINT)").alias(
+                "violation_pm"
+            ),
+        )
+    )
+
+
+@_register(
+    "cross_field_consistency",
+    """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+           AS disc_viol,
+         count(*) FILTER (WHERE l_quantity < 1) AS qty_viol,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100 + 0.5) AS BIGINT)) AS calc_cents
+  FROM lineitem GROUP BY 1
+), oj AS (
+  SELECT o.o_orderkey, p.n_lines, p.disc_viol, p.qty_viol, p.calc_cents,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders o LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey
+), fold AS (
+  SELECT coalesce(sum(n_lines), 0) AS li_n,
+         coalesce(sum(disc_viol), 0) AS disc_v,
+         coalesce(sum(qty_viol), 0) AS qty_v,
+         count(*) AS ord_n,
+         count(*) FILTER (WHERE total_cents <= 0) AS price_v,
+         count(*) FILTER (WHERE n_lines IS NULL) AS noline_v,
+         count(*) FILTER (WHERE n_lines IS NOT NULL) AS lined_n,
+         count(*) FILTER (WHERE n_lines IS NOT NULL
+           AND abs(total_cents - calc_cents) > n_lines) AS recon_v
+  FROM oj
+), ev AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE value IS NULL OR value <= 0) AS v
+  FROM events
+)
+SELECT 'lineitem.discount_in_unit_range' AS rule,
+       CAST(li_n AS BIGINT) AS n_checked,
+       CAST(disc_v AS BIGINT) AS n_violations,
+       CAST(disc_v * 10000 // greatest(li_n, 1) AS BIGINT)
+         AS violation_pm
+FROM fold
+UNION ALL
+SELECT 'lineitem.quantity_at_least_1', CAST(li_n AS BIGINT),
+       CAST(qty_v AS BIGINT),
+       CAST(qty_v * 10000 // greatest(li_n, 1) AS BIGINT) FROM fold
+UNION ALL
+SELECT 'orders.totalprice_positive', CAST(ord_n AS BIGINT),
+       CAST(price_v AS BIGINT),
+       CAST(price_v * 10000 // greatest(ord_n, 1) AS BIGINT) FROM fold
+UNION ALL
+SELECT 'orders.has_lineitems', CAST(ord_n AS BIGINT),
+       CAST(noline_v AS BIGINT),
+       CAST(noline_v * 10000 // greatest(ord_n, 1) AS BIGINT) FROM fold
+UNION ALL
+SELECT 'orders.total_matches_lineitem_sum', CAST(lined_n AS BIGINT),
+       CAST(recon_v AS BIGINT),
+       CAST(recon_v * 10000 // greatest(lined_n, 1) AS BIGINT) FROM fold
+UNION ALL
+SELECT 'events.value_positive', CAST(n AS BIGINT), CAST(v AS BIGINT),
+       CAST(v * 10000 // greatest(n, 1) AS BIGINT) FROM ev""",
+    ref="extension: cross-field business-rule validation -- row-level "
+    "range rules plus the order-total vs lineitem-sum reconciliation "
+    "(1 cent/line rounding tolerance); all lineitem rules ride one "
+    "scan via the per-order partial aggregate",
+)
+def q_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("disc_viol"),
+        F.count(F.when(F.col("l_quantity") < 1, 1)).alias("qty_viol"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100 + 0.5) AS BIGINT)"
+            )
+        ).alias("calc_cents"),
+    )
+    oj = orders.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_cents"
+        ),
+    ).join(per_order, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    fold = oj.agg(
+        F.coalesce(F.sum("n_lines"), F.lit(0)).alias("li_n"),
+        F.coalesce(F.sum("disc_viol"), F.lit(0)).alias("disc_v"),
+        F.coalesce(F.sum("qty_viol"), F.lit(0)).alias("qty_v"),
+        F.count(F.lit(1)).alias("ord_n"),
+        F.count(F.when(F.col("total_cents") <= 0, 1)).alias("price_v"),
+        F.count(F.when(F.col("n_lines").isNull(), 1)).alias("noline_v"),
+        F.count(F.when(F.col("n_lines").isNotNull(), 1)).alias("lined_n"),
+        F.count(
+            F.when(
+                F.col("n_lines").isNotNull()
+                & (
+                    F.abs(F.col("total_cents") - F.col("calc_cents"))
+                    > F.col("n_lines")
+                ),
+                1,
+            )
+        ).alias("recon_v"),
+    )
+    rule_rows = fold.selectExpr(
+        "stack(5,"
+        " 'lineitem.discount_in_unit_range', li_n, disc_v,"
+        " 'lineitem.quantity_at_least_1', li_n, qty_v,"
+        " 'orders.totalprice_positive', ord_n, price_v,"
+        " 'orders.has_lineitems', ord_n, noline_v,"
+        " 'orders.total_matches_lineitem_sum', lined_n, recon_v"
+        ") AS (rule, n_checked, n_violations)"
+    )
+    ev_row = events.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(
+            F.when(F.col("value").isNull() | (F.col("value") <= 0), 1)
+        ).alias("n_violations"),
+    ).select(F.lit("events.value_positive").alias("rule"), "n_checked",
+             "n_violations")
+    return rule_rows.unionByName(ev_row).select(
+        "rule",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.expr(
+            "CAST(n_violations * 10000 div greatest(n_checked, 1)"
+            " AS BIGINT)"
+        ).alias("violation_pm"),
+    )
+
+
+@_register(
+    "benford_first_digit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), g AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY 1
+), t AS (
+  SELECT sum(n) AS tot FROM g
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // tot AS BIGINT) AS obs_pm,
+       CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT) AS exp_pm,
+       abs(CAST(n * 10000 // tot AS BIGINT)
+           - CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT))
+         AS abs_dev_pm
+FROM g, t""",
+    ref="extension: Benford first-significant-digit audit over order "
+    "totals -- observed vs log10(1+1/d) expectation in permyriad; the "
+    "classic fabricated-data screen",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = g.agg(F.sum("n").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(n * 10000 div tot AS BIGINT)").alias("obs_pm"),
+        F.expr(
+            "CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT)"
+        ).alias("exp_pm"),
+        F.expr(
+            "abs(CAST(n * 10000 div tot AS BIGINT)"
+            " - CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT))"
+        ).alias("abs_dev_pm"),
+    )

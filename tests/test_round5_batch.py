@@ -187,3 +187,126 @@ def test_feature_hash_collision_audit_planted(spark):
     # the same md5 arithmetic both engines use)
     assert len(set(buckets)) == 3
     assert r.max_load == 1 and r.collided_tokens == 0 and r.collision_pm == 0
+
+
+# -- constraint-validation audits (round-5 second batch) --------------------
+
+
+def test_pk_uniqueness_audit_planted(spark):
+    import mapreduce6240project_spark.plans.engineering as m
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [(1, 1, "O", 10.0), (2, 1, "O", 20.0)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double",
+        ),
+        "customer": spark.createDataFrame(
+            [(1,), (1,), (2,)], "c_custkey long"
+        ),
+        "events": spark.createDataFrame([(7,)], "event_id long"),
+        "lineitem": spark.createDataFrame(
+            [(1, 1), (1, 1), (1, 1), (1, 2)],
+            "l_orderkey long, l_linenumber long",
+        ),
+    }
+    with mock.patch.object(
+        m, "load_table", lambda s, d, n: tables[n]
+    ):
+        out = {
+            r.candidate_key: r
+            for r in m.q_pk_uniqueness_audit(spark, SF).collect()
+        }
+    assert out["orders.o_orderkey"].dup_rows == 0
+    assert out["orders.o_orderkey"].max_multiplicity == 1
+    c = out["customer.c_custkey"]
+    assert c.n_rows == 3 and c.n_keys == 2 and c.dup_rows == 1
+    li = out["lineitem.(l_orderkey,l_linenumber)"]
+    assert li.n_rows == 4 and li.n_keys == 2
+    assert li.dup_rows == 2 and li.max_multiplicity == 3
+
+
+def test_value_set_conformance_planted(spark):
+    import mapreduce6240project_spark.plans.engineering as m
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [("F", "2-HIGH"), ("X", "2-HIGH"), ("O", "bogus")],
+            "o_orderstatus string, o_orderpriority string",
+        ),
+        "lineitem": spark.createDataFrame(
+            [("A", "F"), ("N", "O")],
+            "l_returnflag string, l_linestatus string",
+        ),
+        "events": spark.createDataFrame(
+            [("click",), ("error",), ("error",), ("view",)],
+            "event_type string",
+        ),
+    }
+    with mock.patch.object(m, "load_table", lambda s, d, n: tables[n]):
+        out = {
+            r.column_name: r
+            for r in m.q_value_set_conformance(spark, SF).collect()
+        }
+    assert out["orders.o_orderstatus"].n_violations == 1  # 'X'
+    assert out["orders.o_orderpriority"].n_violations == 1  # 'bogus'
+    assert out["lineitem.l_returnflag"].n_violations == 0
+    e = out["events.event_type"]
+    assert e.n_rows == 4 and e.n_violations == 2  # both 'error' rows
+    assert e.n_observed == 3 and e.violation_pm == 5000
+
+
+def test_cross_field_consistency_planted(spark):
+    import mapreduce6240project_spark.plans.engineering as m
+
+    # order 1: one clean line whose recomputed cents match exactly.
+    # order 2: NO lineitems (has_lineitems violation).
+    # order 3: one line but total off by 10 cents (> 1-cent/line tol).
+    tables = {
+        "orders": spark.createDataFrame(
+            [(1, 100.0), (2, 50.0), (3, 10.0)],
+            "o_orderkey long, o_totalprice double",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (1, 1.0, 100.0, 0.0, 0.0),
+                (3, 2.0, 10.10, 0.0, 0.0),
+            ],
+            "l_orderkey long, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double",
+        ),
+        "events": spark.createDataFrame(
+            [(1.0,), (-2.0,), (None,)], "value double"
+        ),
+    }
+    with mock.patch.object(m, "load_table", lambda s, d, n: tables[n]):
+        out = {
+            r.rule: r
+            for r in m.q_cross_field_consistency(spark, SF).collect()
+        }
+    assert out["orders.has_lineitems"].n_violations == 1  # order 2
+    recon = out["orders.total_matches_lineitem_sum"]
+    assert recon.n_checked == 2 and recon.n_violations == 1  # order 3
+    ev = out["events.value_positive"]
+    assert ev.n_checked == 3 and ev.n_violations == 2  # -2.0 and NULL
+    assert out["lineitem.discount_in_unit_range"].n_violations == 0
+    assert out["lineitem.quantity_at_least_1"].n_checked == 2
+
+
+def test_benford_first_digit_planted(spark):
+    import mapreduce6240project_spark.plans.engineering as m
+
+    # digits: 1 (x3 incl. 1xx/1x/1.x magnitudes), 2, 9; sub-1 dropped
+    orders = spark.createDataFrame(
+        [(120.0,), (15.0,), (1.2,), (25.0,), (900.0,), (0.5,)],
+        "o_totalprice double",
+    )
+    with mock.patch.object(m, "load_table", lambda s, d, n: orders):
+        out = {
+            r.digit: r for r in m.q_benford_first_digit(spark, SF).collect()
+        }
+    assert set(out) == {1, 2, 9}
+    assert out[1].n == 3 and out[1].obs_pm == 6000
+    assert out[1].exp_pm == 3010  # round(log10(2)*1e4)
+    assert out[1].abs_dev_pm == 2990
+    assert out[9].exp_pm == 458  # round(log10(10/9)*1e4)
