@@ -2554,14 +2554,10 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   1-cent-per-line rounding tolerance.  All lineitem rules ride ONE
 #   scan (per-order partial aggregate -> orders left join -> one-row
 #   fold stacked into rule rows).
-# - ``benford_first_digit``: first-significant-digit distribution of
-#   order totals vs the Benford expectation -- the classic fabricated-
-#   data screen.  digit histogram + 1-row total broadcast, permyriad
-#   integer math; the expectation is a 9-constant log10 table.
 #
 # 100 TB shape: every audit is a single hash aggregate (or one keyed
 # aggregate + broadcastable 1-row fold) per table scanned; outputs are
-# enum-bounded (4 keys / 5 columns / 6 rules / 9 digits).
+# enum-bounded (4 keys / 5 columns / 6 rules).
 # =========================================================================
 
 _EVENT_TYPE_ALLOW = ("click", "view", "purchase", "signup")
@@ -2872,56 +2868,4 @@ def q_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_violations * 10000 div greatest(n_checked, 1)"
             " AS BIGINT)"
         ).alias("violation_pm"),
-    )
-
-
-@_register(
-    "benford_first_digit",
-    """
-WITH d AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
-                     1, 1) AS BIGINT) AS digit
-  FROM orders WHERE o_totalprice >= 1
-), g AS (
-  SELECT digit, count(*) AS n FROM d GROUP BY 1
-), t AS (
-  SELECT sum(n) AS tot FROM g
-)
-SELECT digit, CAST(n AS BIGINT) AS n,
-       CAST(n * 10000 // tot AS BIGINT) AS obs_pm,
-       CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT) AS exp_pm,
-       abs(CAST(n * 10000 // tot AS BIGINT)
-           - CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT))
-         AS abs_dev_pm
-FROM g, t""",
-    ref="extension: Benford first-significant-digit audit over order "
-    "totals -- observed vs log10(1+1/d) expectation in permyriad; the "
-    "classic fabricated-data screen",
-)
-def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    g = (
-        orders.filter(F.col("o_totalprice") >= 1)
-        .select(
-            F.substring(
-                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
-            )
-            .cast("bigint")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = g.agg(F.sum("n").alias("tot"))
-    return g.crossJoin(F.broadcast(tot)).select(
-        "digit",
-        F.col("n").cast("bigint").alias("n"),
-        F.expr("CAST(n * 10000 div tot AS BIGINT)").alias("obs_pm"),
-        F.expr(
-            "CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT)"
-        ).alias("exp_pm"),
-        F.expr(
-            "abs(CAST(n * 10000 div tot AS BIGINT)"
-            " - CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT))"
-        ).alias("abs_dev_pm"),
     )

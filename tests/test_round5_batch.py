@@ -291,22 +291,3 @@ def test_cross_field_consistency_planted(spark):
     assert ev.n_checked == 3 and ev.n_violations == 2  # -2.0 and NULL
     assert out["lineitem.discount_in_unit_range"].n_violations == 0
     assert out["lineitem.quantity_at_least_1"].n_checked == 2
-
-
-def test_benford_first_digit_planted(spark):
-    import mapreduce6240project_spark.plans.engineering as m
-
-    # digits: 1 (x3 incl. 1xx/1x/1.x magnitudes), 2, 9; sub-1 dropped
-    orders = spark.createDataFrame(
-        [(120.0,), (15.0,), (1.2,), (25.0,), (900.0,), (0.5,)],
-        "o_totalprice double",
-    )
-    with mock.patch.object(m, "load_table", lambda s, d, n: orders):
-        out = {
-            r.digit: r for r in m.q_benford_first_digit(spark, SF).collect()
-        }
-    assert set(out) == {1, 2, 9}
-    assert out[1].n == 3 and out[1].obs_pm == 6000
-    assert out[1].exp_pm == 3010  # round(log10(2)*1e4)
-    assert out[1].abs_dev_pm == 2990
-    assert out[9].exp_pm == 458  # round(log10(10/9)*1e4)
