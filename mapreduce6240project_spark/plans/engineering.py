@@ -2401,8 +2401,10 @@ SELECT p.event_type, CAST(p.fold AS BIGINT) AS fold,
 FROM per p JOIN tot t ON t.event_type = p.event_type""",
     ref="extension: out-of-fold target encoding -- leakage-free "
     "categorical mean encoder (each fold's value excludes its own "
-    "rows), exact integer micro; the feature-engineering staple for "
-    "tabular training pipelines",
+    "rows), exact integer micro; the K-FOLD counterpart of "
+    "curation_ext's row-level target_encode_loo (different grain: "
+    "per (category, fold) cell vs per event, the variant used when "
+    "train/validation folds are fixed upstream)",
 )
 def q_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -1833,8 +1833,9 @@ SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
 FROM load""",
     ref="extension: hashing-trick collision audit -- distinct tokens "
     "into 1024 hash60 buckets, max load and collided-token permyriad; "
-    "the dimensionality-vs-collision tradeoff measurement for hashed "
-    "feature spaces",
+    "the dimensionality-vs-collision tradeoff measurement that sizes "
+    "curation_ext's feature_hashing bucket space (audit of the "
+    "space; the featurizer itself lives there)",
 )
 def q_feature_hash_collision_audit(
     spark: SparkSession, sf_dir: str
