@@ -734,9 +734,18 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.textstats import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
+    from mapreduce6240project_spark.operators.prefix import (
+        distributed_prefix,
+        ntile_from_rank,
+    )
+
     q = quality_score(docs).select("doc_id", "n_tokens", "quality")
-    staged = q.select(
-        F.ntile(4).over(Window.orderBy("quality", "doc_id")).alias("stage"),
+    # exact NTILE(4) from the range-exchanged global rank -- no
+    # corpus-sized single-task sort (operators/prefix)
+    staged = distributed_prefix(
+        q, ["quality", "doc_id"], total_col="_n"
+    ).select(
+        ntile_from_rank("_rank", "_n", 4).alias("stage"),
         "n_tokens",
         F.floor(F.col("quality") * 10000 + F.lit(0.5))
         .cast("bigint")

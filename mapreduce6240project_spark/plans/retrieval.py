@@ -1396,26 +1396,58 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", cosine("embedding", q).alias("s")
     )
-    rk = sims.select(
-        "label",
-        F.expr("row_number() OVER (ORDER BY s DESC, vec_id)").alias("rank"),
+    # rank-free formulation (plan-lint fix): the unpartitioned
+    # row_number window pulled every similarity through one task.  The
+    # first relevant rank equals 1 + the count of rows ordered strictly
+    # before the BEST relevant row (a 1-row struct-max broadcast), and
+    # precision@10 counts relevant rows in the TakeOrdered top-10 --
+    # exact under the same (s DESC, vec_id) total order the oracle
+    # ranks by, with no global sort.
+    best = sims.filter(F.col("label") == qlabel).agg(
+        F.max(F.struct(F.col("s"), (-F.col("vec_id")).alias("nv"))).alias(
+            "b"
+        )
     )
-    return rk.agg(
-        F.min(F.when(F.col("label") == qlabel, F.col("rank")))
-        .cast("bigint")
-        .alias("first_rel_rank"),
-        F.expr(
-            f"10000 div min(CASE WHEN label = {qlabel} THEN rank END)"
+    before = (
+        sims.crossJoin(F.broadcast(best))
+        .agg(
+            F.max(F.col("b")).alias("b"),
+            F.count(
+                F.when(
+                    (F.col("s") > F.col("b.s"))
+                    | (
+                        (F.col("s") == F.col("b.s"))
+                        & (F.col("vec_id") < -F.col("b.nv"))
+                    ),
+                    1,
+                )
+            ).alias("n_before"),
         )
-        .cast("bigint")
-        .alias("mrr_permyriad"),
-        F.sum(
-            F.when((F.col("rank") <= 10) & (F.col("label") == qlabel), 1).otherwise(
-                0
+        .select(
+            F.when(
+                F.col("b").isNotNull(), F.col("n_before") + 1
             )
+            .cast("bigint")
+            .alias("first_rel_rank")
         )
-        .cast("bigint")
-        .alias("rel_in_top10"),
+    )
+    top10_rel = (
+        sims.orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .agg(
+            F.sum(
+                F.when(F.col("label") == qlabel, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rel_in_top10")
+        )
+    )
+    return before.crossJoin(F.broadcast(top10_rel)).select(
+        "first_rel_rank",
+        F.expr("10000 div first_rel_rank").cast("bigint").alias(
+            "mrr_permyriad"
+        ),
+        "rel_in_top10",
     )
 
 
@@ -1488,11 +1520,17 @@ def q_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", cosine("embedding", q).alias("s")
     )
-    rk = sims.select(
+    # plan-lint fix: DCG weights only exist for ranks <= 10, so rank
+    # inside the TakeOrdered top-10 (a 10-row frame bounded by the
+    # limit) instead of an unpartitioned row_number over every
+    # similarity; n_rel is a separate plain aggregate.  Same total
+    # order, value-identical to the oracle's global ranking.
+    top10 = sims.orderBy(F.col("s").desc(), "vec_id").limit(10)
+    rk = top10.select(
         "label",
         F.expr("row_number() OVER (ORDER BY s DESC, vec_id)").alias("rank"),
     )
-    agg = rk.agg(
+    dcg = rk.agg(
         F.sum(
             F.expr(
                 f"CASE WHEN rank <= 10 AND label = {qlabel}"
@@ -1500,11 +1538,14 @@ def q_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .cast("bigint")
-        .alias("dcg_micro"),
+        .alias("dcg_micro")
+    )
+    nrel = sims.agg(
         F.count(F.when(F.col("label") == qlabel, 1))
         .cast("bigint")
-        .alias("n_rel"),
+        .alias("n_rel")
     )
+    agg = dcg.crossJoin(F.broadcast(nrel))
     return agg.select(
         "dcg_micro",
         "n_rel",

@@ -1859,13 +1859,16 @@ def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
         "event_id",
     )
-    rk = v.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # ventile order statistics from the range-exchanged global rank
+    # (operators/prefix) -- the row_number()-over-everything window
+    # funneled every event through one task (plan-lint finding)
+    from mapreduce6240project_spark.operators.prefix import (
+        distributed_prefix,
     )
+
+    rk = distributed_prefix(
+        v, ["cents", "event_id"], rank_col="rn", total_col="n"
+    ).select("cents", "rn", "n")
     ks = spark.range(1, 20).select(F.col("id").alias("k"))
     cand = (
         rk.crossJoin(F.broadcast(ks))

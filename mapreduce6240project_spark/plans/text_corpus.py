@@ -1674,12 +1674,16 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
         ).alias("rev_c")
     )
-    dec = per_cust.select(
-        "rev_c",
-        F.ntile(10).over(Window.orderBy("rev_c", "o_custkey")).alias(
-            "decile"
-        ),
+    # exact NTILE(10) from the range-exchanged global rank (no
+    # single-task customer sort; operators/prefix)
+    from mapreduce6240project_spark.operators.prefix import (
+        distributed_prefix,
+        ntile_from_rank,
     )
+
+    dec = distributed_prefix(
+        per_cust, ["rev_c", "o_custkey"], total_col="_n"
+    ).select("rev_c", ntile_from_rank("_rank", "_n", 10).alias("decile"))
     agg = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("rev_c").alias("rev_c")
     )

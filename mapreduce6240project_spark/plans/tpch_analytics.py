@@ -1858,12 +1858,24 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_c"
         )
     )
-    cum = pr.select(
-        "rev_c",
-        F.expr("sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)").alias(
-            "running"
-        ),
-        F.expr("sum(rev_c) OVER ()").alias("total"),
+    # running revenue via the range-exchanged prefix sum (descending
+    # order expressed as ascending on the negated cents -- the helper's
+    # offsets walk partition ids in range order either way) and the
+    # total as a 1-row broadcast instead of two unpartitioned windows
+    from mapreduce6240project_spark.operators.prefix import (
+        distributed_prefix,
+    )
+
+    tot = pr.agg(F.sum("rev_c").alias("total"))
+    cum = (
+        distributed_prefix(
+            pr.withColumn("_neg", -F.col("rev_c")),
+            ["_neg", "l_partkey"],
+            value_col="rev_c",
+            cum_col="running",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("rev_c", "running", "total")
     )
     cls = cum.select(
         F.when(F.expr("running * 100 <= total * 80"), "A")
@@ -2122,29 +2134,47 @@ FROM scored GROUP BY 1""",
     "frequency/monetary ntile(5) codes with deterministic tiebreaks",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact NTILE without the single-task global sort: each quintile
+    # comes from operators/prefix.distributed_prefix's range-exchanged
+    # rank plus the integer NTILE formula -- value-identical to the
+    # window form the oracle runs (tools/plan_lint.py found the window
+    # version; the 100 TB fallback note in the wave-74 header is now
+    # moot because the exact form scales).
+    from mapreduce6240project_spark.operators.prefix import (
+        cache_tracked,
+        distributed_prefix,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    per_cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum(F.expr(_CENTS)).alias("monetary_c"),
-        )
-        .withColumn(
-            "recency_d",
-            F.datediff(F.max("last_d").over(Window.partitionBy()), F.col("last_d")),
-        )
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr(_CENTS)).alias("monetary_c"),
     )
-    scored = per_cust.select(
-        F.ntile(5)
-        .over(Window.orderBy("recency_d", "o_custkey"))
-        .alias("r_q"),
-        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_c", "o_custkey"))
-        .alias("m_q"),
+    mx = base.agg(F.max("last_d").alias("_mx"))
+    per_cust = cache_tracked(
+        base.crossJoin(F.broadcast(mx))
+        .withColumn("recency_d", F.datediff(F.col("_mx"), F.col("last_d")))
+        .drop("_mx")
+    )
+
+    def quintile(order_col: str, out: str) -> DataFrame:
+        ranked = distributed_prefix(
+            per_cust.select("o_custkey", order_col),
+            [order_col, "o_custkey"],
+            total_col="_n",
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank("_rank", "_n", 5).alias(out)
+        )
+
+    scored = (
+        quintile("recency_d", "r_q")
+        .join(quintile("freq", "f_q"), "o_custkey")
+        .join(quintile("monetary_c", "m_q"), "o_custkey")
     )
     return (
         scored.groupBy(
@@ -2179,17 +2209,20 @@ FROM ranked""",
     "from the rank formula, integer cents + DECIMAL(38,0) statistics",
 )
 def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-formula Gini with the rank from the range-exchanged prefix
+    # helper instead of an unpartitioned row_number window (same exact
+    # ranks, no single-task global sort)
+    from mapreduce6240project_spark.operators.prefix import (
+        distributed_prefix,
+    )
+
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.expr(_CENTS)).cast("decimal(38,0)").alias("rev_c")
     )
-    ranked = rev.select(
-        "rev_c",
-        F.row_number()
-        .over(Window.orderBy("rev_c", "o_custkey"))
-        .cast("decimal(38,0)")
-        .alias("i"),
-    )
+    ranked = distributed_prefix(
+        rev, ["rev_c", "o_custkey"], rank_col="_rank"
+    ).select("rev_c", F.col("_rank").cast("decimal(38,0)").alias("i"))
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("rev_c").cast("bigint").alias("total_rev_c"),
