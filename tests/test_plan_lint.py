@@ -29,7 +29,7 @@ import pytest
 
 sys.path.insert(0, "/root/repo/tools")
 
-from plan_lint import WHITELIST, lint_plan  # noqa: E402
+from plan_lint import WHITELIST, lint_plan, physical_plan_json  # noqa: E402
 
 from tests.conftest import SF_SMALL
 
@@ -38,7 +38,7 @@ def _plan_json(spark, name):
     from mapreduce6240project_spark.plans import REGISTRY
 
     df = REGISTRY[name].fn(spark, SF_SMALL)
-    return df._jdf.queryExecution().sparkPlan().toJSON()
+    return physical_plan_json(df)
 
 
 def _rotating_sample(k: int = 12) -> list[str]:
@@ -133,6 +133,6 @@ def test_distributed_prefix_has_no_global_window(spark):
 
     df = spark.range(1000).selectExpr("id", "id % 97 AS key")
     out = distributed_prefix(df, ["key", "id"])
-    errors, _ = lint_plan(out._jdf.queryExecution().sparkPlan().toJSON())
+    errors, _ = lint_plan(physical_plan_json(out))
     assert "global_window_unbounded" not in errors
     release_prefix_caches()

@@ -210,6 +210,21 @@ def subtree_bounded(tree) -> bool:
     return False
 
 
+def physical_plan_json(df) -> str:
+    """Full physical plan JSON WITH exchange nodes: under AQE the
+    executed plan is an AdaptiveSparkPlanExec wrapper whose own toJSON
+    drops the subtree, but its initialPlan is the post-
+    EnsureRequirements plan (shuffle/broadcast exchanges inserted, no
+    execution triggered).  sparkPlan() -- the pre-exchange plan -- is
+    the fallback for non-AQE sessions; join/window/UDF selection is
+    identical in both, only Exchange counts differ."""
+    qe = df._jdf.queryExecution()
+    try:
+        return qe.executedPlan().initialPlan().toJSON()
+    except Exception:  # noqa: BLE001 - non-adaptive plan
+        return qe.sparkPlan().toJSON()
+
+
 def lint_plan(plan_json: str) -> tuple[list[str], list[str]]:
     """-> (errors, infos) for one physical plan."""
     nodes = json.loads(plan_json)
@@ -242,11 +257,49 @@ def lint_plan(plan_json: str) -> tuple[list[str], list[str]]:
     return errors, infos
 
 
+PROFILE_CLASSES = {
+    "ShuffleExchangeExec": "exchanges",
+    "BroadcastExchangeExec": "broadcasts",
+    "FileSourceScanExec": "scans",
+    "BroadcastHashJoinExec": "bhj",
+    "SortMergeJoinExec": "smj",
+    "ShuffledHashJoinExec": "shj",
+    "BroadcastNestedLoopJoinExec": "bnlj",
+    "CartesianProductExec": "cartesian",
+    "WindowExec": "windows",
+    "WindowGroupLimitExec": "window_limits",
+}
+
+
+def profile_plan(plan_json: str) -> dict[str, int]:
+    """Per-plan node inventory -- the quantitative shuffle/join/scan
+    shape a reviewer audits; written to PLANPROFILE.md by --profile so
+    plan-shape regressions (a broadcast join degrading to sort-merge, a
+    new exchange appearing in a narrow pipeline) show up in review
+    diffs instead of cluster bills."""
+    nodes = json.loads(plan_json)
+    tree, _ = build_tree(nodes)
+    counts: dict[str, int] = {}
+    for node, _k in iter_nodes(tree):
+        c = cls(node)
+        key = PROFILE_CLASSES.get(c)
+        if key:
+            counts[key] = counts.get(key, 0) + 1
+        elif c in PYTHON_ROW_UDF or c in PYTHON_ARROW:
+            counts["python"] = counts.get("python", 0) + 1
+    return counts
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="also write PLANPROFILE.md (per-query node inventory)",
+    )
     args = ap.parse_args()
 
     from mapreduce6240project_spark.plans import REGISTRY
@@ -262,14 +315,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_err = n_ok = n_wl = 0
+    profiles: dict[str, dict[str, int]] = {}
     t_all = time.time()
     for i, name in enumerate(names, 1):
         t0 = time.time()
         try:
             df = REGISTRY[name].fn(spark, args.sf)
-            errors, infos = lint_plan(
-                df._jdf.queryExecution().sparkPlan().toJSON()
-            )
+            plan_json = physical_plan_json(df)
+            errors, infos = lint_plan(plan_json)
+            if args.profile:
+                profiles[name] = profile_plan(plan_json)
         except Exception as exc:  # noqa: BLE001
             print(f"[{i:3d}/{len(names)}] {name:40s} ERR {exc!r:.120}")
             n_err += 1
@@ -299,6 +354,45 @@ def main() -> int:
         f"\nSUMMARY pass={n_ok} fail+err={n_err} "
         f"waived={n_wl} total={time.time() - t_all:.0f}s"
     )
+    if args.profile and profiles:
+        cols = [
+            "exchanges", "broadcasts", "scans", "bhj", "smj", "shj",
+            "bnlj", "cartesian", "windows", "window_limits", "python",
+        ]
+        lines = [
+            "# PLANPROFILE — per-query physical-plan node inventory",
+            "",
+            "Auto-generated by `tools/plan_lint.py --profile` at "
+            f"`{args.sf}` (pre-AQE plans).  **Do not edit — "
+            "regenerate.**  The table is the quantitative shuffle/"
+            "join/scan shape of every registry query: plan-shape "
+            "regressions (a broadcast degrading to sort-merge, an "
+            "extra exchange in a narrow pipeline) show up here as "
+            "review diffs.  AQE may further coalesce or convert "
+            "joins at runtime; this is the static upper bound.",
+            "",
+            "| query | " + " | ".join(cols) + " |",
+            "|---|" + "|".join(["---"] * len(cols)) + "|",
+        ]
+        for name in sorted(profiles):
+            p = profiles[name]
+            lines.append(
+                f"| {name} | "
+                + " | ".join(str(p.get(c, 0)) for c in cols)
+                + " |"
+            )
+        totals = {
+            c: sum(p.get(c, 0) for p in profiles.values()) for c in cols
+        }
+        lines.append(
+            "| **total** | "
+            + " | ".join(str(totals[c]) for c in cols)
+            + " |"
+        )
+        out = "/root/repo/PLANPROFILE.md"
+        with open(out, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print(f"wrote {out} ({len(profiles)} queries)")
     return 1 if n_err else 0
 
 
