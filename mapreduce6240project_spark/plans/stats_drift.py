@@ -2478,3 +2478,140 @@ def q_power_mde_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)) div 1000000 AS BIGINT)"
         ).alias("mde_micro_cents"),
     )
+
+
+# =========================================================================
+# round 5: cogrouped two-sample testing.
+#
+# ``cogroup_ks_by_type``: exact per-event-type two-sample
+# Kolmogorov-Smirnov statistic between the even-user (treatment) and
+# odd-user (control) value distributions, computed in a COGROUPED
+# Pandas function -- the ``groupBy().cogroup().applyInPandas`` API
+# surface (FlatMapCoGroupsInPandas), which no other registry query
+# exercises.  Complements ``ks_value_drift`` (global, integer-binned,
+# pure SQL): this one is per-type and exact at cent grain.
+#
+# Scale honesty: cogrouped applyInPandas materializes each key's
+# groups in ONE task, so cogrouping raw events would break at scale.
+# The job therefore cogroups the per-(type, cent) HISTOGRAM -- group
+# size is bounded by the quantized value domain, not the row count --
+# and the pandas side folds counts with arbitrary-precision Python
+# ints (cum_a * n_b products overflow int64 at ~1e10 rows/side).
+# D = max |cum_a*n_b - cum_b*n_a| over the merged support, reported in
+# exact integer micro (D * 1e6 div (n_a*n_b)); the oracle replays the
+# identical integer walk with DECIMAL(38) windows.
+# =========================================================================
+
+
+@_register(
+    "cogroup_ks_by_type",
+    """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         user_id % 2 AS g
+  FROM events
+), h AS (
+  SELECT event_type, cents,
+         count(*) FILTER (WHERE g = 0) AS na_v,
+         count(*) FILTER (WHERE g = 1) AS nb_v
+  FROM v GROUP BY 1, 2
+), c AS (
+  SELECT event_type,
+         CAST(sum(na_v) OVER (PARTITION BY event_type ORDER BY cents)
+              AS DECIMAL(38,0)) AS ca,
+         CAST(sum(nb_v) OVER (PARTITION BY event_type ORDER BY cents)
+              AS DECIMAL(38,0)) AS cb,
+         CAST(sum(na_v) OVER (PARTITION BY event_type)
+              AS DECIMAL(38,0)) AS na,
+         CAST(sum(nb_v) OVER (PARTITION BY event_type)
+              AS DECIMAL(38,0)) AS nb
+  FROM h
+)
+SELECT event_type, n_treat, n_ctrl,
+       -- exact floor division on DECIMAL(38): subtract the remainder
+       -- first (DuckDB's // on decimal operands ROUNDS -- wave-73)
+       CAST((num - num % den) / den AS BIGINT) AS ks_micro
+FROM (
+  SELECT event_type,
+         CAST(max(na) AS BIGINT) AS n_treat,
+         CAST(max(nb) AS BIGINT) AS n_ctrl,
+         max(abs(ca * nb - cb * na)) * 1000000 AS num,
+         max(na) * max(nb) AS den
+  FROM c
+  GROUP BY 1
+  HAVING max(na) > 0 AND max(nb) > 0
+)""",
+    ref="extension: cogrouped exact two-sample KS per event type "
+    "(FlatMapCoGroupsInPandas over the domain-bounded value histogram; "
+    "python-int exact products) -- per-cohort drift test beside the "
+    "global binned ks_value_drift",
+)
+def q_cogroup_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr("user_id % 2").alias("g"),
+    )
+    hist = ev.groupBy("event_type", "cents").agg(
+        F.count(F.when(F.col("g") == 0, 1)).alias("na_v"),
+        F.count(F.when(F.col("g") == 1, 1)).alias("nb_v"),
+    )
+    a = hist.select("event_type", "cents", F.col("na_v").alias("n"))
+    # (cents + 0): both cogroup sides share hist's lineage, and
+    # self-cogroup attribute deduplication prunes the RIGHT side's
+    # duplicate `cents` attribute (the pandas fn then receives a
+    # 2-column frame); the no-op arithmetic mints a fresh expression id
+    b = hist.select(
+        "event_type",
+        (F.col("cents") + F.lit(0)).alias("cents"),
+        F.col("nb_v").alias("n"),
+    )
+
+    def ks(key, left, right):  # noqa: ANN001 - pandas cogroup contract
+        import pandas as pd
+
+        counts: dict[int, list[int]] = {}
+        for frame, side in ((left, 0), (right, 1)):
+            # a key absent from one side arrives as an EMPTY frame
+            # with no columns at all -- not an empty typed frame
+            if "cents" not in frame.columns:
+                continue
+            for cents, n in zip(frame["cents"], frame["n"]):
+                counts.setdefault(int(cents), [0, 0])[side] += int(n)
+        na = sum(v[0] for v in counts.values())
+        nb = sum(v[1] for v in counts.values())
+        if na == 0 or nb == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n_treat": pd.Series(dtype="int64"),
+                    "n_ctrl": pd.Series(dtype="int64"),
+                    "ks_micro": pd.Series(dtype="int64"),
+                }
+            )
+        ca = cb = best = 0
+        for cents in sorted(counts):
+            ca += counts[cents][0]
+            cb += counts[cents][1]
+            d = abs(ca * nb - cb * na)  # python ints: exact past 2^63
+            if d > best:
+                best = d
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_treat": na,
+                    "n_ctrl": nb,
+                    "ks_micro": best * 1_000_000 // (na * nb),
+                }
+            ]
+        )
+
+    return (
+        a.groupBy("event_type")
+        .cogroup(b.groupBy("event_type"))
+        .applyInPandas(
+            ks, "event_type string, n_treat long, n_ctrl long, ks_micro long"
+        )
+    )

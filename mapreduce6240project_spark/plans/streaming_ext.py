@@ -289,3 +289,41 @@ def q_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_gap_start"),
     )
+
+
+# =========================================================================
+# round 5: bounded-state streaming dedup.
+#
+# ``streaming_dedup_bounded_state``: dropDuplicatesWithinWatermark --
+# the state-evicting dedup operator (state O(keys within watermark),
+# not O(keys ever seen)).  Single-batch bounded replay => kept set ==
+# first event per (user_id, event_type); eviction/re-emission
+# semantics pinned by a two-batch planted test where no SQL oracle can
+# see them.  Output: per-type arrivals vs kept vs suppressed mass.
+# =========================================================================
+
+
+@_register(
+    "streaming_dedup_bounded_state",
+    """
+WITH kept AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_kept
+  FROM events GROUP BY 1
+), arr AS (
+  SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT a.event_type, CAST(a.n_events AS BIGINT) AS n_events,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       CAST(a.n_events - k.n_kept AS BIGINT) AS n_suppressed
+FROM arr a JOIN kept k ON k.event_type = a.event_type""",
+    ref="extension: bounded-state streaming dedup "
+    "(dropDuplicatesWithinWatermark, Spark 3.5+ state eviction) -- "
+    "per-type suppressed-duplicate mass; cf. streaming_dedup (plain "
+    "dropDuplicates, unbounded key state)",
+)
+def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.streaming import (
+        streaming_dedup_bounded_state,
+    )
+
+    return streaming_dedup_bounded_state(spark, sf_dir)

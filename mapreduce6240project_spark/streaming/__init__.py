@@ -4,6 +4,7 @@ from mapreduce6240project_spark.streaming.jobs import (
     run_streaming_batch,
     streaming_click_purchase_left,
     streaming_click_purchase_pairs,
+    streaming_dedup_bounded_state,
     streaming_dedup_counts,
     streaming_enrich_static,
     streaming_foreach_batch_sink,
@@ -18,6 +19,7 @@ __all__ = [
     "run_streaming_batch",
     "streaming_click_purchase_left",
     "streaming_click_purchase_pairs",
+    "streaming_dedup_bounded_state",
     "streaming_dedup_counts",
     "streaming_enrich_static",
     "streaming_foreach_batch_sink",

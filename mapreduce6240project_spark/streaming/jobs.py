@@ -250,6 +250,52 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_bounded_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) evicts a key's state
+    once the watermark passes its event time, so the state store stays
+    O(keys-within-watermark) instead of O(all keys ever seen) -- the
+    operator ``streaming_dedup_counts``'s plain ``dropDuplicates``
+    lacks, and the difference between a dedup stream that survives a
+    year of uptime and one that OOMs the state store.
+
+    Per event type the job reports arriving rows vs rows kept after
+    dedup (suppressed = duplicates dropped within the watermark).  The
+    bounded replay is a single micro-batch (one parquet file through
+    the file source), so the watermark never advances mid-stream, no
+    state evicts, and the kept set is exactly the first event per
+    (user_id, event_type) -- the SQL oracle.  The EVICTION semantics
+    (re-emission of a key after its state expires) are pinned by a
+    two-batch planted-file test in tests/test_streaming_late.py, where
+    the oracle cannot see them."""
+    ev = _stream_events(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    kept = run_streaming_append(
+        spark, dedup.select("user_id", "event_type")
+    )
+    arrivals = load_table(spark, sf_dir, "events").groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    kept_counts = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        arrivals.join(kept_counts, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            (F.col("n_events") - F.col("n_kept"))
+            .cast("bigint")
+            .alias("n_suppressed"),
+        )
+    )
+
+
 def streaming_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases within 10 minutes after a
     click by the same user.  Both sides are watermarked and the join

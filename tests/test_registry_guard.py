@@ -11,7 +11,7 @@ from mapreduce6240project_spark.plans import DRIVER_ORDER, REGISTRY
 
 
 def test_registry_is_complete():
-    assert len(REGISTRY) >= 393
+    assert len(REGISTRY) >= 395
 
 
 def test_driver_order_names_all_registered():

@@ -291,3 +291,35 @@ def test_cross_field_consistency_planted(spark):
     assert ev.n_checked == 3 and ev.n_violations == 2  # -2.0 and NULL
     assert out["lineitem.discount_in_unit_range"].n_violations == 0
     assert out["lineitem.quantity_at_least_1"].n_checked == 2
+
+
+def test_cogroup_ks_by_type_planted(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # type 'x': treatment (even users) values {1.00, 2.00}, control
+    # (odd) values {2.00, 3.00}.  CDF steps at cents 100/200/300:
+    # |ca*nb - cb*na| = |1*2-0*2|=2, |2*2-1*2|=2, |2*2-2*2|=0
+    # -> D_int=2, ks = 2*1e6 // 4 = 500000.
+    rows = [
+        (0, "x", 1.00),
+        (2, "x", 2.00),
+        (1, "x", 2.00),
+        (3, "x", 3.00),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    with mock.patch.object(m, "load_table", lambda s, d, n: ev):
+        out = {r.event_type: r for r in m.q_cogroup_ks_by_type(spark, SF).collect()}
+    x = out["x"]
+    assert x.n_treat == 2 and x.n_ctrl == 2
+    assert x.ks_micro == 500_000
+
+
+def test_cogroup_ks_single_sided_type_emits_nothing(spark):
+    import mapreduce6240project_spark.plans.stats_drift as m
+
+    # type 'y' has only even-user rows -> no control sample -> no row
+    rows = [(0, "y", 1.00), (2, "y", 2.00)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    with mock.patch.object(m, "load_table", lambda s, d, n: ev):
+        out = m.q_cogroup_ks_by_type(spark, SF).collect()
+    assert out == []

@@ -106,3 +106,83 @@ def test_generous_watermark_keeps_late_event(spark, three_batch_source):
     win10 = [n for (ws, n) in emitted if ws == datetime(2024, 1, 1, 10, 0)]
     assert max(win10) == 3, f"in-watermark event was wrongly dropped: {emitted}"
     assert dropped == 0
+
+
+# -- dropDuplicatesWithinWatermark eviction semantics (round 5) -------------
+
+
+def _run_dedup_within_watermark(spark, src_dir, watermark: str):
+    """One-file-per-trigger dropDuplicatesWithinWatermark on user_id;
+    returns every (user_id, ts) emitted across micro-batches."""
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    dedup = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    emitted: list[tuple] = []
+
+    def sink(batch_df, epoch_id):
+        emitted.extend((r.user_id, r.ts) for r in batch_df.collect())
+
+    q = dedup.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return emitted
+
+
+@pytest.fixture()
+def dedup_two_batch_source(tmp_path):
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    d = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: user 1 first-seen at 10:00 (duplicate at 10:05 suppressed
+    # in-batch); user 2 advances max event time to 12:00
+    _write_batch(
+        src / "b1.parquet", [(1, d(10, 0)), (1, d(10, 5)), (2, d(12, 0))]
+    )
+    time.sleep(1.1)
+    # batch 2: user 1 again at 12:30.  State eviction runs at batch END
+    # (after dedup), so even under a 10-minute watermark the batch-1
+    # state (expiry 10:10) is still live while batch 2 processes and
+    # this row is suppressed -- but processing it advances the
+    # watermark to 12:20, which evicts user 1's state at batch-2 end.
+    _write_batch(src / "b2.parquet", [(1, d(12, 30))])
+    time.sleep(1.1)
+    # batch 3: user 1 at 13:00 -- state is gone, so under the tight
+    # watermark this RE-EMITS; under a 6-hour watermark the original
+    # state survives and it stays suppressed.
+    _write_batch(src / "b3.parquet", [(1, d(13, 0))])
+    return src
+
+
+def test_dedup_within_watermark_reemits_after_eviction(
+    spark, dedup_two_batch_source
+):
+    emitted = _run_dedup_within_watermark(
+        spark, dedup_two_batch_source, "10 minutes"
+    )
+    user1 = sorted(ts for (u, ts) in emitted if u == 1)
+    assert user1 == [
+        datetime(2024, 1, 1, 10, 0),
+        datetime(2024, 1, 1, 13, 0),
+    ], f"expected re-emission after state eviction, got {emitted}"
+    # the 12:30 duplicate arrived while the state was still live
+    # (eviction runs at batch end), so it must NOT have been emitted
+    assert datetime(2024, 1, 1, 12, 30) not in user1
+
+
+def test_dedup_within_watermark_suppresses_inside_state(
+    spark, dedup_two_batch_source
+):
+    emitted = _run_dedup_within_watermark(
+        spark, dedup_two_batch_source, "6 hours"
+    )
+    user1 = [ts for (u, ts) in emitted if u == 1]
+    assert user1 == [datetime(2024, 1, 1, 10, 0)], (
+        f"duplicate inside the watermark must stay suppressed: {emitted}"
+    )
