@@ -58,6 +58,23 @@ for _mod in (
 #: tests/test_registry_guard.py); cumulative external coverage is
 #: tracked in COVERAGE.md (tools/coverage_ledger.py).
 DRIVER_ORDER: tuple[str, ...] = (
+    # -- round-5 additions: brand-new code has the least signal of
+    #    all, so it heads the window; the 14 entries push the tail 14
+    #    of the original 50 to the front of the round-6 queue --
+    "er_match_clusters",
+    "er_golden_records",
+    "er_block_skew_audit",
+    "k_anonymity_risk_summary",
+    "l_diversity_audit",
+    "dp_contribution_bound",
+    "oof_target_encode",
+    "encoding_advisor",
+    "feature_hash_collision_audit",
+    "pk_uniqueness_audit",
+    "value_set_conformance",
+    "cross_field_consistency",
+    "streaming_dedup_bounded_state",
+    "cogroup_ks_by_type",
     # -- vectors_ext --
     "promo_revenue_ratio",
     "small_qty_revenue",
