@@ -1,7 +1,6 @@
 """Physical-plan anti-pattern regression guard.
 
-``tools/plan_lint.py`` sweeps every registry query's pre-AQE physical
-plan for the scale failure modes a single-layout oracle cannot see
+``tools/plan_lint.py`` sweeps every registry query's physical plan for the scale failure modes a single-layout oracle cannot see
 (row-at-a-time Python UDFs, cartesian/nested-loop joins without a
 provably bounded side, unpartitioned windows over unbounded input).
 The full sweep is a tools/ run (393/393 clean, 25 findings waived with

@@ -7,9 +7,10 @@ tiny, a nested-loop join against a genuinely large build side, or a
 window with no PARTITION BY pulling the whole input into one task.
 A single-layout oracle check cannot see any of these -- the answer is
 right, the plan is wrong.  This tool turns that manual audit into a
-sweep: it builds every ``queries()`` entry's DataFrame, walks the
-pre-AQE physical plan tree (``queryExecution().sparkPlan().toJSON``),
-and flags:
+sweep: it builds every ``queries()`` entry's DataFrame, walks the full
+physical plan tree (``AdaptiveSparkPlanExec.initialPlan`` -- exchanges
+inserted, nothing executed; see :func:`physical_plan_json`), and
+flags:
 
 * ``BatchEvalPython`` / ``MapInPandas``-free check -- any
   row-at-a-time Python UDF node is an error (Arrow-batched nodes are
@@ -363,7 +364,8 @@ def main() -> int:
             "# PLANPROFILE — per-query physical-plan node inventory",
             "",
             "Auto-generated by `tools/plan_lint.py --profile` at "
-            f"`{args.sf}` (pre-AQE plans).  **Do not edit — "
+            f"`{args.sf}` (initial physical plans, exchanges "
+            "inserted, pre-AQE-replanning).  **Do not edit — "
             "regenerate.**  The table is the quantitative shuffle/"
             "join/scan shape of every registry query: plan-shape "
             "regressions (a broadcast degrading to sort-merge, an "
