@@ -336,8 +336,9 @@ def minhash_candidate_pairs(
     :func:`minhash_dedup` uses it; callers that need the literal pair
     list keep the default False.
 
-    Caches one frame per call (signatures; plus two lazy derivations
-    when collapsing) -- release with :func:`release_dedup_caches`."""
+    Caches the signature frame plus the hot-bucket list every call
+    (and two lazy derivations when collapsing) -- release with
+    :func:`release_dedup_caches`."""
     rows_per_band = n_hashes // bands
 
     def _banded(sig_df, extra_cols):
@@ -615,6 +616,7 @@ def jaccard_verified_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     broadcast_max_docs: int = 500_000,
+    broadcast_max_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Exact-verification stage of candidate-based dedup: join candidate
     (id_a, id_b) pairs back to the documents' distinct shingle sets and
@@ -631,9 +633,15 @@ def jaccard_verified_pairs(
     table is *gated on its measured size* (round-4 verdict item 2): on
     a dup-heavy corpus "candidates" approaches the whole corpus, and an
     unconditional broadcast would ship the shingled corpus to every
-    executor (OOM at scale).  The candidate-id count is known from the
-    eager persist below, so above ``broadcast_max_docs`` the pair join
-    falls back to ordinary shuffle hash joins.  The output is
+    executor (OOM at scale).  The gate is two-tier because a doc COUNT
+    alone can pass while the payload is still multi-GB (explicit
+    broadcast hints override Spark's size limits): above
+    ``broadcast_max_docs`` the shuffle join is taken with no further
+    measurement; below it, one narrow aggregate sums the candidate
+    docs' text bytes and the broadcast only happens if ~4x that mass
+    (shingle expansion factor: each word appears in up to ``shingle_n``
+    shingles plus array overhead) fits ``broadcast_max_bytes``.  The
+    output is
     independent of the hash function, so it is checkable against the
     relational Jaccard ground truth (:func:`ngram_jaccard_pairs`) by
     any SQL engine."""
@@ -652,7 +660,16 @@ def jaccard_verified_pairs(
             F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
         )
     )
-    hint = F.broadcast if n_candidate_docs <= broadcast_max_docs else (lambda d: d)
+    hint = lambda d: d  # noqa: E731 - shuffle-join default
+    if n_candidate_docs <= broadcast_max_docs:
+        text_bytes = (
+            docs.join(ids, id_col, "left_semi")
+            .agg(F.sum(F.octet_length(text_col)).alias("b"))
+            .first()["b"]
+            or 0
+        )
+        if text_bytes * 4 <= broadcast_max_bytes:
+            hint = F.broadcast
     a = hint(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
     b = hint(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

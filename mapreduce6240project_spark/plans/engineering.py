@@ -2364,7 +2364,7 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   division.  Two keyed aggregates over projections; the per-type
 #   totals join is enum-bounded (|event_type| rows, broadcast).
 # - ``encoding_advisor``: per-column physical-encoding advice for the
-#   lineitem flag/status/shipmode columns: distinct count (dictionary
+#   lineitem flag/status/quantity columns: distinct count (dictionary
 #   viability) and run count under the table's natural sort order
 #   (l_orderkey, l_linenumber) for RLE viability.  Runs are counted
 #   with a lag window PARTITIONED BY l_orderkey -- per-key frames, no
@@ -2445,19 +2445,19 @@ WITH runs AS (
          CASE WHEN lag(l_linestatus) OVER w IS DISTINCT FROM l_linestatus
               THEN 1 ELSE 0 END AS ls_start,
          CASE WHEN lag(l_quantity) OVER w IS DISTINCT FROM l_quantity
-              THEN 1 ELSE 0 END AS sm_start
+              THEN 1 ELSE 0 END AS qt_start
   FROM lineitem
   WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
     l_returnflag, l_linestatus, l_quantity)
 ), agg AS (
   SELECT count(*) AS n_rows,
          sum(rf_start) AS rf_runs, sum(ls_start) AS ls_runs,
-         sum(sm_start) AS sm_runs
+         sum(qt_start) AS qt_runs
   FROM runs
 ), dis AS (
   SELECT count(DISTINCT l_returnflag) AS rf_d,
          count(DISTINCT l_linestatus) AS ls_d,
-         count(DISTINCT l_quantity) AS sm_d
+         count(DISTINCT l_quantity) AS qt_d
   FROM lineitem
 ), cols AS (
   SELECT 'l_returnflag' AS column_name, n_rows, rf_d AS n_distinct,
@@ -2465,7 +2465,7 @@ WITH runs AS (
   UNION ALL
   SELECT 'l_linestatus', n_rows, ls_d, ls_runs FROM agg, dis
   UNION ALL
-  SELECT 'l_quantity', n_rows, sm_d, sm_runs FROM agg, dis
+  SELECT 'l_quantity', n_rows, qt_d, qt_runs FROM agg, dis
 )
 SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_distinct AS BIGINT) AS n_distinct,
@@ -2490,18 +2490,18 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = li.select(
         start("l_returnflag").alias("rf_start"),
         start("l_linestatus").alias("ls_start"),
-        start("l_quantity").alias("sm_start"),
+        start("l_quantity").alias("qt_start"),
     )
     agg = runs.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("rf_start").alias("rf_runs"),
         F.sum("ls_start").alias("ls_runs"),
-        F.sum("sm_start").alias("sm_runs"),
+        F.sum("qt_start").alias("qt_runs"),
     )
     dis = li.agg(
         F.countDistinct("l_returnflag").alias("rf_d"),
         F.countDistinct("l_linestatus").alias("ls_d"),
-        F.countDistinct("l_quantity").alias("sm_d"),
+        F.countDistinct("l_quantity").alias("qt_d"),
     )
     both = agg.crossJoin(F.broadcast(dis))
     # stack() the single joined row into the per-column rows instead of
@@ -2512,7 +2512,7 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3,"
         " 'l_returnflag', n_rows, rf_d, rf_runs,"
         " 'l_linestatus', n_rows, ls_d, ls_runs,"
-        " 'l_quantity',  n_rows, sm_d, sm_runs"
+        " 'l_quantity',  n_rows, qt_d, qt_runs"
         ") AS (column_name, n_rows, n_distinct, n_runs)"
     ).select(
         "column_name",

@@ -2510,7 +2510,7 @@ WITH v AS (
   SELECT event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          user_id % 2 AS g
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), h AS (
   SELECT event_type, cents,
          count(*) FILTER (WHERE g = 0) AS na_v,
@@ -2548,10 +2548,20 @@ FROM (
     "global binned ks_value_drift",
 )
 def q_cogroup_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-        F.expr("user_id % 2").alias("g"),
+    # KS is defined over observed values: NULLs are excluded
+    # explicitly on BOTH engines (a NULL cent would otherwise reach the
+    # pandas fold as float64 NaN and crash int(); the oracle would
+    # instead order it as a spurious CDF step)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr("user_id % 2").alias("g"),
+        )
     )
     hist = ev.groupBy("event_type", "cents").agg(
         F.count(F.when(F.col("g") == 0, 1)).alias("na_v"),

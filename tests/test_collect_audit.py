@@ -49,7 +49,11 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "pack_chunks per-partition sums (#partitions rows) + BPE merge "
         "argmax (1 row per learned merge, vocab-bounded rounds)",
     ),
-    "operators/dedup.py": (1, "adaptive pre-probe max group size (1-row)"),
+    "operators/dedup.py": (
+        2,
+        "adaptive pre-probe max group size + candidate-text byte probe "
+        "for the broadcast gate (1-row aggs)",
+    ),
     "operators/clustering.py": (
         4,
         "k-medoids driver state: k seeds, C-row exact combo table "

@@ -67,10 +67,12 @@ def _normalize(df):
 
 def _clear_all_caches(spark):
     from mapreduce6240project_spark.operators.dedup import release_dedup_caches
+    from mapreduce6240project_spark.operators.prefix import release_prefix_caches
     from mapreduce6240project_spark.sources.tweets import release_feature_store
 
     spark.catalog.clearCache()
     release_dedup_caches()
+    release_prefix_caches()
     release_feature_store(spark)
 
 

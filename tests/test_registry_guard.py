@@ -73,7 +73,7 @@ def test_entry_module_fresh_interpreter():
         check=True,
     )
     info = json.loads(out.stdout.strip().splitlines()[-1])
-    assert info["q"] >= 390
+    assert info["q"] >= 395
     assert info["o"] >= 300
     assert info["first"] == "er_match_clusters"
 

@@ -106,6 +106,18 @@ def main() -> int:
             f"[{i:3d}/{len(names)}] {name:34s} {time.monotonic() - t0:6.1f}s  {status}",
             flush=True,
         )
+        # per-query cache hygiene: operators that persist internal
+        # frames (dedup signatures, prefix range exchanges) must not
+        # accumulate across a 395-query session
+        from mapreduce6240project_spark.operators.dedup import (
+            release_dedup_caches,
+        )
+        from mapreduce6240project_spark.operators.prefix import (
+            release_prefix_caches,
+        )
+
+        release_dedup_caches()
+        release_prefix_caches()
 
     print(
         f"\nSUMMARY pass={n_pass} rows_only={n_rows_only} fail={n_fail} err={n_err}"

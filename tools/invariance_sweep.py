@@ -70,9 +70,11 @@ def _normalize(df):
 def _clear_all_caches(spark) -> None:
     spark.catalog.clearCache()
     from mapreduce6240project_spark.operators.dedup import release_dedup_caches
+    from mapreduce6240project_spark.operators.prefix import release_prefix_caches
     from mapreduce6240project_spark.sources.tweets import release_feature_store
 
     release_dedup_caches()
+    release_prefix_caches()
     release_feature_store(spark)
 
 

@@ -9,8 +9,10 @@ A single-layout oracle check cannot see any of these -- the answer is
 right, the plan is wrong.  This tool turns that manual audit into a
 sweep: it builds every ``queries()`` entry's DataFrame, walks the full
 physical plan tree (``AdaptiveSparkPlanExec.initialPlan`` -- exchanges
-inserted, nothing executed; see :func:`physical_plan_json`), and
-flags:
+inserted; extracting it triggers no execution, though SOME query
+builders legitimately run bounded driver jobs while constructing the
+frame -- adaptive-operator probes, prefix-rank offsets; see
+:func:`physical_plan_json`), and flags:
 
 * ``BatchEvalPython`` / ``MapInPandas``-free check -- any
   row-at-a-time Python UDF node is an error (Arrow-batched nodes are
@@ -20,9 +22,10 @@ flags:
   subtree is provably bounded (a global aggregate with no grouping
   keys -- 1 row by construction -- or a ``LocalTableScan`` /
   ``ReusedExchange`` of one).
-* ``BroadcastNestedLoopJoinExec`` -- same bounded-side rule applied
-  to the build side (the house 1-row-total ``crossJoin(broadcast())``
-  idiom passes structurally, not by name).
+* ``BroadcastNestedLoopJoinExec`` -- the BUILD side (the one shipped
+  to every executor) must itself be bounded; a bounded streamed side
+  proves nothing about the broadcast payload.  The house 1-row-total
+  ``crossJoin(broadcast())`` idiom passes structurally, not by name.
 * ``WindowExec`` with an empty partition spec -- error unless the
   window's input subtree is bounded per the same rule (windows over a
   global aggregate's output are k-row by construction) or the query
@@ -243,14 +246,15 @@ def lint_plan(plan_json: str) -> tuple[list[str], list[str]]:
             if not any(subtree_bounded(k) for k in kids):
                 errors.append("cartesian_unbounded")
         elif c == "BroadcastNestedLoopJoinExec":
+            # the BUILD side is what ships to every executor, so it
+            # alone must be bounded -- a bounded STREAMED side says
+            # nothing about the broadcast's size (an outer join of a
+            # 1-row aggregate against a fact table builds the fact
+            # table)
             side = str(node.get("buildSide", "BuildRight"))
             idx = 0 if "Left" in side else 1
             build = kids[idx] if len(kids) > idx else None
-            others = [k for n, k in enumerate(kids) if n != idx]
-            ok = (build is not None and subtree_bounded(build)) or any(
-                subtree_bounded(k) for k in others
-            )
-            if not ok:
+            if build is None or not subtree_bounded(build):
                 errors.append("bnlj_unbounded_build")
         elif c == "WindowExec":
             if not node.get("partitionSpec") and not subtree_bounded(sub):
@@ -348,7 +352,17 @@ def main() -> int:
                 f"[{i:3d}/{len(names)}] {name:40s} {dt:5.1f}s pass"
                 f"{extra}{note}"
             )
-        # release anything a builder cached (adaptive ops persist)
+        # release anything a builder cached (adaptive ops persist);
+        # also empty the dedup/prefix trackers so handles don't pile up
+        from mapreduce6240project_spark.operators.dedup import (
+            release_dedup_caches,
+        )
+        from mapreduce6240project_spark.operators.prefix import (
+            release_prefix_caches,
+        )
+
+        release_dedup_caches()
+        release_prefix_caches()
         spark.catalog.clearCache()
 
     print(
