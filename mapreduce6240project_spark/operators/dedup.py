@@ -638,9 +638,10 @@ def jaccard_verified_pairs(
     broadcast hints override Spark's size limits): above
     ``broadcast_max_docs`` the shuffle join is taken with no further
     measurement; below it, one narrow aggregate sums the candidate
-    docs' text bytes and the broadcast only happens if ~4x that mass
-    (shingle expansion factor: each word appears in up to ``shingle_n``
-    shingles plus array overhead) fits ``broadcast_max_bytes``.  The
+    docs' text bytes and the broadcast only happens if
+    ``(shingle_n + 1)`` times that mass (each word appears in up to
+    ``shingle_n`` shingles, +1 for array overhead) fits
+    ``broadcast_max_bytes``.  The
     output is
     independent of the hash function, so it is checkable against the
     relational Jaccard ground truth (:func:`ngram_jaccard_pairs`) by
@@ -654,22 +655,27 @@ def jaccard_verified_pairs(
         eager=False,
     )
     n_candidate_docs = ids.count()  # materializes the ids cache
-    sh = (
-        docs.join(ids, id_col, "left_semi")
-        .select(
-            F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
-        )
-    )
+    semi = docs.join(ids, id_col, "left_semi")
     hint = lambda d: d  # noqa: E731 - shuffle-join default
     if n_candidate_docs <= broadcast_max_docs:
+        # cache the candidate docs: the byte probe below and the
+        # shingle projection both read them (uncached, the corpus
+        # semi-join would run twice)
+        semi = _track_persist(semi, eager=False)
         text_bytes = (
-            docs.join(ids, id_col, "left_semi")
-            .agg(F.sum(F.octet_length(text_col)).alias("b"))
-            .first()["b"]
+            semi.agg(F.sum(F.octet_length(text_col)).alias("b")).first()[
+                "b"
+            ]
             or 0
         )
-        if text_bytes * 4 <= broadcast_max_bytes:
+        # expansion factor scales with the shingle width: every word
+        # appears in up to shingle_n shingles, +1 for array overhead
+        if text_bytes * (shingle_n + 1) <= broadcast_max_bytes:
             hint = F.broadcast
+    sh = semi.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
     a = hint(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
     b = hint(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

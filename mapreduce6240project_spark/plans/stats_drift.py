@@ -2563,9 +2563,16 @@ def q_cogroup_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("user_id % 2").alias("g"),
         )
     )
-    hist = ev.groupBy("event_type", "cents").agg(
-        F.count(F.when(F.col("g") == 0, 1)).alias("na_v"),
-        F.count(F.when(F.col("g") == 1, 1)).alias("nb_v"),
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    # both cogroup sides read the histogram; uncached, the self-cogroup
+    # would scan and aggregate events twice (tracked under the prefix
+    # release hook every harness already calls per query)
+    hist = cache_tracked(
+        ev.groupBy("event_type", "cents").agg(
+            F.count(F.when(F.col("g") == 0, 1)).alias("na_v"),
+            F.count(F.when(F.col("g") == 1, 1)).alias("nb_v"),
+        )
     )
     a = hist.select("event_type", "cents", F.col("na_v").alias("n"))
     # (cents + 0): both cogroup sides share hist's lineage, and

@@ -3,8 +3,9 @@
 ``tools/plan_lint.py`` sweeps every registry query's physical plan for the scale failure modes a single-layout oracle cannot see
 (row-at-a-time Python UDFs, cartesian/nested-loop joins without a
 provably bounded side, unpartitioned windows over unbounded input).
-The full sweep is a tools/ run (393/393 clean, 25 findings waived with
-written justifications); this file keeps the property from regressing:
+The full sweep is a tools/ run (per-round counts recorded in
+BASELINE.md; every finding is either fixed or waived with a written
+justification); this file keeps the property from regressing:
 
 * a round-seeded rotating sample of registry queries must lint clean
   (same rotation scheme as tests/test_invariance.py, so each judged

@@ -162,6 +162,7 @@ PYTHON_ARROW = (
     "ArrowEvalPythonExec",
     "MapInPandasExec",
     "FlatMapGroupsInPandasExec",
+    "FlatMapCoGroupsInPandasExec",
     "FlatMapGroupsInPandasWithStateExec",
     "WindowInPandasExec",
     "AggregateInPandasExec",
