@@ -106,6 +106,13 @@ def embedding_cosine_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(sim, 4).alias("cos_sim"),
         )
+        # NOTE the threshold applies to the 4-decimal ROUNDED cosine
+        # (both engines round identically, so the oracle replays it):
+        # a pair whose true cosine is within 5e-5 below the threshold
+        # rounds up and passes.  This half-ulp boundary is part of the
+        # operator's contract -- filtering the raw double instead would
+        # put cross-engine float noise exactly ON the decision
+        # boundary.
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -124,9 +131,14 @@ def semantic_dedup(
     Survivor rule: a vector is dropped iff a *lower-id* vector in its
     cell is within the threshold (i.e. it appears as ``id_b`` in a
     pair).  Deterministic and engine-replayable, unlike the paper's
-    "random representative"; equivalent to greedy keep-first over the
-    id order.  Dropping every dominated vector (rather than one per
-    connected group) matches the paper's epsilon-ball pruning.
+    "random representative".  NOTE this is strictly MORE aggressive
+    than greedy keep-first on similarity chains: with sim(1,2)>=t,
+    sim(2,3)>=t, sim(1,3)<t, greedy keep-first would keep {1, 3} (3 is
+    only checked against the kept set), while this rule drops 3 for
+    being dominated by the already-dropped 2 -- every dominated vector
+    goes, which matches the paper's epsilon-ball pruning (anything
+    inside SOME earlier vector's ball is redundant).  Oracles replay
+    this exact rule, not the greedy one.
 
     Scale shape: candidate generation is the same bucketed within-cell
     self-join as :func:`embedding_cosine_pairs` (O(N^1.5) expected with
@@ -240,9 +252,20 @@ def _ivf_centroids_local(
         [[math.floor(float(x) * 1_000_000 + 0.5) for x in v] for v in vecs],
         dtype=np.int64,
     )
+    def _spark_mod(a: int, m: int = 2147483648) -> int:
+        # Spark/Java % keeps the DIVIDEND's sign; Python % is always
+        # non-negative, which silently diverged for negative ids and
+        # broke the documented bit-identical local/distributed seed
+        # equivalence (self-review finding)
+        r = abs(a) % m
+        return r if a >= 0 else -r
+
     order = sorted(
         range(len(ids)),
-        key=lambda j: (((ids[j] % 2147483648) * 1103515245 + 12345) % 2147483648, ids[j]),
+        key=lambda j: (
+            _spark_mod(_spark_mod(ids[j]) * 1103515245 + 12345),
+            ids[j],
+        ),
     )
     cents = mat[order[:n_cells]].copy()
     xs = (mat * mat).sum(axis=1)
@@ -314,11 +337,21 @@ def ivf_centroids(
                 iters,
             )
 
-    qv = embeddings.select(
+    # null vectors (whole-column or element nulls) cannot seed or be
+    # assigned -- _int_vec(null) is null and would crash the seed
+    # materialization below (self-review finding); the local path's
+    # gate already excludes them the same way
+    valid = embeddings.filter(
+        F.expr(
+            f"{vec_col} IS NOT NULL"
+            f" AND NOT exists({vec_col}, x -> x IS NULL)"
+        )
+    )
+    qv = valid.select(
         F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv")
     ).persist()
     seed_rows = (
-        embeddings.select(F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv"))
+        valid.select(F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv"))
         .orderBy(seed_hash("_id"), F.col("_id"))
         .limit(n_cells)
         .collect()
@@ -544,8 +577,27 @@ def lsh_assign(
         for c in bits[1:]:
             sig = sig + c
         sigs.append(sig.cast("long"))
+    # width guard: a vector shorter/longer than ``dim`` null-pads the
+    # zip_with fold, silently zeroing EVERY bit (all vectors collapse
+    # into one bucket and the ANN degrades to a full scan with no
+    # error); raise per-row instead -- one JVM-side branch, no
+    # measurable cost when widths match
+    dim_ok = F.when(
+        F.size(F.col(vec_col)) == dim, F.array(*sigs)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lsh_assign: embedding width != dim={dim} "
+                    "(got width "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     return embeddings.select(
-        id_col, vec_col, F.posexplode(F.array(*sigs)).alias("tbl", "sig")
+        id_col, vec_col, F.posexplode(dim_ok).alias("tbl", "sig")
     )
 
 
@@ -569,6 +621,11 @@ def ann_lsh_topk(
     sigs = lsh_assign(embeddings, n_tables, n_bits, dim, id_col, vec_col)
     qrows = sigs.filter(F.col(id_col) == query_id).select("tbl", "sig").collect()
     qvec_row = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qvec_row is None or qvec_row[vec_col] is None or not qrows:
+        raise ValueError(
+            f"ann_lsh_topk: query id {query_id!r} not found or has a "
+            "null embedding"
+        )
     qv = F.array(*[F.lit(float(x)) for x in qvec_row[vec_col]])
     match = None
     for r in qrows:
@@ -791,35 +848,41 @@ def mmr_select(
     ).persist()
     om = 1.0 - lam
     picked: list = []
-    for _ in range(k):
-        cand = pool
-        if picked:
-            cand = cand.filter(
-                ~F.col(id_col).isin([r[id_col] for r in picked])
+    try:
+        for _ in range(k):
+            cand = pool
+            if picked:
+                cand = cand.filter(
+                    ~F.col(id_col).isin([r[id_col] for r in picked])
+                )
+                redund = F.greatest(
+                    *[
+                        cosine(
+                            vec_col,
+                            F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+                        )
+                        for r in picked
+                    ]
+                ) if len(picked) > 1 else cosine(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in picked[0][vec_col]]),
+                )
+                score = F.lit(lam) * F.col("_rel") - F.lit(om) * redund
+            else:
+                score = F.col("_rel")
+            rows = (
+                cand.withColumn("_score", score)
+                .orderBy(F.desc("_score"), id_col)
+                .limit(1)
+                .collect()
             )
-            redund = F.greatest(
-                *[
-                    cosine(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in r[vec_col]]),
-                    )
-                    for r in picked
-                ]
-            ) if len(picked) > 1 else cosine(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in picked[0][vec_col]]),
-            )
-            score = F.lit(lam) * F.col("_rel") - F.lit(om) * redund
-        else:
-            score = F.col("_rel")
-        row = (
-            cand.withColumn("_score", score)
-            .orderBy(F.desc("_score"), id_col)
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append(row)
-    pool.unpersist(blocking=False)
+            if not rows:
+                break  # k exceeds the pool: return what exists
+            picked.append(rows[0])
+    finally:
+        # the greedy loop collects driver state each round; a failure
+        # mid-loop must still release the pool cache
+        pool.unpersist(blocking=False)
     out = embeddings.sparkSession.createDataFrame(
         [(i + 1, r[id_col], float(r["_score"])) for i, r in enumerate(picked)],
         f"rank int, {id_col} long, score double",
