@@ -260,3 +260,67 @@ def test_ivf_assign_pandas_path_bit_identical(emb):
         .collect()
     }
     assert expr == arrow
+
+
+# -- round-5 hardening guards (path-targeted review) ------------------------
+
+
+def test_mmr_select_k_exceeds_pool(spark):
+    from mapreduce6240project_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_select(emb, [1.0, 0.0], k=10).collect()
+    # returns every available row, ranked, instead of IndexError
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert len({r.vec_id for r in out}) == 3
+
+
+def test_ann_lsh_topk_missing_query_id_raises(spark):
+    import pytest
+
+    from mapreduce6240project_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not found"):
+        ann_lsh_topk(emb, query_id=999)
+
+
+def test_lsh_assign_width_mismatch_raises(spark):
+    import pytest
+
+    from mapreduce6240project_spark.operators.similarity import lsh_assign
+
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="width"):
+        lsh_assign(bad, dim=64).collect()
+
+
+def test_local_seed_hash_matches_spark_mod_for_negative_ids(spark):
+    """The local k-means seed order must replay the distributed
+    seed_hash exactly, including Spark's sign-of-dividend %."""
+    from pyspark.sql import functions as F
+
+    from mapreduce6240project_spark.operators.sampling import seed_hash
+
+    ids = [-5, -2147483650, 3, 0, 7]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    spark_order = [
+        r.vec_id
+        for r in df.orderBy(seed_hash("vec_id"), F.col("vec_id")).collect()
+    ]
+
+    def _spark_mod(a, m=2147483648):
+        r = abs(a) % m
+        return r if a >= 0 else -r
+
+    py_order = sorted(
+        ids, key=lambda i: (_spark_mod(_spark_mod(i) * 1103515245 + 12345), i)
+    )
+    assert py_order == spark_order
