@@ -340,7 +340,8 @@ sims AS (
   FROM cand c JOIN vecs v USING (vec_id), q
 )
 SELECT vec_id, round(sim_raw, 4) AS sim
-FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10"""
+FROM sims WHERE sim_raw IS NOT NULL
+ORDER BY sim_raw DESC, vec_id LIMIT 10"""
 
 
 @_register(

@@ -189,9 +189,12 @@ sims AS (
          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
             * sqrt(list_dot_product(qv, qv))) AS sim_raw
   FROM embeddings, q
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT vec_id, round(sim_raw, 4) AS sim
-FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10""",
+FROM sims WHERE sim_raw IS NOT NULL
+ORDER BY sim_raw DESC, vec_id LIMIT 10""",
     ref="extension: brute-force cosine top-k (exact ANN baseline)",
     headline=True,
 )
@@ -215,7 +218,15 @@ def _ivf_cells_sql(iters: int = 2) -> str:
     ivf_assign: quantize, seed by lowest LCG hash, ``iters`` unrolled
     integer-Lloyd rounds (assign by integer L2, tie -> lowest cell;
     truncating integer mean; empty cells keep their centroid), final
-    assignment ``af`` and double-typed vectors ``vecs``/``q``."""
+    assignment ``af`` and double-typed vectors ``vecs``/``q``.
+
+    Null contract (matches operators.similarity.ivf_assign /
+    ivf_centroids): vectors that are NULL or contain NULL elements are
+    excluded from seeding, assignment, and the ``vecs`` cosine scan --
+    ``iv``/``vecs`` carry the filter, and the seed draw ``sr`` reads
+    from the filtered ``iv`` exactly like Spark's ``valid`` frame.
+    ``nc`` keeps counting the FULL table (Spark sizes n_cells from
+    ``embeddings.count()`` before filtering)."""
     ctes = [
         """
 WITH iv AS (
@@ -223,6 +234,8 @@ WITH iv AS (
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 vl AS (SELECT vec_id, unnest(q) AS x, unnest(generate_series(1, len(q))) AS d FROM iv),
 nc AS (SELECT CAST(least(4096, greatest(4, ceil(sqrt(count(*))))) AS BIGINT) AS c
@@ -232,7 +245,7 @@ sr AS (
          row_number() OVER (
            ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
                     vec_id) AS rn
-  FROM embeddings
+  FROM iv
 ),
 c0 AS (
   SELECT sr.rn - 1 AS cell, v.d, v.x AS cx
@@ -263,7 +276,9 @@ af AS (SELECT vec_id, cell FROM (
        SELECT vec_id, cell,
               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
        FROM df) WHERE rn = 1),
-vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+         WHERE embedding IS NOT NULL
+           AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"""
     )
     return "".join(ctes)
@@ -288,7 +303,8 @@ sims AS (
   WHERE a.cell IN (SELECT cell FROM probe)
 )
 SELECT vec_id, round(sim_raw, 4) AS sim
-FROM sims ORDER BY sim_raw DESC, vec_id LIMIT 10""",
+FROM sims WHERE sim_raw IS NOT NULL
+ORDER BY sim_raw DESC, vec_id LIMIT 10""",
     ref="extension: IVF approximate top-k (integer k-means cells, scale path)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +318,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , un AS (
   SELECT vec_id,
-         list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev))) AS uv
+         CASE WHEN list_dot_product(ev, ev) = 0 THEN NULL
+              ELSE list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev)))
+         END AS uv
   FROM vecs
 )
 SELECT id_a, id_b, cos_sim FROM (

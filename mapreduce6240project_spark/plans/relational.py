@@ -289,10 +289,15 @@ _REG["kmedoids_elbow"] = _QS(
     """
 WITH u AS (
   SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           v -> v / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                          CAST(embedding AS DOUBLE[])))) AS uv
+         CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) = 0 THEN NULL
+              ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                v -> v / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))))
+         END AS uv
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.uv, b.uv), 4) AS cos_sim

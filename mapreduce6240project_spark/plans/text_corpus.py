@@ -720,12 +720,16 @@ s AS (
             * sqrt(list_dot_product(list_slice(q.qv, 1, 16),
                                     list_slice(q.qv, 1, 16)))) AS s_pre
   FROM embeddings e, q
+  WHERE e.embedding IS NOT NULL
+    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
 ),
 tf AS (SELECT vec_id FROM (
-  SELECT vec_id, row_number() OVER (ORDER BY s_full DESC, vec_id) AS rn FROM s)
+  SELECT vec_id, row_number() OVER (ORDER BY s_full DESC, vec_id) AS rn
+  FROM s WHERE s_full IS NOT NULL)
   WHERE rn <= 10),
 tp AS (SELECT vec_id FROM (
-  SELECT vec_id, row_number() OVER (ORDER BY s_pre DESC, vec_id) AS rn FROM s)
+  SELECT vec_id, row_number() OVER (ORDER BY s_pre DESC, vec_id) AS rn
+  FROM s WHERE s_pre IS NOT NULL)
   WHERE rn <= 10)
 SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap,
        CAST(100 * count(*) // 10 AS BIGINT) AS recall_pct
@@ -744,7 +748,9 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , un AS (
   SELECT vec_id,
-         list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev))) AS uv
+         CASE WHEN list_dot_product(ev, ev) = 0 THEN NULL
+              ELSE list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev)))
+         END AS uv
   FROM vecs
 ),
 sims AS (
@@ -757,7 +763,7 @@ sims AS (
 rk AS (
   SELECT src, nbr, s,
          row_number() OVER (PARTITION BY src ORDER BY s DESC, nbr) AS rank
-  FROM sims
+  FROM sims WHERE s IS NOT NULL
 )
 SELECT src, CAST(rank AS BIGINT) AS rank, nbr, round(s, 4) AS cos_sim
 FROM rk WHERE rank <= 3""",

@@ -125,6 +125,8 @@ sims AS (
          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
             * sqrt(list_dot_product(qv, qv))) AS sim_raw
   FROM embeddings, q
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT vec_id, round(sim_raw, 4) AS sim FROM sims WHERE sim_raw >= 0.25""",
     ref="extension: threshold (radius) similarity search, narrow filter",
@@ -416,7 +418,9 @@ def q_token_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , un AS (
   SELECT vec_id,
-         list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev))) AS uv
+         CASE WHEN list_dot_product(ev, ev) = 0 THEN NULL
+              ELSE list_transform(ev, v -> v / sqrt(list_dot_product(ev, ev)))
+         END AS uv
   FROM vecs
 ),
 dominated AS (
@@ -458,7 +462,7 @@ asims AS (
 ),
 approx AS (SELECT vec_id FROM (
   SELECT vec_id, row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rn
-  FROM asims) WHERE rn <= 10),
+  FROM asims WHERE sim_raw IS NOT NULL) WHERE rn <= 10),
 esims AS (
   SELECT v.vec_id,
          list_dot_product(v.ev, qv)
@@ -467,7 +471,7 @@ esims AS (
 ),
 exact AS (SELECT vec_id FROM (
   SELECT vec_id, row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rn
-  FROM esims) WHERE rn <= 10)
+  FROM esims WHERE sim_raw IS NOT NULL) WHERE rn <= 10)
 SELECT 10 AS k, CAST(count(*) AS BIGINT) AS hits,
        round(count(*) / 10.0, 4) AS recall
 FROM exact JOIN approx USING (vec_id)""",
