@@ -26,11 +26,20 @@ The per-partition stats collect is ``O(#partitions)`` driver rows --
 bounded by cluster configuration, the same cap class as the repo's
 other enum-bounded collects.
 
-The returned frame reads the persisted range-exchanged input, so the
+The returned frame reads the range-exchanged input pinned by a
+``localCheckpoint`` (lineage truncated, blocks materialized), so the
 offsets always describe the exact partitioning the final window runs
-on.  Frames persisted here are tracked and can be released with
+on.  A plain ``persist`` was not enough (round-5 advice): if cached
+blocks were lost to an executor failure, the RECOMPUTE would re-sample
+range boundaries from upstream output whose row order is not
+guaranteed stable -- rows could silently shift partitions and corrupt
+every rank derived from the now-stale literal offsets.  With the
+checkpoint, block loss fails the job loudly instead of corrupting it
+(rerun semantics, the correct trade for an exactness primitive).
+Frames pinned here are tracked and released with
 :func:`release_prefix_caches` (same convention as
-``operators.dedup.release_dedup_caches``).
+``operators.dedup.release_dedup_caches``); checkpoint blocks are freed
+by the context cleaner once the tracked reference is dropped.
 """
 
 from __future__ import annotations
@@ -80,10 +89,20 @@ def distributed_prefix(
     column, as every window in this repo already does); with ties the
     rank would depend on intra-partition order.
     """
+    # localCheckpoint (not persist): the per-pid offsets below are
+    # baked into the plan as literals, so the partition contents MUST
+    # be the materialized blocks the offsets were computed from -- a
+    # lineage recompute after block loss could re-sample the range
+    # boundaries and silently shift rows across pids (module
+    # docstring).  eager=False defers materialization to the stats
+    # collect, which is the first action anyway.  NOTE: the "_pid"
+    # column name doubles as tools/plan_lint.py's marker telling a
+    # full-size checkpoint scan apart from bounded driver-built
+    # RDDScans -- renaming it requires updating _rdd_scan_bounded.
     d = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     with _lock:
         _live.append(d)

@@ -58,83 +58,75 @@ for _mod in (
 #: tests/test_registry_guard.py); cumulative external coverage is
 #: tracked in COVERAGE.md (tools/coverage_ledger.py).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- round-5 additions: brand-new code has the least signal of
-    #    all, so it heads the window; the 14 entries push the tail 14
-    #    of the original 50 to the front of the round-6 queue --
-    "er_match_clusters",
-    "er_golden_records",
-    "er_block_skew_audit",
-    "k_anonymity_risk_summary",
-    "l_diversity_audit",
-    "dp_contribution_bound",
-    "oof_target_encode",
-    "encoding_advisor",
-    "feature_hash_collision_audit",
-    "pk_uniqueness_audit",
-    "value_set_conformance",
-    "cross_field_consistency",
-    "streaming_dedup_bounded_state",
-    "cogroup_ks_by_type",
-    # -- vectors_ext --
-    "promo_revenue_ratio",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_parts_revenue",
-    "idle_rich_customers",
-    "source_cap_50",
-    "training_shards",
-    "token_frequency_score",
-    # -- curation_ext --
-    "split_counts",
-    "bigram_top20",
-    "customers_no_orders",
-    "discount_suppliers_semi",
-    "customer_order_profile",
-    "corr_by_returnflag",
-    "acctbal_deciles",
-    "value_histogram",
-    # -- text_corpus deep cuts --
-    "doc_size_pct_rank",
-    "bigram_pmi_top20",
-    "vocab_encode_docs",
-    "mlm_mask_plan",
-    "bpe_merges_10",
-    "embedding_covariance",
-    "vocab_coverage_100",
-    "skipgram_pairs_top",
-    # -- relational edge cases --
-    "distinct_users",
-    "kmedoids_elbow",
-    "embedding_pairs_exact",
-    "brand_revenue",
-    "supplier_nation_stats",
-    "user_running_value",
-    # -- tpch_analytics --
-    "forecast_revenue",
-    "nation_pair_revenue",
-    "market_share",
-    "returned_item_customers",
-    "customer_distribution",
-    "sole_supplier_orders",
-    # -- engineering --
+    # -- round-6 rotation: rounds 2-5 externally verified 177 distinct
+    #    queries (CORRECTNESS_r02..r05).  The window leads with the 14
+    #    round-5 DRIVER_ORDER entries the 50-query budget displaced,
+    #    then 36 never-checked oracle-backed queries drawn across every
+    #    family -- weighted toward the similarity surface whose
+    #    NULL-cosine contract changed this round (external signal on
+    #    changed code first).  COVERAGE.md tracks the cumulative
+    #    ledger; tools/coverage_ledger.py regenerates it per round. --
+    # -- round-5 window overflow (never externally checked) --
     "weighted_sample_by_status",
     "temperature_resample_langs",
     "mmr_select_diverse",
     "unpivot_part_metrics",
-    # -- stats_drift --
     "permutation_test_value",
     "quantile_normalize_doclen",
     "changepoint_day",
-    # -- retrieval --
     "bm25_top_docs",
     "rrf_fuse_topk",
     "jaccard_prefix_pairs",
-    # -- dedup_ext --
     "typo_pairs",
     "dup_component_sizes",
-    # -- behavior --
     "retention_cohorts",
     "session_transitions",
+    # -- similarity family touched by the round-6 NULL-cosine sweep --
+    "semantic_dedup",
+    "ann_recall_at10",
+    "label_centroid_affinity",
+    "kcenter_select_8",
+    "matryoshka_recall16",
+    "knn_graph_top3",
+    "label_maxsim_rank",
+    "retrieval_mrr_at10",
+    # -- text_corpus deep cuts --
+    "lorenz_deciles",
+    "zipf_slope_tokens",
+    "bigram_lm_order",
+    # -- retrieval --
+    "rerank_top_docs",
+    "inverted_index_top100",
+    # -- tpch_analytics --
+    "shipping_priority",
+    "product_type_profit",
+    "min_cost_supplier",
+    "pareto_customers",
+    "grouping_sets_revenue",
+    "rfm_segments",
+    "mom_revenue_growth",
+    # -- engineering --
+    "dq_audit",
+    "rolling_median_7",
+    "weighted_median_price",
+    "gdpr_delete_impact",
+    "schema_evolution_roundtrip",
+    # -- stats_drift --
+    "psi_value_drift",
+    "score_auc_audit",
+    "hill_tail_index",
+    # -- behavior --
+    "hourly_heatmap",
+    "funnel_strict_3step",
+    "dau_wau_stickiness",
+    # -- dedup_ext --
+    "incremental_dedup_new",
+    "dedup_method_agreement",
+    # -- curation_ext --
+    "k_anonymity_audit",
+    "target_encode_loo",
+    # -- graph_ext --
+    "assoc_rules_top",
 )
 
 _ordered: dict[str, QuerySpec] = {}

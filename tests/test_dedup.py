@@ -212,11 +212,93 @@ def test_track_dedup_caches_scopes_release(docs):
 
     D.release_dedup_caches()
     outer = D._track_persist(docs.select("doc_id"), eager=False)
-    with D.track_dedup_caches():
+    with D.track_dedup_caches() as scope:
         D.minhash_candidate_pairs(docs).count()
-        assert len(D._live_caches) > 1
-    # only the block's caches were released; the outer handle survives
-    assert D._live_caches == [outer]
+        # in-scope frames go to the thread-local scope, NOT the global
+        # list -- the global release path can never touch them
+        # (dup-light + sample-clear probe -> exactly the signature cache)
+        assert len(scope._scope) >= 1
+        assert D._live_caches == [outer]
+    # the block's caches were released on exit; the outer handle survives
+    assert all(not f.is_cached for f in scope._scope)
+    assert D._live_caches == [outer] and outer.is_cached
+    D.release_dedup_caches()
+
+
+def test_concurrent_pipelines_release_independently(spark):
+    """Two dedup pipelines on two threads, each in its own
+    track_dedup_caches scope: pipeline A's exit must not unpersist
+    pipeline B's still-live frames (round-5 verdict item 7)."""
+    import threading as th
+
+    from mapreduce6240project_spark.operators import dedup as D
+
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"epsilon zeta eta theta doc {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    b_entered = th.Event()
+    a_done = th.Event()
+    results: dict = {}
+
+    def run_a():
+        b_entered.wait(30)
+        with D.track_dedup_caches() as sa:
+            results["a_pairs"] = D.minhash_candidate_pairs(
+                docs_a, collapse_identical=False
+            ).count()
+            results["a_frames"] = list(sa._scope)
+        a_done.set()
+
+    def run_b():
+        with D.track_dedup_caches() as sb:
+            results["b_frames_mid"] = D.minhash_candidate_pairs(
+                docs_b, collapse_identical=False
+            )
+            results["b_frames_mid"].count()
+            b_entered.set()
+            a_done.wait(60)
+            # A exited its scope; B's frames must still be cached
+            results["b_alive_after_a"] = [f.is_cached for f in sb._scope]
+            results["b_frames"] = list(sb._scope)
+
+    ta, tb = th.Thread(target=run_a), th.Thread(target=run_b)
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+    assert results["a_pairs"] >= 0
+    assert all(results["b_alive_after_a"]), "A's release dropped B's caches"
+    assert all(not f.is_cached for f in results["a_frames"])
+    assert all(not f.is_cached for f in results["b_frames"])
+    D.release_dedup_caches()
+
+
+def test_hot_probe_tiers(spark, docs):
+    """The sampled hot-bucket probe: dup-light corpora stop at the
+    1/probe_mod sample pass; templated masses escalate to the full
+    count; small thresholds skip the probe entirely (probe_mod 1)."""
+    from mapreduce6240project_spark.operators import dedup as D
+
+    # dup-light: sample probe clears, no full count, no salting
+    D.minhash_candidate_pairs(docs, collapse_identical=False).count()
+    assert D.last_run_stats["hot_probe"] == "sample-clear"
+    assert D.last_run_stats["hot_buckets"] == 0
+
+    # templated mass at default threshold: probe escalates, salting on
+    mass = spark.createDataFrame(
+        [(i, BASE.replace("garden", f"garden{i}")) for i in range(600)],
+        "doc_id long, text string",
+    )
+    D.minhash_candidate_pairs(mass).count()
+    assert D.last_run_stats["hot_probe"] == "full"
+    assert D.last_run_stats["hot_buckets"] >= 1
+
+    # tiny threshold: probe_mod collapses to 1 -> full count directly
+    D.minhash_candidate_pairs(docs, collapse_identical=False,
+                              hot_bucket_threshold=8).count()
+    assert D.last_run_stats["hot_probe"] == "full"
     D.release_dedup_caches()
 
 

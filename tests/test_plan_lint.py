@@ -29,7 +29,14 @@ import pytest
 
 sys.path.insert(0, "/root/repo/tools")
 
-from plan_lint import WHITELIST, lint_plan, physical_plan_json  # noqa: E402
+from plan_lint import (  # noqa: E402
+    WAIVER_SUBSTANTIATION_EXEMPT,
+    WHITELIST,
+    lint_plan,
+    lint_plan_detailed,
+    physical_plan_json,
+    waiver_substantiated,
+)
 
 from tests.conftest import SF_SMALL
 
@@ -60,20 +67,35 @@ def test_sample_lints_clean(spark, name):
     spark.catalog.clearCache()
 
 
-def test_whitelist_entries_are_fresh(spark):
-    """Every waived (query, check) pair must still fire; stale entries
-    mean the plan was fixed and the waiver must be removed."""
+def test_whitelist_entries_are_fresh_and_substantiated(spark):
+    """Every waived (query, check) pair must (a) still fire -- a waiver
+    for a finding that no longer exists means the plan was fixed and
+    the entry must be deleted -- and (b) be SUBSTANTIATED by the live
+    plan: the flagged side must actually carry the grain-aggregate (or
+    structural bound) its justification claims, so a refactor that
+    removes the aggregate can't keep passing on stale waiver text
+    (round-5 verdict item 8).  By-spec quadratic waivers are exempt via
+    WAIVER_SUBSTANTIATION_EXEMPT."""
     by_query: dict[str, set[str]] = {}
     for q, check in WHITELIST:
         by_query.setdefault(q, set()).add(check)
-    stale = []
+    stale, unsubstantiated = [], []
     for q, checks in sorted(by_query.items()):
-        errors, _ = lint_plan(_plan_json(spark, q))
+        findings, _ = lint_plan_detailed(_plan_json(spark, q))
+        fired = {c for c, _ in findings}
         for check in sorted(checks):
-            if check not in errors:
+            if check not in fired:
                 stale.append((q, check))
+        for c, sub in findings:
+            if (q, c) in WAIVER_SUBSTANTIATION_EXEMPT or (q, c) not in WHITELIST:
+                continue
+            if not waiver_substantiated(sub):
+                unsubstantiated.append((q, c))
         spark.catalog.clearCache()
     assert stale == [], f"stale whitelist entries: {stale}"
+    assert unsubstantiated == [], (
+        f"waivers whose claimed grain-aggregate is gone: {unsubstantiated}"
+    )
 
 
 # -- operators/prefix: the helper the lint rewrites ride on ----------------

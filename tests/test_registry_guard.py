@@ -25,31 +25,37 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """Round-5 rotation: the first 50 are oracle-backed queries the
-    external driver NEVER checked in rounds 2-4 (CORRECTNESS_r02/r03/
-    r04), drawn from the families with the least external signal.
+    """Round-6 rotation: the first 50 are oracle-backed queries the
+    external driver NEVER checked in rounds 2-5 (CORRECTNESS_r02..r05)
+    -- the 14 round-5 window-overflow entries first, then 36
+    never-checked queries across every family, weighted toward the
+    similarity surface whose NULL-cosine contract changed this round.
     Guards against an import-order change silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        # round-5 additions head the window (newest code, least signal)
-        "er_match_clusters",
-        "pk_uniqueness_audit",
-        "cogroup_ks_by_type",
-        "streaming_dedup_bounded_state",
-        # original rotation families still inside the 50
-        "promo_revenue_ratio",
-        "split_counts",
-        "doc_size_pct_rank",
-        "distinct_users",
-        "forecast_revenue",
-        "sole_supplier_orders",
+        # round-5 overflow heads the window
+        "weighted_sample_by_status",
+        "mmr_select_diverse",
+        "retention_cohorts",
+        "session_transitions",
+        # similarity surface touched by the round-6 sweep
+        "semantic_dedup",
+        "ann_recall_at10",
+        "knn_graph_top3",
+        "matryoshka_recall16",
+        # family breadth
+        "shipping_priority",
+        "dq_audit",
+        "psi_value_drift",
+        "k_anonymity_audit",
     ):
         assert name in first50
-    # fully disjoint from the 127 queries rounds 2-4 already verified
+    # fully disjoint from the 177 queries rounds 2-5 already verified
     for fname in (
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         seen = set(json.load(open(f"/root/repo/{fname}")))
         assert not (set(first50) & seen)
@@ -75,7 +81,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 395
     assert info["o"] >= 300
-    assert info["first"] == "er_match_clusters"
+    assert info["first"] == "weighted_sample_by_status"
 
 
 def test_oracle_micros_sums_match_canonical_helper():

@@ -153,8 +153,15 @@ AGG_CLASSES = (
 # RDDScanExec: createDataFrame over driver-collected state -- bounded
 # by the same audited collect caps as every driver round-trip in this
 # repo (a frame that large would have failed at collect time, not at
-# the join).
-LOCAL_CLASSES = ("LocalTableScanExec", "LocalRelation", "RDDScanExec")
+# the join).  EXCEPT: operators/prefix.distributed_prefix pins its
+# FULL-SIZE range exchange with localCheckpoint, which also surfaces as
+# an RDDScanExec -- treating that as bounded would blind the lint to
+# any unpartitioned window placed over a prefix output.  The two are
+# distinguishable: the checkpoint preserves the exchange's
+# RangePartitioning (the property the offsets depend on), while a
+# driver-built dataset always scans with unknown partitioning --
+# see _rdd_scan_bounded.
+LOCAL_CLASSES = ("LocalTableScanExec", "LocalRelation")
 #: a literal spark.range(n) below this row count is a bounded side
 RANGE_BOUND = 1_000_000
 PYTHON_ROW_UDF = ("BatchEvalPythonExec",)
@@ -192,6 +199,18 @@ def cls(node: dict) -> str:
     return node.get("class", "").rsplit(".", 1)[-1]
 
 
+def _rdd_scan_bounded(node: dict) -> bool:
+    """RDDScanExec is bounded iff it is driver-built (createDataFrame
+    over collect-audited state).  The one other producer of RDDScanExec
+    in this repo is operators/prefix.distributed_prefix's
+    localCheckpoint of the FULL-SIZE range exchange, whose scan output
+    always carries the synthetic ``_pid`` partition-id column (the
+    offsets are keyed on it, so it cannot be renamed without breaking
+    the operator -- a stable marker).  Anything carrying ``_pid`` is
+    treated as unbounded."""
+    return '"name": "_pid"' not in json.dumps(node.get("output", ""))
+
+
 def subtree_bounded(tree) -> bool:
     """Sufficient structural bound: a no-grouping aggregate (1 row) or
     a driver-built local relation anywhere below."""
@@ -201,6 +220,8 @@ def subtree_bounded(tree) -> bool:
             if not node.get("groupingExpressions"):
                 return True
         if c in LOCAL_CLASSES:
+            return True
+        if c == "RDDScanExec" and _rdd_scan_bounded(node):
             return True
         if c == "RangeExec":
             try:
@@ -230,37 +251,77 @@ def physical_plan_json(df) -> str:
         return qe.sparkPlan().toJSON()
 
 
-def lint_plan(plan_json: str) -> tuple[list[str], list[str]]:
-    """-> (errors, infos) for one physical plan."""
+def lint_plan_detailed(
+    plan_json: str,
+) -> tuple[list[tuple[str, object]], list[str]]:
+    """-> (findings, infos) for one physical plan, where each finding is
+    ``(check, flagged_subtree)`` -- the subtree is the side whose
+    cardinality the check questions (BNLJ build side, the window's own
+    subtree, the cartesian node), kept so waiver substantiation can
+    inspect the actual plan instead of trusting the waiver text."""
     nodes = json.loads(plan_json)
     tree, _ = build_tree(nodes)
-    errors: list[str] = []
+    findings: list[tuple[str, object]] = []
     infos: list[str] = []
     for sub in iter_nodes(tree):
         node, kids = sub
         c = cls(node)
         if c in PYTHON_ROW_UDF:
-            errors.append("row_python_udf")
+            findings.append(("row_python_udf", sub))
         elif c in PYTHON_ARROW:
             infos.append(f"arrow_python:{c}")
         elif c == "CartesianProductExec":
             if not any(subtree_bounded(k) for k in kids):
-                errors.append("cartesian_unbounded")
+                findings.append(("cartesian_unbounded", sub))
         elif c == "BroadcastNestedLoopJoinExec":
             # the BUILD side is what ships to every executor, so it
             # alone must be bounded -- a bounded STREAMED side says
-            # nothing about the broadcast's size (an outer join of a
+            # nothing about the broadcast payload (an outer join of a
             # 1-row aggregate against a fact table builds the fact
             # table)
             side = str(node.get("buildSide", "BuildRight"))
             idx = 0 if "Left" in side else 1
             build = kids[idx] if len(kids) > idx else None
             if build is None or not subtree_bounded(build):
-                errors.append("bnlj_unbounded_build")
+                findings.append(("bnlj_unbounded_build", build or sub))
         elif c == "WindowExec":
             if not node.get("partitionSpec") and not subtree_bounded(sub):
-                errors.append("global_window_unbounded")
-    return errors, infos
+                findings.append(("global_window_unbounded", sub))
+    return findings, infos
+
+
+def lint_plan(plan_json: str) -> tuple[list[str], list[str]]:
+    """-> (errors, infos) for one physical plan."""
+    findings, infos = lint_plan_detailed(plan_json)
+    return [c for c, _ in findings], infos
+
+
+#: waivers whose bound is BY SPECIFICATION (documented quadratic ground
+#: truth), not a grain-aggregate in the plan -- the substantiation rule
+#: below cannot and should not find an aggregate there.
+WAIVER_SUBSTANTIATION_EXEMPT: frozenset[tuple[str, str]] = frozenset(
+    {("embedding_pairs_exact", "bnlj_unbounded_build")}
+)
+
+
+def waiver_substantiated(subtree) -> bool:
+    """Every non-exempt WHITELIST waiver claims its flagged side is some
+    GRAIN AGGREGATE (per-day, per-bin, per-bucket, per-label...) whose
+    cardinality is domain-bounded.  This check verifies that the claimed
+    mechanism is actually present in the plan -- a grouping aggregate
+    (or a structural bound) somewhere in the flagged subtree -- so a
+    refactor that silently removes the aggregate (leaving the window /
+    build side walking raw rows) fails the lint instead of hiding
+    behind stale waiver text (round-5 verdict item 8).  It deliberately
+    does NOT re-prove the row bound (that is the waiver's written,
+    human-triaged claim); it proves the plan still has the shape the
+    claim describes."""
+    if subtree_bounded(subtree):
+        return True
+    for node, _ in iter_nodes(subtree):
+        if cls(node) in AGG_CLASSES and node.get("groupingExpressions"):
+            return True
+    return False
 
 
 PROFILE_CLASSES = {
@@ -328,15 +389,24 @@ def main() -> int:
         try:
             df = REGISTRY[name].fn(spark, args.sf)
             plan_json = physical_plan_json(df)
-            errors, infos = lint_plan(plan_json)
+            findings, infos = lint_plan_detailed(plan_json)
             if args.profile:
                 profiles[name] = profile_plan(plan_json)
         except Exception as exc:  # noqa: BLE001
             print(f"[{i:3d}/{len(names)}] {name:40s} ERR {exc!r:.120}")
             n_err += 1
             continue
-        flagged = [e for e in errors if (name, e) not in WHITELIST]
-        waived = [e for e in errors if (name, e) in WHITELIST]
+        flagged = [c for c, _ in findings if (name, c) not in WHITELIST]
+        waived = []
+        for c, sub in findings:
+            if (name, c) not in WHITELIST:
+                continue
+            # a waiver only holds while the plan still carries the
+            # grain-aggregate shape its justification describes
+            if (name, c) in WAIVER_SUBSTANTIATION_EXEMPT or waiver_substantiated(sub):
+                waived.append(c)
+            else:
+                flagged.append(f"stale_waiver:{c}")
         dt = time.time() - t0
         if flagged:
             n_err += 1
