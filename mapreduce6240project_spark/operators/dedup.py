@@ -56,10 +56,12 @@ _caches_lock = threading.Lock()
 _scope_local = threading.local()  # .stack: list[list[DataFrame]]
 
 #: diagnostics from the most recent banded-join build (per driver):
-#: ``hot_buckets`` = how many (band, band_hash) buckets exceeded
-#: ``hot_bucket_threshold`` and took the salted join.  Observability
-#: for tests and operators; not part of the result contract.
-last_run_stats: dict[str, int] = {"hot_buckets": 0}
+#: ``hot_buckets`` (int) = how many (band, band_hash) buckets exceeded
+#: ``hot_bucket_threshold`` and took the salted join; ``hot_probe``
+#: (str) = which detection tier ran ("sample-clear" or "full").
+#: Observability for tests and operators; not part of the result
+#: contract.
+last_run_stats: dict[str, int | str] = {"hot_buckets": 0}
 
 
 def _track_persist(df: DataFrame, eager: bool = True) -> DataFrame:

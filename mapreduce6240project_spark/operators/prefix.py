@@ -39,7 +39,8 @@ checkpoint, block loss fails the job loudly instead of corrupting it
 Frames pinned here are tracked and released with
 :func:`release_prefix_caches` (same convention as
 ``operators.dedup.release_dedup_caches``); checkpoint blocks are freed
-by the context cleaner once the tracked reference is dropped.
+eagerly by unpersisting the LogicalRDD's underlying RDD (a plain
+``DataFrame.unpersist`` cannot see RDD-level checkpoint storage).
 """
 
 from __future__ import annotations
@@ -53,12 +54,35 @@ _lock = threading.Lock()
 _live: list[DataFrame] = []
 
 
+def _release_frame(f: DataFrame) -> None:
+    """Free a tracked frame's storage.  A localCheckpoint'ed frame is
+    NOT registered with the CacheManager (its persistence is RDD-level
+    inside the LogicalRDD), so ``DataFrame.unpersist`` would be a
+    silent no-op and the full-size checkpoint blocks would linger until
+    JVM GC -- reach the underlying RDD through the analyzed plan and
+    unpersist it directly; plain-persisted frames (cache_tracked) take
+    the normal unpersist path."""
+    try:
+        plan = f._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    f.unpersist()
+
+
 def release_prefix_caches() -> None:
-    """Unpersist every frame cached by :func:`distributed_prefix`."""
+    """Release every frame pinned by :func:`distributed_prefix` /
+    :func:`cache_tracked` (checkpoint blocks included -- see
+    :func:`_release_frame`)."""
     with _lock:
         frames, _live[:] = list(_live), []
     for f in frames:
-        f.unpersist()
+        try:
+            _release_frame(f)
+        except Exception:
+            pass
 
 
 def cache_tracked(df: DataFrame) -> DataFrame:
@@ -95,10 +119,9 @@ def distributed_prefix(
     # lineage recompute after block loss could re-sample the range
     # boundaries and silently shift rows across pids (module
     # docstring).  eager=False defers materialization to the stats
-    # collect, which is the first action anyway.  NOTE: the "_pid"
-    # column name doubles as tools/plan_lint.py's marker telling a
-    # full-size checkpoint scan apart from bounded driver-built
-    # RDDScans -- renaming it requires updating _rdd_scan_bounded.
+    # collect, which is the first action anyway.  (tools/plan_lint.py
+    # treats the resulting RDDScanExec as unbounded, like every
+    # localCheckpoint scan.)
     d = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

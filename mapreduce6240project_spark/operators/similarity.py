@@ -506,10 +506,15 @@ def ivf_assign(
         return embeddings.join(
             _ivf_assign_pandas(valid, centroids, id_col, vec_col), id_col
         )
+    # .limit(C) is a semantic no-op (the frame IS C rows) that makes
+    # the bound STRUCTURAL: the broadcast build side of the cross join
+    # carries a GlobalLimit node, so plan auditors (tools/plan_lint.py)
+    # can prove the BNLJ build side bounded instead of trusting that an
+    # RDD scan is driver-built
     cdf = F.broadcast(
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], "cell int, cv array<bigint>"
-        )
+        ).limit(len(centroids))
     )
     best = (
         valid.select(F.col(id_col), _int_vec(vec_col).alias("_iv"))
@@ -592,7 +597,9 @@ def lsh_assign(
     """Signed-random-projection LSH: for each of ``n_tables`` hash
     tables, the vector's ``n_bits``-bit signature packs the signs of its
     dot products with ``n_bits`` fixed hyperplanes.  Output is long
-    format ``(id, tbl, sig)``.
+    format ``(id, tbl, sig)``; NULL / NULL-element vectors are dropped
+    (no defined signs -- same exclusion contract as ``ivf_assign``),
+    while a width/dim mismatch raises per-row.
 
     Plan: the planes are literal arrays (driver-generated, no data
     pass), so assignment is one narrow projection -- no join, no
@@ -618,38 +625,40 @@ def lsh_assign(
         for c in bits[1:]:
             sig = sig + c
         sigs.append(sig.cast("long"))
+    # null contract (matches ivf_assign): a NULL or NULL-element vector
+    # has no defined signs, so it is DROPPED from the index -- not
+    # hashed into bucket 0 (the pre-fix behavior: a NULL dot gave
+    # when(NULL >= 0) -> otherwise -> bit 0 for every plane, silently
+    # funneling every degenerate vector into one shared bucket), and
+    # not raised either (a data defect in one row must not kill an
+    # index build over a trillion rows; ivf_assign sets the precedent
+    # and the oracle replays the same filter).  Width mismatch still
+    # RAISES below: that is a configuration error, not a data defect.
+    valid = embeddings.filter(
+        F.expr(
+            f"{vec_col} IS NOT NULL AND NOT exists({vec_col}, x -> x IS NULL)"
+        )
+    )
     # width guard: a vector shorter/longer than ``dim`` null-pads the
     # zip_with fold, silently zeroing EVERY bit (all vectors collapse
     # into one bucket and the ANN degrades to a full scan with no
     # error); raise per-row instead -- one JVM-side branch, no
-    # measurable cost when widths match.  A NULL embedding gets its own
-    # branch: size(NULL) is NULL, so the width WHEN-condition would be
-    # null and the row would fall into the width-mismatch error
-    # reporting "width NULL" -- name the actual defect instead
-    # (round-5 advice).
-    dim_ok = (
-        F.when(
-            F.col(vec_col).isNull()
-            | F.exists(F.col(vec_col), lambda x: x.isNull()),
-            F.raise_error(
-                F.lit("lsh_assign: null embedding (or null element)")
-            ),
-        )
-        .when(F.size(F.col(vec_col)) == dim, F.array(*sigs))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"lsh_assign: embedding width != dim={dim} "
-                        "(got width "
-                    ),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(")"),
-                )
+    # measurable cost when widths match.
+    dim_ok = F.when(
+        F.size(F.col(vec_col)) == dim, F.array(*sigs)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lsh_assign: embedding width != dim={dim} "
+                    "(got width "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
             )
         )
     )
-    return embeddings.select(
+    return valid.select(
         id_col, vec_col, F.posexplode(dim_ok).alias("tbl", "sig")
     )
 
@@ -1000,17 +1009,28 @@ def make_cosine_pandas_udf(query_vec: Sequence[float]):
     # hint strings can't be resolved by pandas_udf's inference (pd is a
     # local import); the explicit returnType form is unambiguous
     def cosine_to_query(batch):
-        mat = np.asarray(batch.tolist(), dtype=np.float64)  # batch x d
-        dots = mat @ q
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        den = norms * qn
-        # zero-norm -> NULL, matching the expression kernel's contract
-        # (pd.NA through the nullable Float64 dtype becomes an Arrow
-        # null; a bare NaN would be a valid double and sort FIRST)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = dots / den
-        out = pd.array(sims, dtype="Float64")
-        out[den == 0] = pd.NA
+        # whole-NULL rows must be masked BEFORE np.asarray: a None in
+        # the batch makes the array inhomogeneous and asarray raises,
+        # killing the task where the expression kernel returns NULL
+        notna = batch.notna().to_numpy()
+        out = pd.array([pd.NA] * len(batch), dtype="Float64")
+        if notna.any():
+            mat = np.asarray(
+                batch[notna].tolist(), dtype=np.float64
+            )  # valid x d; a None ELEMENT becomes NaN -> NaN sim -> NULL
+            dots = mat @ q
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            den = norms * qn
+            # zero-norm -> NULL, matching the expression kernel's
+            # contract (pd.NA through the nullable Float64 dtype becomes
+            # an Arrow null; a bare NaN would be a valid double and sort
+            # FIRST under DESC)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / den
+            sims[(den == 0) | np.isnan(sims)] = np.nan
+            vals = pd.array(sims, dtype="Float64")
+            vals[np.isnan(sims)] = pd.NA
+            out[notna] = vals
         return pd.Series(out)
 
     return pandas_udf(cosine_to_query, "double")
@@ -1034,9 +1054,21 @@ def matryoshka_recall(
     Both rankings are per-partition top-k + k-row driver merges
     (TakeOrderedAndProject, no global sort); the overlap is a k-row
     broadcast join.  Output is one row: (k, n_overlap, recall_pct).
+
+    Validity gates on the FULL vector for BOTH rankings: a vector with
+    a NULL element anywhere is excluded even when the NULL lies beyond
+    the prefix -- otherwise the prefix ranking would admit a vector the
+    full ranking cannot score, and the recall would compare rankings
+    over two different populations (review finding: Spark 90 vs oracle
+    100 on such a corpus before this filter).
     """
-    full = cosine_topk(embeddings, query_vec, k, id_col, vec_col).select(id_col)
-    pref_emb = embeddings.select(
+    valid = embeddings.filter(
+        F.expr(
+            f"{vec_col} IS NOT NULL AND NOT exists({vec_col}, x -> x IS NULL)"
+        )
+    )
+    full = cosine_topk(valid, query_vec, k, id_col, vec_col).select(id_col)
+    pref_emb = valid.select(
         id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias("__pref")
     )
     pref = cosine_topk(

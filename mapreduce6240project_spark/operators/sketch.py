@@ -422,10 +422,13 @@ def quantile_sketch_estimate(
     c = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(wall)
     )
+    # .limit() is a semantic no-op (the frame IS len(quantiles) rows)
+    # that makes the bound structural -- the cross join's broadcast
+    # build side carries a GlobalLimit node plan auditors can see
     qdf = spark.createDataFrame(
         sorted((k, int(round(v * 10000))) for k, v in quantiles.items()),
         "label string, q10k long",
-    )
+    ).limit(len(quantiles))
     rank = F.expr("CAST((q10k * total + 9999) div 10000 AS BIGINT)")
     hits = (
         c.crossJoin(F.broadcast(qdf))
@@ -479,10 +482,13 @@ def quantile_sketch_estimate_grouped(
     c = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(wall)
     )
+    # .limit() is a semantic no-op (the frame IS len(quantiles) rows)
+    # that makes the bound structural -- the cross join's broadcast
+    # build side carries a GlobalLimit node plan auditors can see
     qdf = spark.createDataFrame(
         sorted((k, int(round(v * 10000))) for k, v in quantiles.items()),
         "label string, q10k long",
-    )
+    ).limit(len(quantiles))
     rank = F.expr("CAST((q10k * total + 9999) div 10000 AS BIGINT)")
     hits = (
         c.crossJoin(F.broadcast(qdf))

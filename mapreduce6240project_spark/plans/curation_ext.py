@@ -316,7 +316,9 @@ comp AS (
   FROM idx
 ),
 planes AS (SELECT plane, list(val ORDER BY d) AS pv FROM comp GROUP BY plane),
-vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+         WHERE embedding IS NOT NULL
+           AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 bits AS (
   SELECT v.vec_id, p.plane // 6 AS tbl, p.plane % 6 AS bit,
          CASE WHEN list_dot_product(v.ev, p.pv) >= 0 THEN 1 ELSE 0 END AS b

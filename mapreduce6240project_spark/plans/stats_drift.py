@@ -1870,13 +1870,18 @@ def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, ["cents", "event_id"], rank_col="rn", total_col="n"
     ).select("cents", "rn", "n")
     ks = spark.range(1, 20).select(F.col("id").alias("k"))
+    # .limit(19): a true structural bound (one candidate per ventile k,
+    # deduped) the plan auditor can prove, not just the comment
     cand = (
         rk.crossJoin(F.broadcast(ks))
         .filter(F.col("rn") == F.expr("(n * k) div 20"))
         .select(F.col("cents").alias("q"))
         .distinct()
+        .limit(19)
     )
-    taus = spark.createDataFrame([(2500,), (5000,), (9000,)], "tau long")
+    taus = spark.createDataFrame(
+        [(2500,), (5000,), (9000,)], "tau long"
+    ).limit(3)
     loss = (
         v.crossJoin(F.broadcast(cand))
         .crossJoin(F.broadcast(taus))

@@ -50,9 +50,10 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "argmax (1 row per learned merge, vocab-bounded rounds)",
     ),
     "operators/dedup.py": (
-        2,
+        3,
         "adaptive pre-probe max group size + candidate-text byte probe "
-        "for the broadcast gate (1-row aggs)",
+        "for the broadcast gate + hot-bucket sample-probe max bucket "
+        "count (1-row aggs each)",
     ),
     "operators/clustering.py": (
         4,

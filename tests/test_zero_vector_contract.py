@@ -53,10 +53,21 @@ def poisoned_dir(tmp_path_factory):
     ids.append(40)
     vecs.append([x * 1.001 for x in _vec(3)])
     labels.append(1)
-    # the poison: zero-norm, whole-NULL, and NULL-element vectors
-    ids.extend([900, 901, 902])
-    vecs.extend([[0.0] * DIM, None, [0.1] * (DIM - 1) + [None]])
-    labels.extend([0, 1, 2])
+    # the poison: zero-norm, whole-NULL, and NULL-element vectors; 903
+    # is the adversarial matryoshka case -- its first 16 dims EQUAL the
+    # query's (prefix cosine 1.0, would top the prefix ranking) while a
+    # trailing NULL makes the full vector undefined, so both engines
+    # must exclude it from BOTH rankings, not just the full one
+    ids.extend([900, 901, 902, 903])
+    vecs.extend(
+        [
+            [0.0] * DIM,
+            None,
+            [0.1] * (DIM - 1) + [None],
+            _vec(0)[:16] + [0.2] * (DIM - 17) + [None],
+        ]
+    )
+    labels.extend([0, 1, 2, 0])
     tbl = pa.table(
         {
             "vec_id": pa.array(ids, pa.int64()),
@@ -88,8 +99,6 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-# lsh_assign raises on NULL vectors by contract, so ann_lsh_topk is
-# pinned separately below instead of replayed on the poisoned corpus
 REPLAY = [
     "embedding_topk",
     "embedding_range_search",
@@ -97,6 +106,7 @@ REPLAY = [
     "embedding_dup_pairs",
     "semantic_dedup",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "ann_recall_at10",
     "knn_graph_top3",
     "matryoshka_recall16",
@@ -149,7 +159,7 @@ def test_pandas_udf_cosine_null_on_zero_norm(spark):
     )
 
     emb = spark.createDataFrame(
-        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, None), (3, [1.0, None])],
         "vec_id long, embedding array<double>",
     )
     udf = make_cosine_pandas_udf([1.0, 0.0])
@@ -158,7 +168,9 @@ def test_pandas_udf_cosine_null_on_zero_norm(spark):
         for r in emb.select("vec_id", udf("embedding").alias("sim")).collect()
     }
     assert rows[0] == pytest.approx(1.0)
-    assert rows[1] is None  # NULL, not NaN
+    # zero-norm, whole-NULL (would crash np.asarray un-masked), and
+    # NULL-element all map to NULL -- never NaN, never a task kill
+    assert rows[1] is None and rows[2] is None and rows[3] is None
 
 
 def test_ivf_assign_paths_drop_nulls_identically(spark):
@@ -196,11 +208,22 @@ def test_mmr_skips_zero_norm_and_survives_all_zero_pool(spark):
     assert mmr_select(all_zero, [1.0, 0.0], k=2).count() == 0
 
 
-def test_lsh_assign_null_embedding_names_the_defect(spark):
+def test_lsh_assign_drops_null_vectors_raises_on_width(spark):
+    """NULL / NULL-element vectors are DROPPED from the LSH index (no
+    defined signs; same exclusion contract as ivf_assign -- previously
+    they silently hashed into bucket 0).  A width/dim mismatch is a
+    configuration error and still raises per-row."""
     from mapreduce6240project_spark.operators.similarity import lsh_assign
 
     emb = spark.createDataFrame(
-        [(0, None)], "vec_id long, embedding array<double>"
+        [(0, [1.0, -1.0]), (1, None), (2, [1.0, None])],
+        "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception, match="null embedding"):
-        lsh_assign(emb, dim=2).collect()
+    got = lsh_assign(emb, n_tables=2, n_bits=2, dim=2).collect()
+    assert {r.vec_id for r in got} == {0}
+
+    bad_width = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="width"):
+        lsh_assign(bad_width, dim=2).collect()

@@ -142,6 +142,12 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("quantile_normalize_doclen", "bnlj_unbounded_build"):
         "banded rank->bucket range join against the BROADCAST ~512-row "
         "cumulative sketch table",
+    # -- partition-count grain: the offsets window walks one row per
+    #    shuffle partition, bounded by cluster configuration
+    ("stable_doc_ids", "global_window_unbounded"):
+        "stratum_order_stats offsets window over the per-pid count "
+        "aggregate (#partitions rows; surfaced when RDDScanExec stopped "
+        "counting as bounded)",
 }
 
 AGG_CLASSES = (
@@ -150,17 +156,14 @@ AGG_CLASSES = (
     "ObjectHashAggregateExec",
 )
 # LocalTableScan/LocalRelation: literal rows planned on the driver.
-# RDDScanExec: createDataFrame over driver-collected state -- bounded
-# by the same audited collect caps as every driver round-trip in this
-# repo (a frame that large would have failed at collect time, not at
-# the join).  EXCEPT: operators/prefix.distributed_prefix pins its
-# FULL-SIZE range exchange with localCheckpoint, which also surfaces as
-# an RDDScanExec -- treating that as bounded would blind the lint to
-# any unpartitioned window placed over a prefix output.  The two are
-# distinguishable: the checkpoint preserves the exchange's
-# RangePartitioning (the property the offsets depend on), while a
-# driver-built dataset always scans with unknown partitioning --
-# see _rdd_scan_bounded.
+# RDDScanExec is NOT in this list: it is emitted both by
+# createDataFrame over driver-collected state (bounded by the audited
+# collect caps) and by every localCheckpoint in the repo -- which pin
+# FULL-SIZE frames (prefix/ranking range exchanges, graph iteration
+# state, BPE corpus sequences).  The plan JSON cannot tell the two
+# apart (both scan an "ExistingRDD" with unknown partitioning), so the
+# sound default is UNBOUNDED; genuinely driver-built sides that feed a
+# flagged node get an explicit WHITELIST waiver naming their cap.
 LOCAL_CLASSES = ("LocalTableScanExec", "LocalRelation")
 #: a literal spark.range(n) below this row count is a bounded side
 RANGE_BOUND = 1_000_000
@@ -199,18 +202,6 @@ def cls(node: dict) -> str:
     return node.get("class", "").rsplit(".", 1)[-1]
 
 
-def _rdd_scan_bounded(node: dict) -> bool:
-    """RDDScanExec is bounded iff it is driver-built (createDataFrame
-    over collect-audited state).  The one other producer of RDDScanExec
-    in this repo is operators/prefix.distributed_prefix's
-    localCheckpoint of the FULL-SIZE range exchange, whose scan output
-    always carries the synthetic ``_pid`` partition-id column (the
-    offsets are keyed on it, so it cannot be renamed without breaking
-    the operator -- a stable marker).  Anything carrying ``_pid`` is
-    treated as unbounded."""
-    return '"name": "_pid"' not in json.dumps(node.get("output", ""))
-
-
 def subtree_bounded(tree) -> bool:
     """Sufficient structural bound: a no-grouping aggregate (1 row) or
     a driver-built local relation anywhere below."""
@@ -220,8 +211,6 @@ def subtree_bounded(tree) -> bool:
             if not node.get("groupingExpressions"):
                 return True
         if c in LOCAL_CLASSES:
-            return True
-        if c == "RDDScanExec" and _rdd_scan_bounded(node):
             return True
         if c == "RangeExec":
             try:
@@ -304,23 +293,67 @@ WAIVER_SUBSTANTIATION_EXEMPT: frozenset[tuple[str, str]] = frozenset(
 )
 
 
+#: cardinality-preserving-or-reducing unary nodes a grain claim may
+#: legitimately sit behind: the walk descends through these to find the
+#: aggregate the window/build side actually consumes.  Joins, unions,
+#: generates (explode) change cardinality and stop the walk -- an
+#: aggregate BELOW one of those does not bound the flagged node.
+_GRAIN_PASS_THROUGH = (
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "CoalesceExec",
+    "ShuffleExchangeExec",
+    "BroadcastExchangeExec",
+    "AQEShuffleReadExec",
+    "WindowExec",
+    "WindowGroupLimitExec",
+    "ColumnarToRowExec",
+    "RowToColumnarExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+)
+
+
+#: nodes whose output cardinality is a FUNCTION of bounded inputs
+#: (product for joins, sum for unions) -- a grain claim holds through
+#: them iff EVERY child's chain substantiates.
+_GRAIN_COMBINE = (
+    "BroadcastHashJoinExec",
+    "SortMergeJoinExec",
+    "ShuffledHashJoinExec",
+    "BroadcastNestedLoopJoinExec",
+    "CartesianProductExec",
+    "UnionExec",
+)
+
+
 def waiver_substantiated(subtree) -> bool:
-    """Every non-exempt WHITELIST waiver claims its flagged side is some
+    """Every non-exempt WHITELIST waiver claims its flagged side IS some
     GRAIN AGGREGATE (per-day, per-bin, per-bucket, per-label...) whose
-    cardinality is domain-bounded.  This check verifies that the claimed
-    mechanism is actually present in the plan -- a grouping aggregate
-    (or a structural bound) somewhere in the flagged subtree -- so a
-    refactor that silently removes the aggregate (leaving the window /
-    build side walking raw rows) fails the lint instead of hiding
-    behind stale waiver text (round-5 verdict item 8).  It deliberately
-    does NOT re-prove the row bound (that is the waiver's written,
+    cardinality is domain-bounded.  This check verifies the claimed
+    mechanism is actually what the flagged node consumes: walking down
+    from the flagged node through cardinality-preserving unary nodes,
+    every chain must reach a grouping aggregate (or a structural bound)
+    BEFORE any node that changes cardinality in an unbounded way
+    (generate/explode, raw scan).  Joins and unions of substantiated
+    sides substantiate (product/sum of bounded grains -- the day x day
+    slope pairings); an aggregate merely buried below an arbitrary
+    subtree does NOT (review finding: a per-customer aggregate under a
+    join says nothing about the window's grain).  It deliberately does
+    NOT re-prove the row bound (that is the waiver's written,
     human-triaged claim); it proves the plan still has the shape the
-    claim describes."""
-    if subtree_bounded(subtree):
+    claim describes (round-5 verdict item 8)."""
+    node, kids = subtree
+    c = cls(node)
+    if c in AGG_CLASSES and node.get("groupingExpressions"):
         return True
-    for node, _ in iter_nodes(subtree):
-        if cls(node) in AGG_CLASSES and node.get("groupingExpressions"):
-            return True
+    if subtree_bounded((node, [])):
+        return True
+    if c in _GRAIN_PASS_THROUGH and len(kids) == 1:
+        return waiver_substantiated(kids[0])
+    if c in _GRAIN_COMBINE and kids:
+        return all(waiver_substantiated(k) for k in kids)
     return False
 
 
