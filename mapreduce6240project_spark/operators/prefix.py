@@ -57,16 +57,18 @@ _live: list[DataFrame] = []
 def _release_frame(f: DataFrame) -> None:
     """Free a tracked frame's storage.  A localCheckpoint'ed frame is
     NOT registered with the CacheManager (its persistence is RDD-level
-    inside the LogicalRDD), so ``DataFrame.unpersist`` would be a
+    inside the LogicalRDD), so ``DataFrame.unpersist`` alone would be a
     silent no-op and the full-size checkpoint blocks would linger until
     JVM GC -- reach the underlying RDD through the analyzed plan and
-    unpersist it directly; plain-persisted frames (cache_tracked) take
-    the normal unpersist path."""
+    unpersist it directly.  BOTH releases always run: a cache_tracked
+    frame can itself root at a LogicalRDD (createDataFrame /
+    checkpoint output), in which case it holds a CacheManager entry AND
+    an RDD-level block set, and an early return after the RDD release
+    would leak the cache entry for the whole session (review finding)."""
     try:
         plan = f._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith("LogicalRDD"):
             plan.rdd().unpersist(False)
-            return
     except Exception:
         pass
     f.unpersist()

@@ -51,6 +51,19 @@ def cosine(a, b) -> Column:
     return F.when(den != 0, _dot(a, b) / den)
 
 
+def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose vector is DEFINED: non-NULL with no NULL elements.
+    The one shared exclusion filter behind the NULL-cosine contract --
+    every index/ranking operator (ivf_assign, lsh_assign,
+    matryoshka_recall, ivf_centroids seeding) and every oracle CTE must
+    apply exactly this predicate, so it lives in one place (a contract
+    tweak applied to one operator but not the others would silently
+    diverge index populations).  Column-API form (``F.exists``), so no
+    string quoting of ``vec_col`` is needed."""
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & ~F.exists(c, lambda x: x.isNull()))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -367,12 +380,7 @@ def ivf_centroids(
     # assigned -- _int_vec(null) is null and would crash the seed
     # materialization below (self-review finding); the local path's
     # gate already excludes them the same way
-    valid = embeddings.filter(
-        F.expr(
-            f"{vec_col} IS NOT NULL"
-            f" AND NOT exists({vec_col}, x -> x IS NULL)"
-        )
-    )
+    valid = _valid_vectors(embeddings, vec_col)
     qv = valid.select(
         F.col(id_col).alias("_id"), _int_vec(vec_col).alias("_iv")
     ).persist()
@@ -497,11 +505,7 @@ def ivf_assign(
         centroids = ivf_centroids(embeddings, n_cells, iters, id_col, vec_col)
     if use_pandas is None:
         use_pandas = len(centroids) >= _PANDAS_ASSIGN_MIN_CELLS
-    valid = embeddings.filter(
-        F.expr(
-            f"{vec_col} IS NOT NULL AND NOT exists({vec_col}, x -> x IS NULL)"
-        )
-    )
+    valid = _valid_vectors(embeddings, vec_col)
     if use_pandas:
         return embeddings.join(
             _ivf_assign_pandas(valid, centroids, id_col, vec_col), id_col
@@ -634,11 +638,7 @@ def lsh_assign(
     # index build over a trillion rows; ivf_assign sets the precedent
     # and the oracle replays the same filter).  Width mismatch still
     # RAISES below: that is a configuration error, not a data defect.
-    valid = embeddings.filter(
-        F.expr(
-            f"{vec_col} IS NOT NULL AND NOT exists({vec_col}, x -> x IS NULL)"
-        )
-    )
+    valid = _valid_vectors(embeddings, vec_col)
     # width guard: a vector shorter/longer than ``dim`` null-pads the
     # zip_with fold, silently zeroing EVERY bit (all vectors collapse
     # into one bucket and the ANN degrades to a full scan with no
@@ -1027,9 +1027,9 @@ def make_cosine_pandas_udf(query_vec: Sequence[float]):
             # FIRST under DESC)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = dots / den
-            sims[(den == 0) | np.isnan(sims)] = np.nan
+            bad = (den == 0) | np.isnan(sims)
             vals = pd.array(sims, dtype="Float64")
-            vals[np.isnan(sims)] = pd.NA
+            vals[bad] = pd.NA
             out[notna] = vals
         return pd.Series(out)
 
@@ -1062,11 +1062,7 @@ def matryoshka_recall(
     over two different populations (review finding: Spark 90 vs oracle
     100 on such a corpus before this filter).
     """
-    valid = embeddings.filter(
-        F.expr(
-            f"{vec_col} IS NOT NULL AND NOT exists({vec_col}, x -> x IS NULL)"
-        )
-    )
+    valid = _valid_vectors(embeddings, vec_col)
     full = cosine_topk(valid, query_vec, k, id_col, vec_col).select(id_col)
     pref_emb = valid.select(
         id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias("__pref")

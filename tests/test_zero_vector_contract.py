@@ -4,14 +4,17 @@
 Contract: an undefined cosine (zero-norm, NULL, or NULL-element vector)
 is NULL -- never NaN.  NULL fails every ``>= threshold`` filter and is
 excluded from top-k rankings, so a degenerate embedding can never top a
-ranking or pair with everything in its bucket.  ``ivf_assign`` drops
-NULL / NULL-element vectors identically on its expression and Arrow
-paths.  ``lsh_assign`` raises (a hash over undefined signs would
-silently collapse buckets).
+ranking or pair with everything in its bucket.  ``ivf_assign`` AND
+``lsh_assign`` DROP NULL / NULL-element vectors identically on their
+expression, Arrow, and oracle paths (a hash over undefined signs would
+otherwise silently collapse every degenerate vector into bucket 0);
+only a width/dim mismatch raises -- that is a configuration error, not
+a data defect.
 
 The registry replay below runs the REAL queries()/oracle_sql() pairs on
 a poisoned corpus (zero vector + whole-NULL vector + NULL-element
-vector) -- Spark vs DuckDB must agree row-for-row, which is exactly the
+vector + a prefix-aligned vector whose NULL lies beyond the matryoshka
+prefix) -- Spark vs DuckDB must agree row-for-row, which is exactly the
 check the external driver would run if the testdata grew a degenerate
 embedding.
 """

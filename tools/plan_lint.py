@@ -361,6 +361,11 @@ PROFILE_CLASSES = {
     "ShuffleExchangeExec": "exchanges",
     "BroadcastExchangeExec": "broadcasts",
     "FileSourceScanExec": "scans",
+    # a warm session-cache can substitute an in-memory scan for the
+    # file scan at capture time; count it as a scan so the profile row
+    # reflects the query's read, not transient cache state (review
+    # finding: range_scan_features profiled as zero-scan)
+    "InMemoryTableScanExec": "scans",
     "BroadcastHashJoinExec": "bhj",
     "SortMergeJoinExec": "smj",
     "ShuffledHashJoinExec": "shj",
@@ -457,16 +462,23 @@ def main() -> int:
                 f"{extra}{note}"
             )
         # release anything a builder cached (adaptive ops persist);
-        # also empty the dedup/prefix trackers so handles don't pile up
+        # also empty the dedup/prefix trackers and the feature-store
+        # singleton so each query is captured against cold cache state
+        # (a warm feature store swaps InMemoryTableScan for the file
+        # scan and hides the real plan shape)
         from mapreduce6240project_spark.operators.dedup import (
             release_dedup_caches,
         )
         from mapreduce6240project_spark.operators.prefix import (
             release_prefix_caches,
         )
+        from mapreduce6240project_spark.sources.tweets import (
+            release_feature_store,
+        )
 
         release_dedup_caches()
         release_prefix_caches()
+        release_feature_store(spark)
         spark.catalog.clearCache()
 
     print(
