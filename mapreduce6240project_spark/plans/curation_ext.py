@@ -515,7 +515,13 @@ def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize",
     """
 SELECT vec_id,
-       CAST(CASE WHEN ma = 0 THEN 0 ELSE
+       CAST(CASE
+         -- a NULL element makes the checksum undefined: DuckDB's
+         -- list_sum would SKIP the null while Spark's fold propagates
+         -- it, so the NULL must be explicit for cross-engine parity
+         WHEN ev IS NULL OR len(list_filter(ev, x -> x IS NULL)) > 0
+           THEN NULL
+         WHEN ma = 0 THEN 0 ELSE
          list_sum(list_transform(ev, x -> CAST(floor(x * 127 / ma + 0.5) AS BIGINT)))
        END AS BIGINT) AS qsum,
        floor(ma / 127 * 10000 + 0.5) / 10000.0 AS scale

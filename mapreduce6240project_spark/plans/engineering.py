@@ -317,9 +317,13 @@ def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
     cos_ms = _DCOS.format(a="m.ev", b="s.ev")
     parts = [
         f"""
-WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 q AS (SELECT ev AS qv FROM vecs WHERE vec_id = 0),
-rel AS (SELECT vec_id, ev, {_DCOS.format(a="ev", b="qv")} AS rel FROM vecs, q),
+rel AS (SELECT * FROM (
+          SELECT vec_id, ev, {_DCOS.format(a="ev", b="qv")} AS rel FROM vecs, q)
+        WHERE rel IS NOT NULL),
 s1 AS (SELECT vec_id, ev, rel, rel AS score
        FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
 m1 AS (SELECT r.vec_id, r.ev, r.rel, {cos_rs} AS msim

@@ -1193,8 +1193,11 @@ sims AS (
                                   CAST(embedding AS DOUBLE[])))
             * sqrt(list_dot_product(qv, qv))) AS s
   FROM embeddings, q
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
-mx AS (SELECT label, round(max(s), 4) AS max_sim FROM sims GROUP BY 1)
+mx AS (SELECT label, round(max(s), 4) AS max_sim
+       FROM sims WHERE s IS NOT NULL GROUP BY 1)
 SELECT label, max_sim,
        CAST(row_number() OVER (ORDER BY max_sim DESC, label) AS BIGINT) AS rk
 FROM mx""",
@@ -1210,6 +1213,11 @@ def q_label_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in qv])
     mx = (
         emb.select("label", cosine("embedding", q).alias("s"))
+        # undefined cosine rows can't contribute a max-sim, and a label
+        # whose EVERY member is undefined has no defined score at all:
+        # drop the rows (not just rely on max() skipping NULL) so the
+        # label set matches the oracle's filtered scan
+        .filter(F.col("s").isNotNull())
         .groupBy("label")
         .agg(F.round(F.max("s"), 4).alias("max_sim"))
     )
@@ -1367,11 +1375,13 @@ sims AS (
             * sqrt(list_dot_product(q.qv, q.qv))) AS s,
          q.qlabel
   FROM embeddings e, q WHERE e.vec_id <> 0
+    AND e.embedding IS NOT NULL
+    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
 ),
 rk AS (
   SELECT label, qlabel,
          row_number() OVER (ORDER BY s DESC, vec_id) AS rank
-  FROM sims
+  FROM sims WHERE s IS NOT NULL
 )
 SELECT CAST(min(CASE WHEN label = qlabel THEN rank END) AS BIGINT)
          AS first_rel_rank,
@@ -1395,7 +1405,7 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in qv])
     sims = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", cosine("embedding", q).alias("s")
-    )
+    ).filter(F.col("s").isNotNull())  # undefined sims are unrankable
     # rank-free formulation (plan-lint fix): the unpartitioned
     # row_number window pulled every similarity through one task.  The
     # first relevant rank equals 1 + the count of rows ordered strictly
@@ -1487,11 +1497,13 @@ sims AS (
             * sqrt(list_dot_product(q.qv, q.qv))) AS s,
          q.qlabel
   FROM embeddings e, q WHERE e.vec_id <> 0
+    AND e.embedding IS NOT NULL
+    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
 ),
 rk AS (
   SELECT label, qlabel,
          row_number() OVER (ORDER BY s DESC, vec_id) AS rank
-  FROM sims
+  FROM sims WHERE s IS NOT NULL
 ),
 agg AS (
   SELECT
@@ -1519,7 +1531,7 @@ def q_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in qv])
     sims = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", cosine("embedding", q).alias("s")
-    )
+    ).filter(F.col("s").isNotNull())  # undefined sims are unrankable
     # plan-lint fix: DCG weights only exist for ranks <= 10, so rank
     # inside the TakeOrdered top-10 (a 10-row frame bounded by the
     # limit) instead of an unpartitioned row_number over every

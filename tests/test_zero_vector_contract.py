@@ -113,6 +113,16 @@ REPLAY = [
     "ann_recall_at10",
     "knn_graph_top3",
     "matryoshka_recall16",
+    # the remaining cosine/IVF consumers: recall/balance audits, MMR,
+    # label retrieval metrics, int8 quantization
+    "ivf_recall_curve",
+    "ivf_cell_balance",
+    "hard_negatives_cells",
+    "mmr_select_diverse",
+    "label_maxsim_rank",
+    "retrieval_mrr_at10",
+    "ndcg_at10",
+    "embedding_quantize",
 ]
 
 
