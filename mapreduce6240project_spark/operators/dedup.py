@@ -175,13 +175,23 @@ def shingles(col, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array<string>.  Documents shorter than
     ``n`` tokens yield one shingle: their whole normalized text.  (The
     short-doc branch must be explicit -- Spark's ``sequence(1, 0)`` is a
-    *descending* [1, 0], not empty.)"""
+    *descending* [1, 0], not empty.)
+
+    A NULL text yields NULL (no shingles -- the row simply never enters
+    any shingle join), NOT the empty-string shingle: the previous
+    unconditional ``otherwise(concat_ws(...))`` branch turned NULL into
+    ``""`` because ``concat_ws`` skips NULL inputs, which made every
+    NULL-text document a Jaccard-1.0 twin of every EMPTY document while
+    the SQL oracles (``string_split(NULL)`` -> no unnested rows) never
+    paired it (dirty-text contract finding).  Empty/whitespace-only
+    texts keep their ``[""]`` shingle -- both engines agree those are
+    mutual duplicates."""
     toks = tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ).when(toks.isNotNull(), F.array(F.concat_ws(" ", toks)))
 
 
 # ---------------------------------------------------------------------------

@@ -60,8 +60,12 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     scores = [_marker_hits(text_col, LANG_MARKERS[l]) for l in langs]
     arr = F.array(*scores)
     best = F.array_position(arr, F.array_max(arr)).cast("int")  # 1-based first max
+    # NULL text -> NULL marker scores; coalesce to 0 so the row lands in
+    # the 'unknown' branch like the oracle, instead of falling through
+    # the null WHEN-condition into an arbitrary argmax (dirty-text
+    # contract finding: a NULL document classified as 'de')
     pred = (
-        F.when(F.array_max(arr) <= 0, F.lit("unknown"))
+        F.when(F.coalesce(F.array_max(arr), F.lit(0)) <= 0, F.lit("unknown"))
         .otherwise(F.element_at(F.array(*[F.lit(l) for l in langs]), best))
     )
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
@@ -97,13 +101,21 @@ def quality_score(
     # multiply+round), but floor(x*1e4 + 0.5) is the same IEEE arithmetic
     # everywhere -- keeps the oracle hash-exact
     score = F.floor(raw_score * 10000 + F.lit(0.5)) / 10000.0
+    # NULL text -> every feature NULL (dirty-text contract): the naive
+    # expressions half-evaluate on NULL input (Spark least()/greatest()
+    # SKIP nulls, so len_band's otherwise-0.7 leaked a 0.58 "quality"
+    # for a document with no text, while DuckDB's null-skipping
+    # least/greatest produced a different 0.28) -- an undefined
+    # document must not carry a plausible-looking score in either
+    # engine
+    defined = F.col(text_col).isNotNull()
     return docs.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        avg_word_len.alias("avg_word_len"),
-        score.alias("quality"),
+        F.when(defined, n_tok).alias("n_tokens"),
+        F.when(defined, punct_ratio).alias("punct_ratio"),
+        F.when(defined, stop_ratio).alias("stopword_ratio"),
+        F.when(defined, avg_word_len).alias("avg_word_len"),
+        F.when(defined, score).alias("quality"),
     )
 
 

@@ -388,11 +388,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_quality",
     f"""
-SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_word_len,
-  floor((len_band * 0.4 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
-         + least(stopword_ratio * 3, 1.0) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+SELECT doc_id,
+  CASE WHEN _tnull THEN NULL ELSE n_tokens END AS n_tokens,
+  CASE WHEN _tnull THEN NULL ELSE punct_ratio END AS punct_ratio,
+  CASE WHEN _tnull THEN NULL ELSE stopword_ratio END AS stopword_ratio,
+  CASE WHEN _tnull THEN NULL ELSE avg_word_len END AS avg_word_len,
+  -- NULL text -> NULL everywhere (dirty-text contract): DuckDB's
+  -- null-skipping least()/greatest() would otherwise score a textless
+  -- document 0.28 while Spark's scored it 0.58
+  CASE WHEN _tnull THEN NULL ELSE
+    floor((len_band * 0.4 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+           + least(stopword_ratio * 3, 1.0) * 0.3) * 10000 + 0.5) / 10000.0
+  END AS quality
 FROM (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id, _tnull, n_tokens,
     round(n_punct / greatest(n_chars_norm, 1), 4) AS punct_ratio,
     round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
     round(CAST(n_chars_norm - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1), 4)
@@ -401,6 +410,7 @@ FROM (
          WHEN n_chars_norm < 2000 THEN 1.0 ELSE 0.7 END AS len_band
   FROM (
     SELECT doc_id,
+      text IS NULL AS _tnull,
       length({_NORM}) AS n_chars_norm,
       {_NTOK} AS n_tokens,
       length({_NORM}) - length(regexp_replace({_NORM}, '[^a-z0-9 ]', '', 'g'))

@@ -83,6 +83,7 @@ WITH ranked AS (
            AS rn,
          count(*) OVER (PARTITION BY lang) AS n
   FROM documents
+  WHERE n_chars IS NOT NULL
 )
 SELECT doc_id, lang,
        CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
@@ -93,8 +94,15 @@ FROM ranked""",
     "range-exchange + pid-offsets helper, no per-lang window funnel",
 )
 def q_doc_size_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+    # a NULL size has no defined percentile -- and the engines disagree
+    # on where bare ASC puts NULLs (Spark first, DuckDB last), so an
+    # unfiltered NULL row would shift EVERY rank in its stratum by one
+    # (dirty-text contract finding); exclusion on both sides is the
+    # only cross-engine-stable contract
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
     )
     ranked = stratum_order_stats(
         docs, strata=["lang"], order=["n_chars", "doc_id"]
