@@ -22,9 +22,13 @@ def tumbling_window(
     width_s: int = 600,
 ) -> DataFrame:
     """Tumbling count/sum per (window, event_type).  ``F.window`` is the
-    native operator; epoch-aligned, one shuffle (partial agg first)."""
+    native operator; epoch-aligned, one shuffle (partial agg first).
+    NULL-timestamp events are excluded -- they cannot be windowed
+    (``F.window`` drops them anyway; the explicit filter makes the
+    contract visible and keeps the SQL oracle's WHERE equivalent)."""
     return (
-        events.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, width).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), stable_sum_micros("value").alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -42,11 +46,13 @@ def sliding_window(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Sliding (hopping) window counts: each event lands in
-    width/slide windows."""
+    width/slide windows.  NULL-timestamp events are excluded (see
+    tumbling_window)."""
     from mapreduce6240project_spark.functions.numeric import stable_avg_cents
 
     return (
-        events.groupBy(F.window(ts_col, width, slide).alias("w"))
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, width, slide).alias("w"))
         .agg(F.count("*").alias("n"), stable_avg_cents("value").alias("avg_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -77,6 +83,11 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(ts_col)
     us = F.unix_micros(F.col(ts_col))
     gap_us = gap_s * 1_000_000
+    # NULL-timestamp events have no place in a time-ordered session --
+    # and the engines disagree on where bare ASC puts NULLs (Spark
+    # first, DuckDB last), so an unfiltered NULL row would shift every
+    # session boundary for its user (dirty-events contract finding)
+    events = events.filter(F.col(ts_col).isNotNull())
     flagged = events.withColumn(
         "_new",
         F.when(us - F.lag(us).over(w) >= gap_us, 1).when(

@@ -83,6 +83,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH o AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE ts IS NOT NULL
 ),
 f AS (
   SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000
@@ -108,7 +109,8 @@ GROUP BY 1, 2 ORDER BY n DESC, src, dst LIMIT 20""",
     "top-k via TakeOrderedAndProject",
 )
 def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events have no session position (dirty-events contract)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
     new = (

@@ -1222,7 +1222,7 @@ WITH g AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
                                  ORDER BY ts, event_id) AS prev_us
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id, event_type,
        CAST(count(*) AS BIGINT) AS n_total,
@@ -1234,8 +1234,15 @@ FROM g GROUP BY 1, 2""",
     "unlike fingerprint dedup",
 )
 def q_events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    # NULL-ts events cannot be throttled: no arrival order (dirty-events
+    # contract; Spark sorted the NULL first, DuckDB last, flipping which
+    # occurrence was "kept")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+        )
     )
     g = ev.select(
         "user_id",

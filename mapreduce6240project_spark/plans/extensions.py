@@ -786,7 +786,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TUMBLING_ORACLE = """
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
        event_type, count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
-FROM events GROUP BY 1, 2"""
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"""
 
 
 @_register(
@@ -805,7 +805,7 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH agg AS (
   SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket,
          event_type AS k, count(*) AS n, round(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4) AS sum_value
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
 spine AS (
@@ -833,6 +833,7 @@ SELECT window_start, count(*) AS n,
 FROM (
   SELECT CAST(floor(epoch(ts) / 300) * 300 - off * 300 AS BIGINT) AS window_start, value
   FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+  WHERE ts IS NOT NULL
 )
 GROUP BY window_start""",
     ref="extension: sliding/hopping window (F.window width+slide)",
@@ -849,7 +850,8 @@ WITH flagged AS (
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_s
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
   SELECT user_id, us,
@@ -890,7 +892,8 @@ WITH flagged AS (
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_s
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
   SELECT user_id, us,

@@ -392,14 +392,18 @@ SELECT event_id,
        round(sum(CAST(round(value * 100) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) / 100.0, 4) AS running_value
-FROM events""",
+FROM events WHERE ts IS NOT NULL""",
     ref="window analytics: per-key running sum (lag/lead family; "
     "cent-quantized for float-order stability)",
 )
 def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL-timestamp event has no position in the running order, and
+    # bare ASC places NULLs first in Spark / last in DuckDB -- one such
+    # row would shift every prefix sum for its user (dirty-events
+    # contract); exclusion is the only cross-engine-stable contract
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
