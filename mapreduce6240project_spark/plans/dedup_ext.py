@@ -949,7 +949,7 @@ WITH rk AS (
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_c,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS r
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ), per_cust AS (
   SELECT o_custkey,
          max(CASE WHEN r = 1 THEN v_c END) AS first_c,
@@ -978,7 +978,12 @@ FROM s""",
 def q_first_order_vs_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    # an undated order cannot be anyone's FIRST order, and the engines
+    # order NULL dates oppositely (dirty-tpch contract): exclude it
+    # from the first-vs-LTV analysis on both sides
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     rk = o.select(
         "o_custkey",
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(

@@ -2017,6 +2017,7 @@ WITH fd AS (
          date_diff('day', CAST(o.o_orderdate AS DATE),
                    CAST(l.l_shipdate AS DATE)) AS days
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
 ),
 c AS (SELECT prio, days, count(*) AS n FROM fd GROUP BY 1, 2),
 cum AS (
@@ -2045,7 +2046,7 @@ def q_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("days"),
-    )
+    ).filter(F.col("days").isNotNull())  # NULL dates: no fill interval
     c = fd.groupBy("prio", "days").agg(F.count(F.lit(1)).alias("n"))
     cum = c.select(
         "prio",
@@ -2120,7 +2121,7 @@ WITH per_cust AS (
                    CAST(max(max(o_orderdate)) OVER () AS DATE)) AS recency_d,
          count(*) AS freq,
          sum({_CENTS}) AS monetary_c
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ), scored AS (
   SELECT ntile(5) OVER (ORDER BY recency_d, o_custkey) AS r_q,
          ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
@@ -2146,8 +2147,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_rank,
     )
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
+    # an order with no customer key belongs to no RFM segment, and its
+    # NULL key is an ordering wildcard the engines place oppositely in
+    # the quintile ranks (dirty-tpch contract)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .filter(F.col("o_custkey").isNotNull())
     )
     base = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
@@ -2343,7 +2349,8 @@ WITH fulfill AS (
   SELECT f.ship_d AS day, -1 AS delta
   FROM orders o JOIN fulfill f ON o.o_orderkey = f.l_orderkey
 ), by_day AS (
-  SELECT day, sum(delta) AS net FROM deltas GROUP BY 1
+  SELECT day, sum(delta) AS net FROM deltas
+  WHERE day IS NOT NULL GROUP BY 1
 )
 SELECT CAST(day AS VARCHAR) AS day,
        CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS backlog
@@ -2370,6 +2377,10 @@ def q_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_day = (
         opened.unionByName(closed)
+        # NULL event days (NULL order date / all-NULL ship dates) have
+        # no place on the backlog timeline; the engines order NULL days
+        # oppositely in the prefix sum (dirty-tpch contract)
+        .filter(F.col("day").isNotNull())
         .groupBy("day")
         .agg(F.sum("delta").alias("net"))
     )
@@ -2733,7 +2744,7 @@ WITH m AS (
   SELECT year(CAST(o_orderdate AS DATE)) * 12
            + month(CAST(o_orderdate AS DATE)) AS mon,
          sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ), g AS (
   SELECT mon, rev_c, lag(rev_c) OVER (ORDER BY mon) AS prev_c
   FROM m
@@ -2746,7 +2757,12 @@ FROM g WHERE prev_c IS NOT NULL""",
     "integer month index, lag over the bounded month dimension",
 )
 def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # a NULL order date has no month: it would form a phantom NULL-month
+    # group that the lag walk orders differently per engine
+    # (dirty-tpch contract)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     m = (
         o.select(
             (
