@@ -1091,7 +1091,7 @@ def q_null_safe_prop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH counts AS (
   SELECT user_id, event_type, count(*) AS n
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type
 )
 SELECT user_id,
        string_agg(event_type || ':' || n, ',' ORDER BY event_type)
@@ -1102,7 +1102,12 @@ FROM counts GROUP BY user_id""",
     "iteration order cannot flip the hash",
 )
 def q_event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL event type has no map key: Spark's concat_ws would render
+    # it as a bare count while DuckDB's string_agg silently drops the
+    # NULL concat (dirty-events contract) -- exclude on both sides
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     return counts.groupBy("user_id").agg(
         F.array_join(
@@ -1405,8 +1410,9 @@ def q_python_datasource_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "props_variant_deciles",
     """
-SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
-         AS decile,
+SELECT CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END // 10 AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n
 FROM events
 GROUP BY 1""",
@@ -1416,7 +1422,10 @@ GROUP BY 1""",
 )
 def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json: a malformed props row must land in the NULL
+    # decile, not kill the scan (parse_json is FAILFAST; one bad row in
+    # a trillion would abort the job -- dirty-events contract)
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         ev.select(k.alias("k"))
         .select(F.expr("k div 10").cast("bigint").alias("decile"))
@@ -1431,7 +1440,8 @@ WITH flagged AS (
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_s
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
   SELECT user_id, event_id, event_type, us,
@@ -1461,8 +1471,13 @@ FROM paths GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
     "corpus top-10; same session CTE family as session_window",
 )
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    # NULL-ts events have no session position (dirty-events contract)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+        )
     )
     flagged = ev.select(
         "user_id",

@@ -420,7 +420,12 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_stats",
     """
 SELECT event_type,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       -- json_valid guard: DuckDB's json_extract THROWS on malformed
+       -- JSON while Spark's get_json_object returns NULL; the guard
+       -- makes both engines average over parseable rows only
+       round(avg(CASE WHEN props IS NOT NULL AND json_valid(props)
+                      THEN CAST(json_extract_string(props, '$.k') AS INT)
+                 END), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type""",
     ref="semi-structured column: JSON path extraction over the props field",

@@ -107,6 +107,11 @@ REPLAY = [
     "events_throttle_1h",
     "user_active_streaks",
     "dau_wau_stickiness",
+    # props JSON family (fixture carries NULL and malformed props)
+    "props_json_stats",
+    "event_props_map",
+    "props_variant_deciles",
+    "session_path_top10",
 ]
 
 
