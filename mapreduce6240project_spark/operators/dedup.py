@@ -55,13 +55,47 @@ _live_caches: list[DataFrame] = []
 _caches_lock = threading.Lock()
 _scope_local = threading.local()  # .stack: list[list[DataFrame]]
 
-#: diagnostics from the most recent banded-join build (per driver):
+class _ThreadLocalStats:
+    """Mapping-like per-thread diagnostics store.  Same dict interface
+    the callers always used (``last_run_stats["hot_probe"]``), but each
+    thread sees its own underlying dict -- concurrent dedup pipelines
+    (explicitly supported via the thread-local cache scoping above) no
+    longer clobber each other's ``hot_probe``/``hot_buckets`` values
+    (round-6 advice)."""
+
+    def __init__(self, **defaults) -> None:
+        self._defaults = dict(defaults)
+        self._local = threading.local()
+
+    def _d(self) -> dict:
+        d = getattr(self._local, "d", None)
+        if d is None:
+            d = self._local.d = dict(self._defaults)
+        return d
+
+    def __getitem__(self, key):
+        return self._d()[key]
+
+    def __setitem__(self, key, value) -> None:
+        self._d()[key] = value
+
+    def __contains__(self, key) -> bool:
+        return key in self._d()
+
+    def get(self, key, default=None):
+        return self._d().get(key, default)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return repr(self._d())
+
+
+#: diagnostics from the most recent banded-join build (per thread):
 #: ``hot_buckets`` (int) = how many (band, band_hash) buckets exceeded
 #: ``hot_bucket_threshold`` and took the salted join; ``hot_probe``
 #: (str) = which detection tier ran ("sample-clear" or "full").
 #: Observability for tests and operators; not part of the result
 #: contract.
-last_run_stats: dict[str, int | str] = {"hot_buckets": 0}
+last_run_stats = _ThreadLocalStats(hot_buckets=0)
 
 
 def _track_persist(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -124,11 +158,14 @@ class track_dedup_caches:
     def __exit__(self, *exc):
         stack = _scope_local.stack
         # pop THIS scope (it is the innermost for well-nested usage;
-        # remove-by-identity tolerates exotic interleavings)
+        # remove-by-IDENTITY tolerates exotic interleavings -- two empty
+        # scopes compare EQUAL as lists, so ``list.remove`` could pop a
+        # different pipeline's scope and leak/mis-release its frames)
         if stack and stack[-1] is self._scope:
             stack.pop()
         else:  # pragma: no cover - defensive
-            stack.remove(self._scope)
+            idx = next(i for i, s in enumerate(stack) if s is self._scope)
+            del stack[idx]
         for df in self._scope:
             try:
                 df.unpersist(blocking=False)
@@ -435,7 +472,16 @@ def minhash_candidate_pairs(
                 .first()
             )
             smax = (smax_row[0] or 0) if smax_row is not None else 0
-            need_full = smax * probe_mod >= hot_bucket_threshold // 2
+            # escalation cutoff threshold//4 (round-6 advice): the
+            # sample undershoots Binomially, and a //2 margin left a
+            # deterministic blind spot for buckets just under the
+            # threshold (miss cost is bounded -- one ~threshold^2/2-pair
+            # task, pair set unchanged -- but the margin is the only
+            # guard, so keep it wide).  At m = threshold with
+            # probe_mod = 16 the sample sees ~threshold/16 rows and
+            # P[sample*16 < threshold/4] = P[Binom(m, 1/16) < m/64]
+            # ~ 2e-7 (Chernoff); //2 left that at ~0.04.
+            need_full = smax * probe_mod >= hot_bucket_threshold // 4
         last_run_stats["hot_probe"] = "full" if need_full else "sample-clear"
         if not need_full:
             last_run_stats["hot_buckets"] = 0

@@ -1411,7 +1411,10 @@ def q_python_datasource_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_variant_deciles",
     """
 SELECT CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                -- TRY_CAST: valid JSON with a non-numeric string $.k
+                -- passes json_valid; CAST would raise in DuckDB while
+                -- Spark try_variant_get yields NULL (round-6 advice)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
            END // 10 AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n
 FROM events
@@ -1424,8 +1427,11 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # try_parse_json: a malformed props row must land in the NULL
     # decile, not kill the scan (parse_json is FAILFAST; one bad row in
-    # a trillion would abort the job -- dirty-events contract)
-    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    # a trillion would abort the job -- dirty-events contract).
+    # try_variant_get: $.k holding a non-numeric STRING is valid JSON,
+    # and plain variant_get throws on the failed bigint cast -- same
+    # one-bad-row-kills-the-job failure mode (round-6 advice)
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         ev.select(k.alias("k"))
         .select(F.expr("k div 10").cast("bigint").alias("decile"))

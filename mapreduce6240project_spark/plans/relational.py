@@ -422,9 +422,12 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        -- json_valid guard: DuckDB's json_extract THROWS on malformed
        -- JSON while Spark's get_json_object returns NULL; the guard
-       -- makes both engines average over parseable rows only
+       -- makes both engines average over parseable rows only.
+       -- TRY_CAST (round-6 advice): valid JSON whose $.k is a
+       -- non-numeric STRING passes json_valid, and a plain CAST would
+       -- raise in DuckDB while Spark's non-ANSI cast yields NULL
        round(avg(CASE WHEN props IS NOT NULL AND json_valid(props)
-                      THEN CAST(json_extract_string(props, '$.k') AS INT)
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
                  END), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type""",
@@ -432,7 +435,10 @@ FROM events GROUP BY event_type""",
 )
 def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: $.k holding a non-numeric string is valid JSON, and
+    # under Spark 4's ANSI default a plain cast THROWS mid-scan -- one
+    # bad row in a trillion would abort the job (round-6 advice)
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy("event_type").agg(
         F.round(F.avg(k), 4).alias("avg_k"), F.count("*").alias("n")
     )

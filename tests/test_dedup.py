@@ -225,6 +225,48 @@ def test_track_dedup_caches_scopes_release(docs):
     D.release_dedup_caches()
 
 
+def test_scope_exit_pops_by_identity():
+    # two EMPTY scopes compare equal as lists; a non-well-nested exit
+    # must pop its OWN scope object, not the first equal one (round-6
+    # advice: list.remove pops by equality and could leak the other
+    # pipeline's frames)
+    from mapreduce6240project_spark.operators import dedup as D
+
+    a, b = D.track_dedup_caches(), D.track_dedup_caches()
+    a.__enter__()
+    b.__enter__()
+    stack = D._scope_local.stack
+    assert stack == [a._scope, b._scope]
+    a.__exit__(None, None, None)  # exotic interleaving: outer exits first
+    assert len(stack) == 1 and stack[0] is b._scope
+    b.__exit__(None, None, None)
+    assert stack == []
+
+
+def test_last_run_stats_thread_isolated():
+    # per-thread diagnostics: a write on one thread must not clobber
+    # another thread's view (round-6 advice)
+    import threading as th
+
+    from mapreduce6240project_spark.operators import dedup as D
+
+    D.last_run_stats["hot_probe"] = "full"
+    D.last_run_stats["hot_buckets"] = 7
+    seen = {}
+
+    def other():
+        seen["fresh_default"] = D.last_run_stats["hot_buckets"]
+        D.last_run_stats["hot_buckets"] = 99
+        D.last_run_stats["hot_probe"] = "sample-clear"
+
+    t = th.Thread(target=other)
+    t.start()
+    t.join(30)
+    assert seen["fresh_default"] == 0  # fresh thread sees defaults
+    assert D.last_run_stats["hot_buckets"] == 7
+    assert D.last_run_stats["hot_probe"] == "full"
+
+
 def test_concurrent_pipelines_release_independently(spark):
     """Two dedup pipelines on two threads, each in its own
     track_dedup_caches scope: pipeline A's exit must not unpersist

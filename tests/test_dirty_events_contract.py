@@ -53,6 +53,10 @@ def dirty_events_dir(tmp_path_factory):
         (907, _T0 + dt.timedelta(hours=9), 7, "view", 90.0, "{not json"),     # bad JSON
         (908, dt.datetime(1970, 1, 1, 0, 0, 1), 8, "click", 5.0, '{"k": 7}'),  # epoch
         (909, dt.datetime(2099, 12, 31, 23, 59, 59), 0, "purchase", 7.5, '{"k": 8}'),  # far future
+        # valid JSON, non-numeric $.k: passes json_valid, so only
+        # TRY_CAST / try_variant_get keep the engines aligned (DuckDB
+        # CAST('x' AS INT) raises; Spark non-ANSI cast yields NULL)
+        (910, _T0 + dt.timedelta(hours=10), 1, "view", 12.0, '{"k": "x"}'),
     ]
     tbl = pa.table(
         {
