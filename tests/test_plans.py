@@ -413,3 +413,25 @@ def test_lang_id_trigram_profile_broadcasts(spark):
     df = REGISTRY["lang_id_trigram_acc"].fn(spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bernoulli_ci_verdict_flips_on_biased_sampler(spark, monkeypatch):
+    # the external-hashable R1 verdict (round-6 verdict item 4): the
+    # oracle pins within_bounds = TRUE, so a broken/biased sampler must
+    # flip the boolean and fail the hash -- plant a sampler that keeps
+    # only ~10% and check the verdict goes false, then check the real
+    # sampler lands in-bounds with bit-exact lo/hi
+    import mapreduce6240project_spark.plans.relational as R
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["bernoulli_sample_ci"].fn(spark, sf).collect()[0]
+    assert row.within_bounds is True
+    assert row.lo < row.hi < row.n_total
+
+    real = R.bernoulli_sample
+    monkeypatch.setattr(
+        R, "bernoulli_sample", lambda df, frac, seed=42: real(df, 0.1, seed=seed)
+    )
+    biased = REGISTRY["bernoulli_sample_ci"].fn(spark, sf).collect()[0]
+    assert biased.within_bounds is False
+    assert (biased.n_total, biased.lo, biased.hi) == (row.n_total, row.lo, row.hi)
