@@ -3,13 +3,21 @@ columns with typed metadata (extension surface; the reference is
 text-only).
 
 The Spark-side plumbing -- schema, partition-aware batch iteration, Arrow
-batch shapes, UDF signatures -- is real and tested.  The actual codec
-work (JPEG decode, resampling, frame extraction) needs image/audio
-libraries that are NOT in this container, so the decode kernel is
-stubbed: ``decode_stub=True`` (default) produces a deterministic fake
-(byte-derived "pixels"), and ``decode_stub=False`` raises
-``NotImplementedError`` at the clearly marked integration point where a
-real ``PIL.Image.open`` / ``soundfile.read`` call would go.
+batch shapes, UDF signatures -- is real and tested.  The codec layer has
+two tiers (round-6 verdict item 3):
+
+* ``decode_stub=True`` (default) produces a deterministic fake
+  (byte-derived "pixels") so the batch path is assertable on arbitrary
+  blobs;
+* ``decode_stub=False`` runs REAL stdlib-only parsers for the two
+  uncompressed container formats -- binary **PPM (P6)** images and
+  **RIFF/WAVE PCM-16** audio -- implemented here from the published
+  format specs with no external libraries.  Compressed formats
+  (JPEG/FLAC/...) would slot into the same dispatch once their
+  libraries exist in the environment; a blob that fails to parse
+  yields a NULL-feature row, never a job abort (one bad blob in a
+  trillion must not kill the pipeline -- same contract as the try_*
+  family everywhere else in the engine).
 
 Design notes for 100 TB: binary payloads ride in parquet alongside
 metadata so predicate pushdown on metadata prunes before any byte is
@@ -21,6 +29,7 @@ worker per core, no per-row pickling); frame/patch outputs explode
 from __future__ import annotations
 
 import math
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,6 +72,116 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# real stdlib-only codecs: binary PPM (P6) and RIFF/WAVE PCM-16
+# ---------------------------------------------------------------------------
+
+
+def parse_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """Strict binary-PPM (P6) parser per the Netpbm spec: ``P6``,
+    whitespace/comment-separated width, height, maxval (< 256 ->
+    1 byte/sample), ONE whitespace byte, then ``w*h*3`` raw RGB bytes.
+    Stdlib-only; raises ``ValueError`` on any malformation (including
+    trailing truncation), so callers decide drop-vs-abort."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    i, n = 2, len(b)
+    vals: list[int] = []
+    while len(vals) < 3:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":  # header comment to EOL
+            while i < n and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        vals.append(int(b[i:j]))
+        i = j
+    w, h, maxval = vals
+    if not (0 < maxval < 256 and w > 0 and h > 0):
+        raise ValueError("unsupported PPM dimensions/maxval")
+    if i >= n or not b[i : i + 1].isspace():
+        raise ValueError("malformed PPM header")
+    i += 1  # exactly one whitespace byte before the raster
+    need = w * h * 3
+    pix = b[i : i + need]
+    if len(pix) != need:
+        raise ValueError("truncated PPM raster")
+    return w, h, pix
+
+
+def parse_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """Strict RIFF/WAVE PCM-16 parser per the WAVE spec: RIFF header,
+    word-aligned chunk walk, ``fmt `` (PCM, 16-bit) + ``data`` chunks.
+    Returns ``(channels, sample_rate, samples)`` with interleaved
+    little-endian int16 samples.  Stdlib-only (``struct``); raises
+    ``ValueError`` on malformation."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i, n = 12, len(b)
+    fmt: bytes | None = None
+    data: bytes | None = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+        i += 8
+        chunk = b[i : i + sz]
+        if len(chunk) != sz:
+            raise ValueError("truncated WAVE chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        i += sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        raise ValueError("only PCM-16 WAVE is supported")
+    if len(data) % 2:
+        raise ValueError("odd PCM-16 data size")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return channels, rate, samples
+
+
+def _real_features(b: bytes) -> tuple[str | None, float | None, int | None]:
+    """(kind, feat_mean, feat_dim) via the real parsers; NULLs for a
+    blob no parser accepts.  feat_mean quantizes half-up to 4 decimals
+    (exact integer sums, one IEEE division -- oracle-replayable)."""
+    try:
+        bb = bytes(b)
+        if bb[:2] == b"P6":
+            _w, _h, pix = parse_ppm(bb)
+            s = 0
+            for x in pix:
+                s += x
+            return (
+                "image",
+                math.floor(s / len(pix) * 10000 + 0.5) / 10000,
+                len(pix),
+            )
+        if bb[:4] == b"RIFF":
+            _ch, _rate, samples = parse_wav(bb)
+            if not samples:
+                raise ValueError("empty PCM data")
+            s = 0
+            for x in samples:
+                s += x
+            return (
+                "audio",
+                math.floor(s / len(samples) * 10000 + 0.5) / 10000,
+                len(samples),
+            )
+        raise ValueError("unrecognized container")
+    except (ValueError, struct.error, TypeError):
+        return (None, None, None)
+
+
 _DECODE_OUT_SCHEMA = (
     "media_id long, kind string, n_bytes int, feat_mean double, feat_dim int"
 )
@@ -77,19 +196,36 @@ def decode_and_featurize(
     involvement.  The stub "decoder" derives a deterministic fake pixel
     stream from the payload bytes so the full batch path (schema,
     slicing, feature shape) is exercised and assertable.
+
+    ``decode_stub=False`` dispatches on the container magic to the real
+    stdlib parsers (:func:`parse_ppm` / :func:`parse_wav`): ``kind`` is
+    then the DETECTED kind, ``feat_mean`` the mean decoded sample value
+    (RGB bytes / int16 amplitudes), ``feat_dim`` the decoded sample
+    count; an unparseable blob keeps its input ``kind`` with NULL
+    feat_mean/feat_dim (dropped downstream, never a job abort).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
-                # >>> INTEGRATION POINT: real decoder goes here, e.g.
-                #   img = PIL.Image.open(io.BytesIO(payload))
-                # Image/audio libraries are not available in this
-                # container (see module docstring).
-                raise NotImplementedError(
-                    "real media decoding requires PIL/soundfile; "
-                    "run with decode_stub=True in this environment"
+                feats = [_real_features(b) for b in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": [
+                            f[0] if f[0] is not None else k
+                            for f, k in zip(feats, pdf["kind"])
+                        ],
+                        "n_bytes": pdf["payload"].map(len).astype("int32"),
+                        "feat_mean": pd.array(
+                            [f[1] for f in feats], dtype="float64"
+                        ),
+                        "feat_dim": pd.array(
+                            [f[2] for f in feats], dtype="Int32"
+                        ),
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             # deterministic fake decode: bytes -> uint8 "pixels".
             # Round half-up (not pandas' half-even): byte means of
@@ -142,12 +278,42 @@ def resize(
         n_out = out_w * out_h
         for pdf in batches:
             if not decode_stub:
-                # >>> INTEGRATION POINT: real resampler goes here, e.g.
-                #   PIL.Image.open(io.BytesIO(b)).resize((out_w, out_h))
-                raise NotImplementedError(
-                    "real image resizing requires PIL; "
-                    "run with decode_stub=True in this environment"
+                # real path: parse the P6 raster, nearest-neighbor
+                # sample the (w, h) pixel GRID to (out_w, out_h), and
+                # re-emit a VALID P6 payload; unparseable blobs yield a
+                # NULL payload (drop-not-abort contract)
+                def real_resize(b) -> bytes | None:
+                    try:
+                        w, h, pix = parse_ppm(bytes(b))
+                    except (ValueError, TypeError):
+                        return None
+                    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+                    parts = []
+                    for oy in range(out_h):
+                        sy = (oy * h) // out_h
+                        for ox in range(out_w):
+                            sx = (ox * w) // out_w
+                            o = (sy * w + sx) * 3
+                            parts.append(pix[o : o + 3])
+                    return header + b"".join(parts)
+
+                payloads = pdf["payload"].map(real_resize)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "payload": payloads,
+                        "n_bytes": pd.array(
+                            [
+                                len(p) if p is not None else None
+                                for p in payloads
+                            ],
+                            dtype="Int32",
+                        ),
+                    }
                 )
+                continue
 
             def shrink(b: bytes) -> bytes:
                 if not b:
@@ -168,6 +334,70 @@ def resize(
             )
 
     return media.mapInPandas(run, schema=_RESIZE_OUT_SCHEMA)
+
+
+#: golden-media formula constants (shared by the builder, the tests,
+#: and the ``multimodal_decode_real`` oracle -- change them together)
+GOLDEN_PPM_W, GOLDEN_PPM_H = 8, 8  # 192 RGB bytes
+GOLDEN_WAV_N = 96  # samples, mono 8 kHz PCM-16
+
+
+def golden_ppm_payload(media_id: int) -> bytes:
+    """Formula-defined 8x8 binary PPM: pixel byte ``j`` is
+    ``(media_id*31 + j*7) % 256`` -- integer arithmetic any SQL engine
+    replays exactly, so an oracle can pin the decoded features without
+    ever seeing the bytes."""
+    pix = bytes(
+        (media_id * 31 + j * 7) % 256
+        for j in range(GOLDEN_PPM_W * GOLDEN_PPM_H * 3)
+    )
+    return f"P6\n{GOLDEN_PPM_W} {GOLDEN_PPM_H}\n255\n".encode() + pix
+
+
+def golden_wav_payload(media_id: int) -> bytes:
+    """Formula-defined mono 8 kHz PCM-16 WAV: sample ``j`` is
+    ``((media_id*13 + j*17) % 65536) - 32768``."""
+    samples = [
+        ((media_id * 13 + j * 17) % 65536) - 32768 for j in range(GOLDEN_WAV_N)
+    ]
+    data = struct.pack(f"<{GOLDEN_WAV_N}h", *samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_golden_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Golden media table for the REAL codec path: even ids become
+    formula-defined PPM images, odd ids WAV audio (see
+    :func:`golden_ppm_payload` / :func:`golden_wav_payload`).  The
+    builder writes container bytes with ``struct``; the decoder parses
+    them back with the independent grammar parsers -- a header
+    off-by-one, endianness slip, or chunk-walk bug shifts every decoded
+    sample and diverges the externally hashed features.  Arrow-batched
+    ``mapInPandas``; input ``kind`` is deliberately 'unknown' so the
+    decoder's DETECTED kind is what reaches the output."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                payload = (
+                    golden_ppm_payload(d) if d % 2 == 0 else golden_wav_payload(d)
+                )
+                rows.append((d, "unknown", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return ids.select(id_col).mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -750,6 +750,50 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_decode_real",
+    # the golden blobs are FORMULA-defined (operators.multimodal
+    # golden_*_payload): pixel byte j of an even id d is
+    # (d*31 + j*7) % 256 over an 8x8 RGB raster; sample j of an odd id
+    # is ((d*13 + j*17) % 65536) - 32768 over 96 PCM-16 samples.  The
+    # oracle replays the integer formulas directly -- it never sees the
+    # container bytes -- so any parser defect (header off-by-one,
+    # endianness slip, chunk-walk bug) shifts the decoded mean and
+    # fails the external hash.  n_bytes pins the exact container sizes
+    # (11-byte PPM header + 192; 44-byte WAV header + 192).
+    """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 32),
+img AS (
+  SELECT CAST(i.doc_id AS BIGINT) AS media_id, 'image' AS kind,
+         CAST(203 AS INT) AS n_bytes,
+         floor(CAST(sum((i.doc_id*31 + t.j*7) % 256) AS DOUBLE) / 192.0
+               * 10000 + 0.5) / 10000 AS feat_mean,
+         CAST(192 AS INT) AS feat_dim
+  FROM ids i, range(192) t(j)
+  WHERE i.doc_id % 2 = 0 GROUP BY i.doc_id),
+aud AS (
+  SELECT CAST(i.doc_id AS BIGINT) AS media_id, 'audio' AS kind,
+         CAST(236 AS INT) AS n_bytes,
+         floor(CAST(sum((i.doc_id*13 + t.j*17) % 65536 - 32768) AS DOUBLE) / 96.0
+               * 10000 + 0.5) / 10000 AS feat_mean,
+         CAST(96 AS INT) AS feat_dim
+  FROM ids i, range(96) t(j)
+  WHERE i.doc_id % 2 = 1 GROUP BY i.doc_id)
+SELECT * FROM img UNION ALL SELECT * FROM aud""",
+    ref="extension (round-6 verdict item 3): REAL stdlib codec path -- "
+    "struct-built PPM/WAV golden blobs parsed back by the independent "
+    "grammar parsers (multimodal.parse_ppm/parse_wav), features "
+    "externally hashed against the generating integer formulas",
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 32)
+    )
+    return M.decode_and_featurize(M.synth_golden_media(ids), decode_stub=False)
+
+
+@_register(
     "multimodal_resize",
     # the stub payload bytes aren't SQL-expressible, but the sizing
     # contract is: exactly one row per blob, constant out dims, payload

@@ -32,6 +32,21 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
 
+    # Make the package importable on PYTHON WORKERS regardless of the
+    # consumer's cwd: a driver script that did sys.path.insert(0, repo)
+    # mutates only its own interpreter, so any UDF closure referencing a
+    # module-level function (cloudpickle serializes those BY REFERENCE)
+    # would die in the worker with ModuleNotFoundError.  Exporting the
+    # repo root on PYTHONPATH before the JVM/daemon launches propagates
+    # it to every worker; on a real cluster the same job ships the
+    # package via --py-files / an env image instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
