@@ -162,20 +162,133 @@ def cosine_topk(
     return _cosine_to_literal_topk(embeddings, query_vec, k, id_col, vec_col)
 
 
+#: cell count above which the within-cell pair stage switches to the
+#: Arrow/numpy kernel (same doctrine as ``_PANDAS_ASSIGN_MIN_CELLS``):
+#: the expression path evaluates an interpreted 64-term fold per PAIR,
+#: so its cost is pairs*d interpreted steps -- the dominant term in the
+#: O(N^1.5) stage once cells (hence pairs) grow.  The numpy kernel
+#: replays the identical IEEE sequence vectorized across pairs
+#: (bit-identical, see ``_exact_unit_matrix``), flat in d until memory.
+_PANDAS_PAIRS_MIN_CELLS = 64
+
+#: row-block bound for the per-cell pair accumulator: blocks of B rows
+#: against the full cell keep peak memory at B * m doubles even for the
+#: largest balanced cell, so the kernel never materializes m x m for
+#: big m.
+_PAIR_BLOCK_ROWS = 2048
+
+
+def _exact_unit_matrix(vec_series):
+    """float32 rows -> (unit float64 matrix, nonzero-norm mask) with the
+    EXACT IEEE sequence of the expression twin: cast each component to
+    double, square and accumulate IN INDEX ORDER (one rounded multiply
+    + one rounded add per element, ascending d -- numpy's pairwise
+    ``sum`` would re-associate), sqrt, then one rounded division per
+    element.  Zero-norm rows come back masked (the expression path's
+    ``when(norm != 0)`` NULL)."""
+    import numpy as np
+
+    x = np.stack(vec_series.to_numpy()).astype(np.float64)
+    s = np.zeros(len(x))
+    for dd in range(x.shape[1]):
+        s = s + x[:, dd] * x[:, dd]
+    n = np.sqrt(s)
+    nz = n != 0
+    u = np.zeros_like(x)
+    u[nz] = x[nz] / n[nz, None]
+    return u, nz
+
+
+def _exact_pair_sims(ua, ub):
+    """(ma, d) x (mb, d) -> (ma, mb) cosine sims of unit rows with the
+    fold's exact IEEE order: for each ascending dimension, one rounded
+    elementwise multiply then one rounded add into the accumulator --
+    bit-identical to ``aggregate(zip_with(a.uv, b.uv, x*y), 0.0, +)``.
+    Negative zeros are canonicalized to +0.0 (Spark normalizes -0.0 in
+    sort keys and equality)."""
+    import numpy as np
+
+    acc = np.zeros((ua.shape[0], ub.shape[0]))
+    for dd in range(ua.shape[1]):
+        acc = acc + ua[:, dd][:, None] * ub[:, dd][None, :]
+    if acc.size:
+        acc = np.where(acc == 0, 0.0, acc)
+    return acc
+
+
+def _spark_round4(x: float) -> float:
+    """Bit-exact replica of Spark's ``F.round(double, 4)``: Spark goes
+    ``BigDecimal.valueOf(x)`` (= Double.toString shortest decimal, same
+    value ``repr`` produces) then HALF_UP at scale 4.  Applied only to
+    emitted rows, never inside the hot loop."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_pandas: bool | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via IVF-bucketed
     candidate generation: vectors are assigned to their nearest k-means
     cell and only same-cell pairs are compared.  Approximate (cross-cell
     near-dups are missed -- standard IVF recall trade-off).  With
     sqrt(N) cells the within-cell pair work is O(N^1.5) expected, not
-    O(N^2), and k-means balance keeps the worst cell small."""
+    O(N^2), and k-means balance keeps the worst cell small.
+
+    Two bit-identical pair kernels (round-6 verdict item 7): the
+    expression path (interpreted 64-term fold per pair) below
+    ``_PANDAS_PAIRS_MIN_CELLS`` cells, and an Arrow ``applyInPandas``
+    kernel above it -- one vectorized rank-1 update per dimension in
+    the fold's exact IEEE order, plus Spark-exact HALF_UP rounding on
+    the emitted rows only (a raw-sim pre-filter with a 1e-3 safety
+    margin bounds the Decimal work to near-threshold pairs).  Both
+    paths produce the same pair set and the same cos_sim bits, so the
+    oracle is agnostic to which ran."""
     cells = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if use_pandas is None:
+        n_live_cells = default_n_cells(embeddings.count()) if n_cells is None else n_cells
+        use_pandas = n_live_cells >= _PANDAS_PAIRS_MIN_CELLS
+    if use_pandas:
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            u, nz = _exact_unit_matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()[nz]
+            u = u[nz]
+            out_a, out_b, out_s = [], [], []
+            for lo in range(0, len(u), _PAIR_BLOCK_ROWS):
+                hi = min(lo + _PAIR_BLOCK_ROWS, len(u))
+                sims = _exact_pair_sims(u[lo:hi], u)
+                # upper triangle only (ids sorted ascending -> a < b)
+                ai, bi = np.nonzero(sims >= thr - 1e-3)
+                keep = (ai + lo) < bi
+                ai, bi = ai[keep], bi[keep]
+                for x, y in zip(ai, bi):
+                    r = _spark_round4(float(sims[x, y]))
+                    if r >= thr:
+                        out_a.append(int(ids[x + lo]))
+                        out_b.append(int(ids[y]))
+                        out_s.append(r)
+            return pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cos_sim": out_s}
+            )
+
+        return (
+            cells.select(F.col(id_col), F.col(vec_col), "cell")
+            .groupBy("cell")
+            .applyInPandas(cell_pairs, schema="id_a long, id_b long, cos_sim double")
+        )
     # unit-normalize ONCE per vector before the within-cell pair stage:
     # the quadratic stage then evaluates a single dot fold per pair
     # instead of dot + both norms (3x less interpreted-expression work)
@@ -236,6 +349,7 @@ def semantic_dedup(
     n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_pandas: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embeddings (IVF k-means cells), form within-cell cosine pairs
@@ -256,7 +370,9 @@ def semantic_dedup(
     Scale shape: candidate generation is the same bucketed within-cell
     self-join as :func:`embedding_cosine_pairs` (O(N^1.5) expected with
     sqrt-N cells), and the final anti-join shuffles only ids."""
-    pairs = embedding_cosine_pairs(embeddings, threshold, n_cells, id_col, vec_col)
+    pairs = embedding_cosine_pairs(
+        embeddings, threshold, n_cells, id_col, vec_col, use_pandas=use_pandas
+    )
     dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dominated, id_col, "left_anti")
 
@@ -1147,6 +1263,7 @@ def knn_graph(
     n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_pandas: bool | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph: for every vector, its top-k
     same-cell neighbors by cosine (IVF-bucketed candidate generation,
@@ -1159,10 +1276,62 @@ def knn_graph(
     pair work, never O(N^2)), and a rank<=k window per source vector --
     WindowGroupLimit keeps only k rows per source below the sort, so
     the full neighbor list never materializes.
+
+    Above ``_PANDAS_PAIRS_MIN_CELLS`` cells the whole per-cell stage
+    runs in the Arrow kernel (round-6 verdict item 7): sims via the
+    bit-exact vectorized fold, the per-source top-k via argsort INSIDE
+    the cell -- every candidate pair lives in exactly one cell, so the
+    kernel's ranking equals the window's, and the window shuffle
+    disappears entirely.  Same bits, same rows, either path.
     """
     from pyspark.sql import Window
 
     cells = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if use_pandas is None:
+        n_live_cells = (
+            default_n_cells(embeddings.count()) if n_cells is None else n_cells
+        )
+        use_pandas = n_live_cells >= _PANDAS_PAIRS_MIN_CELLS
+    if use_pandas:
+        import pandas as pd
+
+        def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            u, nz = _exact_unit_matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()[nz]
+            u = u[nz]
+            src_l, rank_l, nbr_l, sim_l = [], [], [], []
+            for lo in range(0, len(u), _PAIR_BLOCK_ROWS):
+                hi = min(lo + _PAIR_BLOCK_ROWS, len(u))
+                sims = _exact_pair_sims(u[lo:hi], u)
+                for r in range(sims.shape[0]):
+                    row = sims[r].copy()
+                    row[lo + r] = -np.inf  # no self edge
+                    # desc by sim, ties by neighbor id ASC (ids sorted)
+                    order = np.lexsort((ids, -row))[: min(k, len(ids) - 1)]
+                    for rk, j in enumerate(order, start=1):
+                        src_l.append(int(ids[lo + r]))
+                        rank_l.append(rk)
+                        nbr_l.append(int(ids[j]))
+                        sim_l.append(_spark_round4(float(row[j])))
+            return pd.DataFrame(
+                {
+                    "src": src_l,
+                    "rank": pd.array(rank_l, dtype="int64"),
+                    "nbr": nbr_l,
+                    "cos_sim": sim_l,
+                }
+            )
+
+        return (
+            cells.select(F.col(id_col), F.col(vec_col), "cell")
+            .groupBy("cell")
+            .applyInPandas(
+                cell_topk, schema="src long, rank long, nbr long, cos_sim double"
+            )
+        )
     c = F.col(vec_col)
     norm = F.sqrt(
         F.aggregate(

@@ -324,3 +324,90 @@ def test_local_seed_hash_matches_spark_mod_for_negative_ids(spark):
         ids, key=lambda i: (_spark_mod(_spark_mod(i) * 1103515245 + 12345), i)
     )
     assert py_order == spark_order
+
+
+# ---------------------------------------------------------------------------
+# Arrow pair kernel (round-6 verdict item 7): bit-identical to the
+# expression fold, including on poisoned vectors
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def poisoned_emb(spark, emb):
+    extra = spark.createDataFrame(
+        [
+            (9001, [0.0] * 64),                       # zero-norm
+            (9002, None),                             # NULL vector
+            (9003, [0.1] * 63 + [None]),              # NULL element
+            (9004, [float(i % 7) / 7 for i in range(64)]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    return base.unionByName(extra).cache()
+
+
+def _pairs_key(rows):
+    return sorted((r.id_a, r.id_b, r.cos_sim) for r in rows)
+
+
+def test_pair_kernel_paths_bit_identical(poisoned_emb):
+    from mapreduce6240project_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    for thr in (0.35, 0.8):
+        expr = _pairs_key(
+            embedding_cosine_pairs(
+                poisoned_emb, threshold=thr, use_pandas=False
+            ).collect()
+        )
+        arrow = _pairs_key(
+            embedding_cosine_pairs(
+                poisoned_emb, threshold=thr, use_pandas=True
+            ).collect()
+        )
+        assert expr == arrow and len(expr) > 0 or thr > 0.35
+
+
+def test_semantic_dedup_paths_identical(poisoned_emb):
+    from mapreduce6240project_spark.operators.similarity import semantic_dedup
+
+    a = sorted(
+        r.vec_id for r in semantic_dedup(poisoned_emb, use_pandas=False).collect()
+    )
+    b = sorted(
+        r.vec_id for r in semantic_dedup(poisoned_emb, use_pandas=True).collect()
+    )
+    assert a == b
+    # invalid vectors never join the index but survive the anti-join
+    assert {9002, 9003}.issubset(set(b))
+
+
+def test_knn_graph_paths_bit_identical(poisoned_emb):
+    from mapreduce6240project_spark.operators.similarity import knn_graph
+
+    key = lambda rows: sorted(
+        (r.src, r.rank, r.nbr, r.cos_sim) for r in rows
+    )
+    expr = key(knn_graph(poisoned_emb, k=3, use_pandas=False).collect())
+    arrow = key(knn_graph(poisoned_emb, k=3, use_pandas=True).collect())
+    assert expr == arrow and len(expr) > 0
+    # zero-norm/NULL vectors are neither sources nor neighbors
+    bad = {9001, 9002, 9003}
+    assert not any(r[0] in bad or r[2] in bad for r in arrow)
+
+
+def test_pair_kernel_auto_gate(spark):
+    # tiny data -> expression path; the auto gate must not flip results
+    from mapreduce6240project_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j) % 11) / 11 for j in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = _pairs_key(S.embedding_cosine_pairs(df, threshold=0.5).collect())
+    forced = _pairs_key(
+        S.embedding_cosine_pairs(df, threshold=0.5, use_pandas=True).collect()
+    )
+    assert auto == forced
