@@ -25,6 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _non_null_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Shared dirty-edge contract (round-6 verdict item 6): an edge with
+    a NULL endpoint asserts nothing about the graph and is DROPPED --
+    not coerced.  Without the filter, ``least/greatest`` silently turn
+    ``(NULL, x)`` into a self-loop that fabricates node ``x``, a
+    both-NULL edge crashes the driver union-find (``None < None``) while
+    the distributed twin emits a ``(NULL, NULL)`` label row, and BFS
+    hands back NULL as a reachable "node"."""
+    return pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -50,7 +61,8 @@ def connected_components(
     from pyspark.sql.types import StructField, StructType
 
     dedup_pairs = (
-        pairs.select(
+        _non_null_edges(pairs, src, dst)
+        .select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
@@ -176,9 +188,13 @@ def pagerank_quantized(
     connected_components).  No dangling-mass term is needed: the
     symmetrized graph gives every node outdegree >= 1.
     """
+    # dirty-edge contract: a NULL endpoint would register NULL as a
+    # graph node (inflating n_nodes and absorbing teleport mass);
+    # self-loops are pair-graph defects, not edges
+    clean = _non_null_edges(pairs, src, dst).filter(F.col(src) != F.col(dst))
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        clean.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(clean.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist()
     )
@@ -225,9 +241,19 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     """
     # the edge set (often itself an expensive similarity join) feeds
     # degree counting, orientation, and wedge closing -- persist it so
-    # the upstream lineage runs once, not once per consumer
+    # the upstream lineage runs once, not once per consumer.
+    # least/greatest + self-loop filter canonicalize dirty input: a
+    # reversed duplicate ((1,2) AND (2,1)) otherwise survives the plain
+    # dropDuplicates, doubles und/degrees, and duplicates every wedge it
+    # touches -- overcounting triangles (dirty-edge contract; no-op on
+    # the canonical i<j pairs the generators emit)
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        _non_null_edges(pairs, src, dst)
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
         .persist()
     )
@@ -267,9 +293,18 @@ def _undirected_degrees(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
     """(u, degree) over the deduplicated undirected edge set -- the
-    shared derivation of degree_histogram and global_clustering."""
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
-        ["u", "v"]
+    shared derivation of degree_histogram and global_clustering.
+    Canonicalized like :func:`triangle_count` (NULL endpoints and
+    self-loops dropped, reversed duplicates merged), so degrees can't
+    double on dirty input."""
+    edges = (
+        _non_null_edges(pairs, src, dst)
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
     )
     und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
@@ -359,9 +394,10 @@ def bfs_hops(
     :func:`connected_components`.  With a bounded ``max_hops`` the
     round count is fixed, so the whole walk is ``max_hops`` joins
     regardless of graph size."""
+    clean = _non_null_edges(pairs, src, dst)
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        clean.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(clean.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist()
     )
@@ -495,9 +531,11 @@ def personalized_pagerank_quantized(
     carry rank 0 and contribute nothing; the iteration table stays
     node-sized throughout.
     """
+    # same dirty-edge contract as pagerank_quantized
+    clean = _non_null_edges(pairs, src, dst).filter(F.col(src) != F.col(dst))
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        clean.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(clean.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist()
     )
