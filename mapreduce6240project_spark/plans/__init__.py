@@ -58,75 +58,73 @@ for _mod in (
 #: tests/test_registry_guard.py); cumulative external coverage is
 #: tracked in COVERAGE.md (tools/coverage_ledger.py).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- round-6 rotation: rounds 2-5 externally verified 177 distinct
-    #    queries (CORRECTNESS_r02..r05).  The window leads with the 14
-    #    round-5 DRIVER_ORDER entries the 50-query budget displaced,
-    #    then 36 never-checked oracle-backed queries drawn across every
-    #    family -- weighted toward the similarity surface whose
-    #    NULL-cosine contract changed this round (external signal on
-    #    changed code first).  COVERAGE.md tracks the cumulative
-    #    ledger; tools/coverage_ledger.py regenerates it per round. --
-    # -- round-5 window overflow (never externally checked) --
-    "weighted_sample_by_status",
-    "temperature_resample_langs",
-    "mmr_select_diverse",
-    "unpivot_part_metrics",
-    "permutation_test_value",
-    "quantile_normalize_doclen",
-    "changepoint_day",
-    "bm25_top_docs",
-    "rrf_fuse_topk",
-    "jaccard_prefix_pairs",
-    "typo_pairs",
-    "dup_component_sizes",
-    "retention_cohorts",
-    "session_transitions",
-    # -- similarity family touched by the round-6 NULL-cosine sweep --
-    "semantic_dedup",
-    "ann_recall_at10",
-    "label_centroid_affinity",
-    "kcenter_select_8",
-    "matryoshka_recall16",
-    "knn_graph_top3",
-    "label_maxsim_rank",
-    "retrieval_mrr_at10",
-    # -- text_corpus deep cuts --
-    "lorenz_deciles",
-    "zipf_slope_tokens",
-    "bigram_lm_order",
-    # -- retrieval --
-    "rerank_top_docs",
-    "inverted_index_top100",
-    # -- tpch_analytics --
-    "shipping_priority",
-    "product_type_profit",
-    "min_cost_supplier",
-    "pareto_customers",
-    "grouping_sets_revenue",
-    "rfm_segments",
-    "mom_revenue_growth",
-    # -- engineering --
-    "dq_audit",
-    "rolling_median_7",
-    "weighted_median_price",
-    "gdpr_delete_impact",
-    "schema_evolution_roundtrip",
-    # -- stats_drift --
-    "psi_value_drift",
-    "score_auc_audit",
-    "hill_tail_index",
-    # -- behavior --
-    "hourly_heatmap",
-    "funnel_strict_3step",
-    "dau_wau_stickiness",
+    # -- round-7 rotation: rounds 2-6 externally verified 227 distinct
+    #    queries (CORRECTNESS_r02..r06), all hash-exact.  This window
+    #    leads with the queries round 7 ADDED or whose oracles round 7
+    #    CHANGED (external signal on changed code first), then the
+    #    never-checked numerically delicate extension families the
+    #    round-6 verdict item 8 named (survival, attribution, privacy,
+    #    experimentation/stats), then the graph family whose dirty-edge
+    #    hygiene changed this round, then proportional never-checked
+    #    draws across the remaining families.  COVERAGE.md tracks the
+    #    cumulative ledger; tools/coverage_ledger.py regenerates it. --
+    # -- new in round 7 / oracle changed in round 7 --
+    "bernoulli_sample_ci",
+    "multimodal_decode_real",
+    "props_json_stats",
+    "props_variant_deciles",
+    "null_safe_prop_pairs",
+    # -- numerically delicate, never externally checked --
+    "km_repurchase_survival",
+    "linear_attribution",
+    "last_touch_attribution",
+    "randomized_response_segments",
+    "power_mde_audit",
+    "mann_kendall_daily",
+    "theil_sen_daily",
+    "welch_t_value",
+    "bootstrap_mean_value",
+    "topk_stability_bootstrap",
+    "chi2_segment_status",
+    "mi_type_valuebin",
+    "benford_totalprice",
+    "acf1_daily_value",
+    "cusum_max_deviation",
+    "value_overdispersion",
+    "embedding_drift_l1",
+    "discount_qty_response",
+    "lang_id_kappa",
+    "gini_customer_revenue",
+    # -- graph family (dirty-edge hygiene touched this round) --
+    "degree_assortativity",
+    "random_walks_k3",
+    "supplier_order_reach",
+    "kcore3_copurchase",
+    "degree_histogram_simgraph",
     # -- dedup_ext --
-    "incremental_dedup_new",
-    "dedup_method_agreement",
-    # -- curation_ext --
-    "k_anonymity_audit",
-    "target_encode_loo",
-    # -- graph_ext --
-    "assoc_rules_top",
+    "dedup_bag_fingerprint",
+    "dedup_prefix_fp",
+    "dup_best_survivors",
+    "doc_survivor_remap",
+    "dedup_paragraphs",
+    # -- behavior --
+    "user_active_streaks",
+    "user_value_trend",
+    "bot_regularity_audit",
+    "dup_payment_pairs",
+    "fk_orphan_audit",
+    # -- tpch_analytics --
+    "skyline_parts",
+    "important_parts",
+    "late_ship_modes",
+    "top_supplier",
+    # -- text / sketch / streaming / parity / vectors --
+    "token_entropy",
+    "charlm_quality",
+    "markov_stationary_events",
+    "ingest_quarantine_report",
+    "zscore_by_cluster",
+    "excess_qty_suppliers",
 )
 
 _ordered: dict[str, QuerySpec] = {}

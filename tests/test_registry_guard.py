@@ -25,37 +25,38 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """Round-6 rotation: the first 50 are oracle-backed queries the
-    external driver NEVER checked in rounds 2-5 (CORRECTNESS_r02..r05)
-    -- the 14 round-5 window-overflow entries first, then 36
-    never-checked queries across every family, weighted toward the
-    similarity surface whose NULL-cosine contract changed this round.
-    Guards against an import-order change silently demoting them."""
+    """Round-7 rotation: the first 50 are oracle-backed queries with no
+    hash-exact external verdict yet -- the round-7 additions/oracle
+    changes first, then the numerically delicate never-checked
+    families, then breadth.  Guards against an import-order change
+    silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        # round-5 overflow heads the window
-        "weighted_sample_by_status",
-        "mmr_select_diverse",
-        "retention_cohorts",
-        "session_transitions",
-        # similarity surface touched by the round-6 sweep
-        "semantic_dedup",
-        "ann_recall_at10",
-        "knn_graph_top3",
-        "matryoshka_recall16",
+        # round-7 additions / changed oracles head the window
+        "bernoulli_sample_ci",
+        "multimodal_decode_real",
+        "props_json_stats",
+        "props_variant_deciles",
+        # numerically delicate extension families (verdict item 8)
+        "km_repurchase_survival",
+        "linear_attribution",
+        "randomized_response_segments",
+        "power_mde_audit",
+        # graph family whose dirty-edge hygiene changed this round
+        "degree_assortativity",
+        "kcore3_copurchase",
         # family breadth
-        "shipping_priority",
-        "dq_audit",
-        "psi_value_drift",
-        "k_anonymity_audit",
+        "skyline_parts",
+        "zscore_by_cluster",
     ):
         assert name in first50
-    # fully disjoint from the 177 queries rounds 2-5 already verified
+    # fully disjoint from the 227 queries rounds 2-6 already verified
     for fname in (
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         seen = set(json.load(open(f"/root/repo/{fname}")))
         assert not (set(first50) & seen)
@@ -81,7 +82,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 395
     assert info["o"] >= 300
-    assert info["first"] == "weighted_sample_by_status"
+    assert info["first"] == "bernoulli_sample_ci"
 
 
 def test_oracle_micros_sums_match_canonical_helper():
