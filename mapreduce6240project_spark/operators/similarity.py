@@ -162,6 +162,47 @@ def cosine_topk(
     return _cosine_to_literal_topk(embeddings, query_vec, k, id_col, vec_col)
 
 
+def hamming_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance between SIGN-BINARIZED vectors -- the
+    binary-embedding ANN primitive (1 bit per dimension; ranking by
+    bit disagreements approximates angular distance, Charikar's
+    SimHash bound).  The query's sign pattern is a LITERAL 0/1 array
+    computed once on the driver; the row side is one integer zip-fold
+    (``(x >= 0) = (b = 1)`` per dimension), so the score is
+    INTEGER-exact -- no IEEE anywhere -- and the plan is the same
+    no-shuffle TakeOrderedAndProject as :func:`cosine_topk`.  NaN
+    components compare ``>= 0`` TRUE in both engines (both order NaN
+    above every double), so even pathological rows rank identically.
+    Width-mismatched vectors are excluded (``zip_with`` would
+    NULL-pad; a truncated Hamming score is meaningless), as are
+    NULL / NULL-element vectors (``_valid_vectors``).
+
+    At 100 TB this is the cheap first-stage filter: 64 bits per vector
+    instead of 256 bytes, scan-friendly, refined by exact cosine on
+    the surviving candidates only."""
+    d = len(query_vec)
+    bits = ",".join("1" if float(x) >= 0 else "0" for x in query_vec)
+    valid = _valid_vectors(embeddings, vec_col).filter(
+        F.expr(f"size(`{vec_col}`) = {d}")
+    )
+    ham = F.expr(
+        f"aggregate(zip_with(`{vec_col}`, array({bits}), "
+        "(x, b) -> IF((x >= 0) = (b = 1), 0, 1)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    return (
+        valid.select(id_col, ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 #: cell count above which the within-cell pair stage switches to the
 #: Arrow/numpy kernel (same doctrine as ``_PANDAS_ASSIGN_MIN_CELLS``):
 #: the expression path evaluates an interpreted 64-term fold per PAIR,

@@ -661,3 +661,76 @@ def chartrigram_lang_id(
             F.sum((F.col("pred") == F.col(lang_col)).cast("bigint")).alias("n_correct"),
         )
     )
+
+
+#: The Gopher quality-rule stopword list (Rae et al. 2021, table A1):
+#: a document must contain at least 2 of these to pass the stop-word
+#: rule.  Public, fixed; shared with the oracle SQL.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the",
+    "be",
+    "to",
+    "of",
+    "and",
+    "that",
+    "have",
+    "with",
+)
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality-rule audit (Rae et al. 2021 section A1.1),
+    re-expressed so every rule is INTEGER-exact -- ratio rules become
+    cross-multiplied integer comparisons, so there is no IEEE anywhere
+    and the oracle matches bit-for-bit:
+
+    - ``f_word_count``: 50 <= words <= 100000
+    - ``f_word_len``: mean word length in [3, 10], tested as
+      ``3*words <= total_word_chars <= 10*words``
+    - ``f_symbol_ratio``: (# '#' chars + # '...' runs) / words < 0.1,
+      tested as ``10 * symbols < words``
+    - ``f_stopwords``: at least 2 DISTINCT Gopher stopwords present
+
+    Flags are 0/1 INTs (booleans stringify differently across engine
+    bridges); NULL text yields NULL flags (dirty-text contract -- an
+    undefined document must not look like it passed or failed).  One
+    expression tree over one scan, no shuffle: at 100 TB this is a
+    map-only pass that should run fused with ingest."""
+    norm = normalize_text(text_col)
+    n_chars = F.length(norm)
+    n_words = F.size(F.split(norm, " "))
+    total_word_chars = n_chars - (n_words - F.lit(1))
+    n_hash = n_chars - F.length(F.replace(norm, F.lit("#"), F.lit("")))
+    # delta is an exact multiple of 3 (non-overlapping replace), so the
+    # double division is integer-exact
+    ell_delta = n_chars - F.length(F.replace(norm, F.lit("..."), F.lit("")))
+    n_ellipsis = (ell_delta / 3).cast("int")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_present = None
+    for w in GOPHER_STOPWORDS:
+        p = F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        stop_present = p if stop_present is None else stop_present + p
+    f_word_count = ((n_words >= 50) & (n_words <= 100000)).cast("int")
+    f_word_len = (
+        (total_word_chars >= n_words * 3) & (total_word_chars <= n_words * 10)
+    ).cast("int")
+    f_symbol_ratio = ((n_hash + n_ellipsis) * 10 < n_words).cast("int")
+    f_stopwords = (stop_present >= 2).cast("int")
+    gopher_pass = (
+        f_word_count.eqNullSafe(1)
+        & f_word_len.eqNullSafe(1)
+        & f_symbol_ratio.eqNullSafe(1)
+        & f_stopwords.eqNullSafe(1)
+    ).cast("int")
+    defined = F.col(text_col).isNotNull()
+    return docs.select(
+        F.col(id_col),
+        F.when(defined, n_words).alias("n_words"),
+        F.when(defined, f_word_count).alias("f_word_count"),
+        F.when(defined, f_word_len).alias("f_word_len"),
+        F.when(defined, f_symbol_ratio).alias("f_symbol_ratio"),
+        F.when(defined, f_stopwords).alias("f_stopwords"),
+        F.when(defined, gopher_pass).alias("gopher_pass"),
+    )

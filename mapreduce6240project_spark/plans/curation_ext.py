@@ -1942,3 +1942,252 @@ def q_dp_contribution_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(sum(least(n, {_DP_CAP})) * 10000 div sum(n) AS BIGINT)"
         ).alias("kept_mass_pm"),
     )
+
+
+# =========================================================================
+# round 7: DSIR data selection (Xie et al. 2023, NeurIPS) -- importance
+# resampling with hashed n-gram features.
+#
+# ``dsir_select_top100``: score every raw document by its estimated
+# log importance weight ln(p_target/p_raw) under bag-of-hashed-unigram
+# models (1024 buckets, add-one smoothing; the target domain proxy is
+# the English slice).  Per-BUCKET weight: ONE ln of an exactly-
+# representable integer ratio, micro-floored to an int; per-DOC score:
+# the INTEGER sum of its tokens' bucket weights, so accumulation order
+# can never flip the hash.  Plan: one explode feeds the bucket-count
+# aggregation (map-side combinable, 1024 rows out); the per-token
+# re-join against those 1024 weights is a broadcast; the per-doc sum
+# is one shuffle on doc_id.  At 100 TB: the model is O(buckets), the
+# data passes are two map-side-heavy aggregations -- no all-pairs, no
+# driver materialization beyond the 1024-row weight table.
+# =========================================================================
+
+
+@_register(
+    "dsir_select_top100",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         {hash60_sql("unnest(string_split(" + _NORM + ", ' '))")} % 1024
+           AS b
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM toks GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+  FROM counts
+),
+w AS (
+  SELECT b,
+         CAST(floor(ln(CAST((ct + 1) * (tr + 1024) AS DOUBLE)
+                       / ((cr + 1) * (tt + 1024))) * 1000000 + 0.5)
+              AS BIGINT) AS lam_micro
+  FROM counts, tot
+)
+SELECT t.doc_id, CAST(sum(w.lam_micro) AS BIGINT) AS score_micro
+FROM toks t JOIN w USING (b)
+GROUP BY t.doc_id
+ORDER BY score_micro DESC, t.doc_id LIMIT 100""",
+    ref="extension: DSIR importance resampling (hashed-unigram "
+    "log-likelihood-ratio selection toward a target domain)",
+)
+def q_dsir_select_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", tokens("text").alias("w"))
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode("w").alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hash60(F.col("tok")), F.lit(1024)).alias("b"),
+    )
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lam = F.floor(
+        F.log(
+            ((F.col("ct") + 1) * (F.col("tr") + 1024)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("tt") + 1024))
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    w = counts.crossJoin(F.broadcast(tot)).select("b", lam.alias("lam_micro"))
+    scored = (
+        toks.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lam_micro").cast("bigint").alias("score_micro"))
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+# =========================================================================
+# round 7: t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) -- the
+# third classical disclosure-risk audit next to k-anonymity_audit and
+# l_diversity_audit.
+#
+# ``t_closeness_audit``: per quasi-identifier group (nation, segment),
+# the Earth Mover's Distance between the group's distribution over an
+# ORDERED sensitive attribute (account-balance band 0..4) and the
+# global distribution; for ordered categories with unit ground
+# distance, EMD = sum_k |P_g(<=k) - P(<=k)| / (m-1).  Every cumulative
+# is an exact integer count and each |...| term is the integer cross
+# product |cumg*n - cum*n_g| (exact while n_g * n < 2^63 / 1e6 -- fine
+# up to ~10^8-row groups against a 10^9-row table; beyond that the
+# cross products move to DECIMAL(38)), so the ONE division at the end
+# is the only IEEE op and the micro-floored t is hash-exact.  Plan:
+# two group-by passes (group x band dense grid via explode, global
+# bands broadcast at 5 rows), one window cumsum per group -- no
+# all-pairs, no driver loop.
+# =========================================================================
+
+
+@_register(
+    "t_closeness_audit",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         least(greatest(CAST(floor((c_acctbal + 1000.0) / 2200.0) AS INT),
+                        0), 4) AS band
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+gcnt AS (
+  SELECT nk, seg, band, CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2, 3
+),
+gtot AS (
+  SELECT nk, seg, CAST(count(*) AS BIGINT) AS n_g FROM c GROUP BY 1, 2
+),
+grid0 AS (
+  SELECT nk, seg, n_g, unnest(generate_series(0, 4)) AS band FROM gtot
+),
+grid AS (
+  SELECT g.nk, g.seg, g.n_g, g.band, coalesce(x.cnt, 0) AS cnt
+  FROM grid0 g LEFT JOIN gcnt x USING (nk, seg, band)
+),
+gcum AS (
+  SELECT nk, seg, n_g, band,
+         sum(cnt) OVER (PARTITION BY nk, seg ORDER BY band) AS cumg
+  FROM grid
+),
+gband AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY band
+),
+globcum AS (
+  SELECT t.band,
+         sum(coalesce(g.cnt, 0)) OVER (ORDER BY t.band) AS cum,
+         (SELECT count(*) FROM c) AS n
+  FROM range(5) t(band) LEFT JOIN gband g ON g.band = t.band
+)
+SELECT nk, seg, n_g, t_micro,
+       CAST(t_micro > 200000 AS INT) AS t_violation
+FROM (
+  SELECT k.nk, k.seg, k.n_g,
+         CAST(floor(CAST(sum(abs(k.cumg * gc.n - gc.cum * k.n_g))
+                         AS DOUBLE) * 1000000
+                    / (k.n_g * max(gc.n) * 4) + 0.5) AS BIGINT)
+           AS t_micro
+  FROM gcum k JOIN globcum gc ON k.band = gc.band
+  WHERE k.band <= 3
+  GROUP BY k.nk, k.seg, k.n_g
+)""",
+    ref="extension: t-closeness disclosure-risk audit (ordered-EMD "
+    "between per-QI-group and global sensitive distributions, "
+    "integer cross products, one IEEE division)",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    band = F.least(
+        F.greatest(
+            F.floor((F.col("c_acctbal") + 1000.0) / 2200.0).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(4),
+    )
+    c = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        band.alias("band"),
+    )
+    gcnt = c.groupBy("nk", "seg", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gtot = c.groupBy("nk", "seg").agg(F.count(F.lit(1)).alias("n_g"))
+    grid = gtot.select(
+        "nk",
+        "seg",
+        "n_g",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band"),
+    ).join(gcnt, ["nk", "seg", "band"], "left").fillna({"cnt": 0})
+    wg = (
+        Window.partitionBy("nk", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gcum = grid.select(
+        "nk", "seg", "n_g", "band", F.sum("cnt").over(wg).alias("cumg")
+    )
+    glob = (
+        c.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(
+            c.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+                # dense 5-band axis so missing global bands still carry
+                # their cumulative forward
+                c.sparkSession.range(5).select(
+                    F.col("id").cast("int").alias("band")
+                )
+            ).select("band", "n"),
+            ["band"],
+            "right",
+        )
+        .fillna({"cnt": 0})
+    )
+    wglob = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    globcum = glob.select(
+        "band", F.sum("cnt").over(wglob).alias("cum"), "n"
+    )
+    joined = gcum.join(F.broadcast(globcum), "band").filter(
+        F.col("band") <= 3
+    )
+    num = F.sum(
+        F.abs(F.col("cumg") * F.col("n") - F.col("cum") * F.col("n_g"))
+    )
+    out = joined.groupBy("nk", "seg", "n_g").agg(
+        num.alias("_num"), F.first("n").alias("_n")
+    )
+    t_expr = F.floor(
+        F.col("_num").cast("double")
+        * 1000000
+        / (F.col("n_g") * F.col("_n") * 4)
+        + 0.5
+    ).cast("bigint")
+    return out.select(
+        "nk",
+        "seg",
+        "n_g",
+        t_expr.alias("t_micro"),
+        (t_expr > 200000).cast("int").alias("t_violation"),
+    )

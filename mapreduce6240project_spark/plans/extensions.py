@@ -794,6 +794,48 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "wav_audio_features",
+    # signal-level features through the REAL PCM-16 decode: the golden
+    # WAV blobs are formula-defined (sample j of odd id d is
+    # ((d*13 + j*17) % 65536) - 32768), and both features are INTEGER
+    # aggregates of the decoded samples -- zero_crossings counts strict
+    # sign flips between consecutive samples, energy_sum is the sum of
+    # squared amplitudes -- so the oracle replays the integer formula
+    # with a lag() window and matches bit-exactly.  Any parser defect
+    # (chunk walk, endianness, sample alignment) shifts samples and
+    # flips both features.
+    """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 32 AND doc_id % 2 = 1),
+s AS (
+  SELECT i.doc_id AS media_id, t.j,
+         (i.doc_id*13 + t.j*17) % 65536 - 32768 AS v
+  FROM ids i, range(96) t(j)),
+w AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
+  FROM s)
+SELECT media_id,
+       CAST(96 AS INT) AS n_samples,
+       CAST(count(*) FILTER (WHERE (pv < 0 AND v > 0)
+                                OR (v < 0 AND pv > 0)) AS INT)
+         AS zero_crossings,
+       CAST(sum(v * v) AS BIGINT) AS energy_sum
+FROM w GROUP BY media_id""",
+    ref="extension: real-codec audio features (zero-crossing rate + "
+    "signal energy) -- integer-exact descriptors of the parsed PCM-16 "
+    "stream, Arrow-batched mapInPandas, decode-after-filter",
+)
+def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") < 32) & (F.col("doc_id") % 2 == 1))
+    )
+    return M.audio_features(M.synth_golden_media(ids))
+
+
+@_register(
     "multimodal_resize",
     # the stub payload bytes aren't SQL-expressible, but the sizing
     # contract is: exactly one row per blob, constant out dims, payload

@@ -1882,3 +1882,149 @@ def q_feature_hash_collision_audit(
             " div sum(n) AS BIGINT)"
         ).alias("collision_pm"),
     )
+
+
+# =========================================================================
+# round 7: Gopher quality-rule audit + distinct-n corpus diversity
+#
+# - ``gopher_quality_flags``: the Gopher repetition-free quality rules
+#   (Rae et al. 2021 A1.1) as INTEGER-exact per-document flags -- every
+#   ratio rule is cross-multiplied into an integer comparison, so both
+#   engines agree bit-for-bit with no micro-rounding.  NULL text gives
+#   NULL flags (dirty-text contract).  Map-only, one scan, no shuffle.
+# - ``distinct_ngram_diversity``: distinct-1 / distinct-2 corpus
+#   diversity per source (the n-gram repetition audit used to detect
+#   TEMPLATED or machine-generated slices): exact distinct and total
+#   word 1-/2-gram counts per source plus their micro-rounded ratio.
+#   Two explode+distinct aggregations feeding one join -- both
+#   map-side-combinable, both partitioned by source.
+# =========================================================================
+
+
+@_register(
+    "gopher_quality_flags",
+    f"""
+WITH base AS (
+  SELECT doc_id, text IS NULL AS _tnull, {_NORM} AS norm FROM documents
+), f AS (
+  SELECT doc_id, _tnull,
+         len(string_split(norm, ' ')) AS n_words,
+         length(norm) - (len(string_split(norm, ' ')) - 1)
+           AS total_word_chars,
+         length(norm) - length(replace(norm, '#', '')) AS n_hash,
+         (length(norm) - length(replace(norm, '...', ''))) // 3 AS n_ell,
+         (CASE WHEN ' ' || norm || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% be %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% have %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || norm || ' ' LIKE '% with %' THEN 1 ELSE 0 END)
+           AS stop_present
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN _tnull THEN NULL ELSE CAST(n_words AS INT) END AS n_words,
+  CASE WHEN _tnull THEN NULL ELSE
+    CAST(n_words BETWEEN 50 AND 100000 AS INT) END AS f_word_count,
+  CASE WHEN _tnull THEN NULL ELSE
+    CAST(total_word_chars BETWEEN 3 * n_words AND 10 * n_words AS INT)
+  END AS f_word_len,
+  CASE WHEN _tnull THEN NULL ELSE
+    CAST((n_hash + n_ell) * 10 < n_words AS INT) END AS f_symbol_ratio,
+  CASE WHEN _tnull THEN NULL ELSE
+    CAST(stop_present >= 2 AS INT) END AS f_stopwords,
+  CASE WHEN _tnull THEN NULL ELSE
+    CAST(n_words BETWEEN 50 AND 100000
+         AND total_word_chars BETWEEN 3 * n_words AND 10 * n_words
+         AND (n_hash + n_ell) * 10 < n_words
+         AND stop_present >= 2 AS INT) END AS gopher_pass
+FROM f""",
+    ref="extension: Gopher quality rules (word count, mean word "
+    "length, symbol ratio, stopword presence) as integer-exact "
+    "per-document flags",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "distinct_ngram_diversity",
+    f"""
+WITH toks AS (
+  SELECT source, string_split({_NORM}, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS distinct_1
+  FROM (SELECT source, unnest(w) AS tok FROM toks) GROUP BY source
+),
+bi AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(DISTINCT bg) AS BIGINT) AS distinct_2
+  FROM (
+    SELECT source,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS bg
+    FROM toks WHERE len(w) >= 2
+  ) GROUP BY source
+)
+SELECT u.source, u.n_tokens, u.distinct_1, b.n_bigrams, b.distinct_2,
+       floor(CAST(u.distinct_1 AS DOUBLE) / u.n_tokens * 10000 + 0.5)
+         / 10000 AS d1_ratio,
+       floor(CAST(b.distinct_2 AS DOUBLE) / b.n_bigrams * 10000 + 0.5)
+         / 10000 AS d2_ratio
+FROM uni u JOIN bi b USING (source)""",
+    ref="extension: distinct-1/distinct-2 n-gram diversity per source "
+    "(templated/machine-generated slice detector)",
+)
+def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", tokens("text").alias("w"))
+    )
+    uni = (
+        docs.select("source", F.explode("w").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("tok").alias("distinct_1"),
+        )
+    )
+    bi = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(w[i-1], ' ', w[i]))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("bg").alias("distinct_2"),
+        )
+    )
+    d1 = F.floor(F.col("distinct_1") / F.col("n_tokens") * 10000 + 0.5) / 10000
+    d2 = F.floor(F.col("distinct_2") / F.col("n_bigrams") * 10000 + 0.5) / 10000
+    return uni.join(bi, "source").select(
+        "source",
+        "n_tokens",
+        "distinct_1",
+        "n_bigrams",
+        "distinct_2",
+        d1.alias("d1_ratio"),
+        d2.alias("d2_ratio"),
+    )

@@ -1306,3 +1306,42 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("bigint").alias("n_active_users"),
         F.sum("v_c").over(w).cast("bigint").alias("cum_value_c"),
     )
+
+
+# =========================================================================
+# round 7: binary-embedding ANN (sign binarization + Hamming ranking)
+#
+# - ``binary_hamming_topk``: 1-bit-per-dimension vector search -- the
+#   cheap first stage of a binary-quantized retrieval cascade (rank by
+#   sign-pattern disagreements, refine survivors with exact cosine).
+#   The score is INTEGER-exact on both engines: no IEEE arithmetic
+#   anywhere in the ranking, so the oracle needs no micro-rounding.
+#   Same no-shuffle TakeOrderedAndProject plan as embedding_topk; at
+#   100 TB the 64-bit signatures are 32x smaller than the float rows
+#   and scan-bound, with exact re-ranking touching only the k
+#   survivors.
+# =========================================================================
+
+
+@_register(
+    "binary_hamming_topk",
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+h AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> CASE WHEN (embedding[i] >= 0) = (qv[i] >= 0)
+                THEN 0 ELSE 1 END)) AS hamming
+  FROM embeddings, q
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(embedding) = 64
+)
+SELECT vec_id, CAST(hamming AS INT) AS hamming
+FROM h ORDER BY hamming, vec_id LIMIT 10""",
+    ref="extension: binary-quantized ANN first stage (sign bits + "
+    "Hamming top-k, integer-exact ranking)",
+)
+def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hamming_topk(emb, _query_vec(spark, sf_dir), k=10)
