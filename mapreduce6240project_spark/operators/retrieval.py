@@ -235,3 +235,80 @@ def phrase_match(
         )
         out = side if out is None else out.join(side, [id_col, "p0"])
     return out.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+#: Dirichlet smoothing pseudo-count (Zhai & Lafferty 2001's default
+#: ballpark; fixed so the oracle embeds the same literal).
+DIRICHLET_MU = 2000.0
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = DIRICHLET_MU,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k by Dirichlet-smoothed query likelihood (Zhai & Lafferty
+    2001) -- the language-modeling counterpart to BM25:
+
+        score(d) = sum_t ln((tf_td + mu * ctf_t / NT) / (dl_d + mu))
+
+    Unlike BM25, terms ABSENT from a document still contribute (the
+    smoothed collection probability against the doc's length), so
+    every document is scored: the scoring grid is docs x |terms| built
+    by exploding the literal term array -- no corpus-wide explode on
+    the scoring side.  Each term contribution is micro-floored before
+    the per-doc sum (|terms| ints, order-free); collection stats (NT,
+    per-term ctf) are exact integer aggregates folded into literals
+    driver-side (1 + |terms| rows, same doctrine as BM25's N/avgdl
+    fold).  NULL-text documents are excluded (undefined length).
+
+    Plan at 100 TB: one token explode filtered to query terms BEFORE
+    the shuffle for tf, one narrow dl projection, a |terms|-row
+    broadcast -- the expensive explode carries only query-term hits."""
+    docs = docs.filter(F.col(text_col).isNotNull())
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    nt = int(toks.agg(F.sum(F.size("toks")).alias("nt")).first()["nt"] or 0)
+    term_lits = F.array(*[F.lit(t) for t in query_terms])
+    ex = toks.select(
+        F.col(id_col),
+        F.explode("toks").alias("term"),
+    ).filter(F.array_contains(term_lits, F.col("term")))
+    ctf = {
+        r["term"]: int(r["ctf"])
+        for r in ex.groupBy("term").agg(F.count("*").alias("ctf")).collect()
+    }
+    tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.select(F.col(id_col), F.size("toks").alias("dl"))
+    live_terms = [t for t in query_terms if ctf.get(t, 0) > 0]
+    if not live_terms:  # no query term occurs anywhere: nothing to rank
+        return dl.select(
+            F.col(id_col), F.lit(0).cast("bigint").alias("score_micros")
+        ).limit(0)
+    grid = dl.select(
+        F.col(id_col),
+        "dl",
+        F.explode(F.array(*[F.lit(t) for t in live_terms])).alias("term"),
+    ).join(tf, [id_col, "term"], "left").fillna({"tf": 0})
+    # mu * ctf / nt folded left-to-right in Python; repr() round-trips
+    # the exact double, so both engines smooth with the identical value.
+    # A term with ctf = 0 is dropped: its contribution is ln(0) = -inf
+    # for EVERY document (tf <= ctf), i.e. a constant with no ranking
+    # signal that would poison the micro-floor.
+    prior = {t: mu * ctf[t] / nt for t in live_terms}
+    prior_col = F.coalesce(
+        *[
+            F.when(F.col("term") == t, F.lit(p))
+            for t, p in prior.items()
+        ]
+    )
+    contrib = F.log(
+        (F.col("tf").cast("double") + prior_col)
+        / (F.col("dl").cast("double") + F.lit(mu))
+    )
+    scored = grid.withColumn(
+        "c_micros", F.floor(contrib * 1000000 + F.lit(0.5)).cast("bigint")
+    ).groupBy(id_col).agg(F.sum("c_micros").alias("score_micros"))
+    return scored.orderBy(F.desc("score_micros"), id_col).limit(k)

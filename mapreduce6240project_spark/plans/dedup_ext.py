@@ -1239,3 +1239,68 @@ def q_er_block_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_names * (n_names - 1) * 10000 div _tot AS BIGINT)"
         ).alias("pair_share_pm"),
     )
+
+
+# =========================================================================
+# round 7: threshold-sensitivity curve for the near-dup pipeline.
+#
+# ``dedup_threshold_sweep``: how many pairs a Jaccard cutoff keeps, for
+# t in {0.5 .. 0.9} -- the tuning curve an operator reads before
+# committing a dedup threshold to a 100 TB run (too low: false merges;
+# too high: missed dups).  ONE run of the exact prefix-filtered
+# similarity join at the loosest threshold (0.5) feeds all five
+# buckets -- the sweep re-aggregates, it never re-joins.  Bucketing
+# compares the 4-decimal-rounded Jaccard both engines already agree
+# on; thresholds are micro-integers so the group keys hash exactly.
+# =========================================================================
+
+_SWEEP_THRESHOLDS_MICRO = (500000, 600000, 700000, 800000, 900000)
+
+
+@_register(
+    "dedup_threshold_sweep",
+    f"""
+WITH j AS (SELECT * FROM ({_ngram_jaccard_sql(0.5)})),
+t AS (
+  SELECT unnest([500000, 600000, 700000, 800000, 900000])
+    AS threshold_micro
+)
+SELECT t.threshold_micro,
+       CAST(coalesce(sum(CASE WHEN j.jaccard >= t.threshold_micro
+                                   / 1000000.0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_pairs
+FROM t LEFT JOIN j ON true
+GROUP BY t.threshold_micro""",
+    ref="extension: dedup threshold tuning curve (pair counts per "
+    "Jaccard cutoff from ONE prefix-filtered exact join at the "
+    "loosest threshold)",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators import dedup as D
+
+    pairs = D.jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    (F.col("jaccard") >= F.lit(t / 1000000.0)).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"c{i}")
+            for i, t in enumerate(_SWEEP_THRESHOLDS_MICRO)
+        ]
+    )
+    stack = ", ".join(
+        f"{t}, c{i}" for i, t in enumerate(_SWEEP_THRESHOLDS_MICRO)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(_SWEEP_THRESHOLDS_MICRO)}, {stack}) "
+            "AS (threshold_micro, n_pairs)"
+        )
+    )

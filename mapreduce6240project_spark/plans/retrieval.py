@@ -1566,3 +1566,66 @@ def q_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_permyriad"),
     )
+
+
+# =========================================================================
+# round 7: query-likelihood retrieval (the LM counterpart to BM25)
+#
+# ``query_likelihood_topk``: Dirichlet-smoothed query likelihood (Zhai
+# & Lafferty 2001) -- score(d) = sum_t ln((tf + mu*ctf_t/NT)/(dl+mu)).
+# Absent terms still contribute through the smoothed collection prior,
+# so EVERY document is scored: the scoring grid is docs x |terms| (an
+# explode of the literal term array), while the corpus-wide explode is
+# filtered to query-term hits before its shuffle.  Each term's
+# contribution is micro-floored before the per-doc integer sum; the
+# collection stats are exact integers folded identically on both
+# sides (mu*ctf computed before the /NT division in both engines).
+# =========================================================================
+
+_QL_TERMS = ("table", "window", "stream")
+_QL_MU = 2000.0
+
+
+@_register(
+    "query_likelihood_topk",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT CAST(sum(len(w)) AS BIGINT) AS nt FROM toks),
+ex AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+  WHERE t IN ('table', 'window', 'stream')
+),
+ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM ex GROUP BY term),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+grid AS (
+  SELECT d.doc_id, d.dl, c.term, c.ctf, coalesce(t.tf, 0) AS tf
+  FROM dl d CROSS JOIN ctf c
+  LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+)
+SELECT doc_id,
+  CAST(sum(CAST(floor(
+    ln((CAST(tf AS DOUBLE) + (2000.0 * ctf) / nt)
+       / (CAST(dl AS DOUBLE) + 2000.0)) * 1000000 + 0.5) AS BIGINT))
+    AS BIGINT) AS score_micros
+FROM grid, stats
+GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id LIMIT 10""",
+    ref="extension: Dirichlet query-likelihood retrieval (LM scoring "
+    "with collection-prior smoothing; grid = docs x |terms|, corpus "
+    "explode filtered to hits pre-shuffle)",
+)
+def q_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.query_likelihood_topk(
+        load_table(spark, sf_dir, "documents"),
+        list(_QL_TERMS),
+        k=10,
+        mu=_QL_MU,
+    )

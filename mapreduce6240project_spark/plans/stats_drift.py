@@ -2637,3 +2637,161 @@ def q_cogroup_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ks, "event_type string, n_treat long, n_ctrl long, ks_micro long"
         )
     )
+
+
+# =========================================================================
+# round 7: Wald sequential probability ratio test (SPRT) -- the
+# always-monitoring counterpart to the fixed-horizon tests in this
+# module (welch_t_value, permutation_test_value, power_mde_audit).
+#
+# ``sprt_boundary_day``: daily cumulative log-likelihood ratio for a
+# Bernoulli rate test (H0 p=0.18 vs H1 p=0.22, alpha=0.05, beta=0.10)
+# over the treatment arm (user_id % 2 = 1; trial = any event, success
+# = purchase).  The LLR is a pure INTEGER expression -- cum_k*C1 +
+# (cum_n-cum_k)*C2 with the two log terms micro-rounded ONCE in
+# Python and embedded as the same literals in both engines -- so the
+# whole monitoring curve (and the Wald boundary verdicts) is
+# hash-exact with zero runtime IEEE.  NULL-timestamp events are
+# excluded (no day to attribute the trial to; round-6 dirty-events
+# contract).  Plan: one group-by to the bounded day dimension, one
+# window cumsum over days -- at 100 TB the per-day table is tiny and
+# the window runs on it, never on raw events.
+# =========================================================================
+
+#: micro-rounded SPRT constants (Python-computed once; ln(p1/p0),
+#: ln((1-p1)/(1-p0)), ln((1-beta)/alpha), ln(beta/(1-alpha)))
+_SPRT_C1 = 200671
+_SPRT_C2 = -50010
+_SPRT_UPPER = 2890372
+_SPRT_LOWER = -2251292
+
+
+@_register(
+    "sprt_boundary_day",
+    f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events
+  WHERE ts IS NOT NULL AND user_id % 2 = 1
+  GROUP BY 1
+),
+c AS (
+  SELECT day,
+         CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+         CAST(sum(k) OVER (ORDER BY day) AS BIGINT) AS cum_k
+  FROM d
+)
+SELECT day, cum_n, cum_k,
+       CAST(cum_k * {_SPRT_C1} + (cum_n - cum_k) * ({_SPRT_C2}) AS BIGINT)
+         AS llr_micro,
+       CASE
+         WHEN cum_k * {_SPRT_C1} + (cum_n - cum_k) * ({_SPRT_C2})
+              >= {_SPRT_UPPER} THEN 'accept_h1'
+         WHEN cum_k * {_SPRT_C1} + (cum_n - cum_k) * ({_SPRT_C2})
+              <= {_SPRT_LOWER} THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM c""",
+    ref="extension: Wald SPRT sequential monitoring (Bernoulli rate, "
+    "integer LLR from micro-rounded log constants, Wald boundaries)",
+)
+def q_sprt_boundary_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") % 2 == 1)
+    )
+    d = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_k").cast("bigint").alias("k"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("k").over(w).alias("cum_k"),
+    )
+    llr = F.col("cum_k") * F.lit(_SPRT_C1) + (
+        F.col("cum_n") - F.col("cum_k")
+    ) * F.lit(_SPRT_C2)
+    decision = (
+        F.when(llr >= _SPRT_UPPER, "accept_h1")
+        .when(llr <= _SPRT_LOWER, "accept_h0")
+        .otherwise("continue")
+    )
+    return c.select(
+        "day",
+        "cum_n",
+        "cum_k",
+        llr.cast("bigint").alias("llr_micro"),
+        decision.alias("decision"),
+    )
+
+
+@_register(
+    "srm_audit",
+    """
+WITH u AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, user_id % 2 AS arm
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+d AS (
+  SELECT day,
+         CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END)
+              AS BIGINT) AS n_a,
+         CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+              AS BIGINT) AS n_b
+  FROM u GROUP BY day
+)
+SELECT day, n_a, n_b,
+       CAST(floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) * 1000000
+                  / (n_a + n_b) + 0.5) AS BIGINT) AS chi2_micro,
+       CAST(floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) * 1000000
+                  / (n_a + n_b) + 0.5) > 3841459 AS INT) AS srm_flag
+FROM d WHERE n_a + n_b > 0""",
+    ref="extension: sample-ratio-mismatch audit (daily distinct users "
+    "per 50/50 hash arm, one-df chi-square vs the 95% cutoff; the "
+    "guardrail every experimentation platform runs before reading a "
+    "metric)",
+)
+def q_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    u = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+    )
+    d = u.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("arm") == 0, F.col("user_id"))
+        ).alias("n_a"),
+        F.count_distinct(
+            F.when(F.col("arm") == 1, F.col("user_id"))
+        ).alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = F.floor(
+        (diff * diff).cast("double")
+        * 1000000
+        / (F.col("n_a") + F.col("n_b"))
+        + 0.5
+    ).cast("bigint")
+    return d.filter(F.col("n_a") + F.col("n_b") > 0).select(
+        "day",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_micro"),
+        (chi2 > 3841459).cast("int").alias("srm_flag"),
+    )

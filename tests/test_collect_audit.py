@@ -78,7 +78,12 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "(keyed 1-row), brute-force fallback below the adaptive cap "
         "with distributed twin above",
     ),
-    "operators/retrieval.py": (1, "query-document probe: 1 row by key"),
+    "operators/retrieval.py": (
+        3,
+        "query-document probe (1 row by key) + query-likelihood "
+        "collection stats: NT (1-row agg) and per-term ctf "
+        "(|query_terms| rows)",
+    ),
     "operators/prefix.py": (
         1,
         "range-exchange offsets: one row per partition (cluster-config "

