@@ -1200,3 +1200,113 @@ def q_brier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("brier_micro2_mean"),
         )
     )
+
+
+# =========================================================================
+# wave 94: Simpson's-paradox audit
+#
+# ``simpson_reversal_audit``: does the sign of "high-discount lines are
+# returned more often than low-discount lines" REVERSE inside any part
+# brand relative to the corpus-level aggregate?  The canonical
+# confounding check every observational metrics pipeline needs before
+# shipping a rate comparison.  All rates are compared by integer
+# cross-multiplication (rh*tl vs rl*th) so no division -- and therefore
+# no float -- exists anywhere in the query; signs and flags are exact.
+# 100 TB: one broadcast dim join (part brand) + two hash aggregates;
+# the audit table is |brands| rows.
+# =========================================================================
+
+
+@_register(
+    "simpson_reversal_audit",
+    """
+WITH tagged AS (
+  SELECT p.p_brand,
+         CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS hi,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_discount IS NOT NULL AND l.l_returnflag IS NOT NULL
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN hi = 1 THEN ret END) AS BIGINT) AS rh,
+         CAST(count(CASE WHEN hi = 1 THEN 1 END) AS BIGINT) AS th,
+         CAST(sum(CASE WHEN hi = 0 THEN ret END) AS BIGINT) AS rl,
+         CAST(count(CASE WHEN hi = 0 THEN 1 END) AS BIGINT) AS tl
+  FROM tagged
+),
+per AS (
+  SELECT p_brand,
+         CAST(sum(CASE WHEN hi = 1 THEN ret END) AS BIGINT) AS rh,
+         CAST(count(CASE WHEN hi = 1 THEN 1 END) AS BIGINT) AS th,
+         CAST(sum(CASE WHEN hi = 0 THEN ret END) AS BIGINT) AS rl,
+         CAST(count(CASE WHEN hi = 0 THEN 1 END) AS BIGINT) AS tl
+  FROM tagged GROUP BY 1
+  HAVING count(CASE WHEN hi = 1 THEN 1 END) > 0
+     AND count(CASE WHEN hi = 0 THEN 1 END) > 0
+)
+SELECT per.p_brand, per.rh, per.th, per.rl, per.tl,
+       CAST(sign(agg.rh * agg.tl - agg.rl * agg.th) AS BIGINT) AS agg_dir,
+       CAST(sign(per.rh * per.tl - per.rl * per.th) AS BIGINT) AS brand_dir,
+       CAST(CASE WHEN sign(agg.rh * agg.tl - agg.rl * agg.th)
+                    * sign(per.rh * per.tl - per.rl * per.th) < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS reversed
+FROM per CROSS JOIN agg""",
+    ref="extension: Simpson's-paradox detection -- aggregate vs "
+    "per-stratum direction of a rate comparison via integer "
+    "cross-multiplication; zero float ops end to end",
+)
+def q_simpson_reversal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull() & F.col("l_returnflag").isNotNull()
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    tagged = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select(
+        "p_brand",
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+
+    def _counts(grouped):
+        return grouped.agg(
+            F.sum(F.when(F.col("hi") == 1, F.col("ret"))).alias("rh"),
+            F.count(F.when(F.col("hi") == 1, 1)).alias("th"),
+            F.sum(F.when(F.col("hi") == 0, F.col("ret"))).alias("rl"),
+            F.count(F.when(F.col("hi") == 0, 1)).alias("tl"),
+        )
+
+    agg = _counts(tagged.groupBy()).select(
+        F.signum(
+            (F.col("rh") * F.col("tl") - F.col("rl") * F.col("th")).cast(
+                "double"
+            )
+        )
+        .cast("bigint")
+        .alias("agg_dir")
+    )
+    per = _counts(tagged.groupBy("p_brand")).filter(
+        (F.col("th") > 0) & (F.col("tl") > 0)
+    )
+    brand_dir = (
+        F.signum(
+            (F.col("rh") * F.col("tl") - F.col("rl") * F.col("th")).cast(
+                "double"
+            )
+        )
+        .cast("bigint")
+        .alias("brand_dir")
+    )
+    return per.crossJoin(F.broadcast(agg)).select(
+        "p_brand",
+        "rh",
+        "th",
+        "rl",
+        "tl",
+        "agg_dir",
+        brand_dir,
+        F.when(F.col("agg_dir") * brand_dir < 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("reversed"),
+    )

@@ -2191,3 +2191,77 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_expr.alias("t_micro"),
         (t_expr > 200000).cast("int").alias("t_violation"),
     )
+
+
+# =========================================================================
+# wave 94: calibrated-noise DP release
+#
+# ``dp_laplace_counts``: the continuous-noise counterpart to
+# ``randomized_response_segments`` -- a per-event-type count release
+# under the Laplace mechanism (epsilon = 1, count sensitivity 1), with
+# the noise draw made REPLAYABLE: u comes from the shared glibc-
+# constant LCG seeded by the md5-based 60-bit hash of the type name
+# (hash60 -- both engines render md5 identically), then Laplace
+# inverse-CDF.  The mid-point offset (s + 0.5)/2^31 keeps u strictly
+# inside (0, 1) so ln never sees 0.  The ln is the one float op,
+# computed once per type row and micro-quantized.  Seeding by key
+# hash, not by a rank window, keeps the plan one hash aggregate plus
+# narrow projections -- no global sort anywhere -- and a release
+# cost independent of data size, exactly as the mechanism requires.
+# =========================================================================
+
+
+@_register(
+    "dp_laplace_counts",
+    """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+         ((('0x' || substr(md5(event_type), 1, 15))::BIGINT % 2147483648)
+          * 1103515245 + 12345) % 2147483648 AS s
+  FROM c
+),
+u AS (SELECT event_type, n, (s + 0.5) / 2147483648.0 AS uv FROM d)
+SELECT event_type, n,
+       CAST(floor((CASE WHEN uv < 0.5 THEN ln(2.0 * uv)
+                        ELSE -ln(2.0 * (1.0 - uv)) END)
+                  * 1000000 + 0.5) AS BIGINT) AS noise_micro,
+       n * 1000000
+         + CAST(floor((CASE WHEN uv < 0.5 THEN ln(2.0 * uv)
+                            ELSE -ln(2.0 * (1.0 - uv)) END)
+                      * 1000000 + 0.5) AS BIGINT) AS released_micro
+FROM u""",
+    ref="extension: Laplace-mechanism DP count release (epsilon=1, "
+    "sensitivity 1) with replayable LCG inverse-CDF noise -- the "
+    "continuous-noise sibling of randomized_response_segments",
+)
+def q_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    h = hash60(F.col("event_type"))
+    d = c.select(
+        "event_type",
+        "n",
+        (((h % 2147483648) * 1103515245 + 12345) % 2147483648).alias("s"),
+    )
+    uv = (F.col("s") + 0.5) / 2147483648.0
+    noise = F.floor(
+        F.when(uv < 0.5, F.log(2.0 * uv)).otherwise(
+            -F.log(2.0 * (F.lit(1.0) - uv))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return d.select(
+        "event_type",
+        "n",
+        noise.alias("noise_micro"),
+        (F.col("n") * 1000000 + noise).alias("released_micro"),
+    )

@@ -1304,3 +1304,106 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (threshold_micro, n_pairs)"
         )
     )
+
+
+# =========================================================================
+# wave 94: exact-substring duplicate spans (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better")
+#
+# ``dup_span_extents``: maximal token spans that appear verbatim in at
+# least two distinct documents -- the EXACT-substring complement to the
+# MinHash/SimHash near-dup family (those flag whole documents; this
+# locates the copied RUN inside each one, the op used to clip memorized
+# boilerplate out of training text).  Method: 8-token shingles with
+# their start positions; a shingle is "shared" when >= 2 distinct docs
+# contain it; per doc, consecutive shared positions merge into maximal
+# extents (gaps-and-islands: position minus rank), reported when the
+# covered run is >= 12 tokens.
+#
+# Spark side groups/joins on the 60-bit md5 shingle key, never the
+# string (narrow shuffle rows); the oracle groups on the raw shingle --
+# identical output barring a 60-bit collision (~1e-10 at 1e4 shingles;
+# at 1e12-shingle scale swap in text_fingerprint128's two-hash struct).
+# The reference's full suffix-array construction is deliberately NOT
+# replicated: shingle-join + islands gives the same >= k-token extents
+# with one hash aggregate and one window, both map-side-combinable /
+# range-partitionable at 100 TB, versus a global suffix sort.
+# =========================================================================
+
+_SPAN_K = 8
+_SPAN_MIN_TOKENS = 12
+
+
+@_register(
+    "dup_span_extents",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({{norm}}, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS p,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                        w[i+4], w[i+5], w[i+6], w[i+7]) AS s
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS i
+        FROM toks WHERE len(w) >= {_SPAN_K})
+),
+shared AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+mk AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM sh WHERE s IN (SELECT s FROM shared)
+),
+spans AS (
+  SELECT doc_id, min(p) AS start_pos,
+         max(p) - min(p) + {_SPAN_K} AS span_tokens
+  FROM mk GROUP BY doc_id, grp
+)
+SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(span_tokens AS BIGINT) AS span_tokens
+FROM spans WHERE span_tokens >= {_SPAN_MIN_TOKENS}""".replace(
+        "{norm}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    ),
+    ref="extension: exact-substring duplicate-span extraction "
+    "(Lee et al. 2022 section 4.1 semantics) -- shared 8-gram "
+    "positions merged into maximal extents via gaps-and-islands; "
+    "locates the verbatim run, not just the duplicated document",
+)
+def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w")).filter(
+        F.size("w") >= _SPAN_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (_SPAN_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice("w", i, _SPAN_K)),
+            )
+        ).alias("p", "s"),
+    ).select("doc_id", "p", hash60(F.col("s")).alias("h"))
+    shared = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    mk = sh.join(shared, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    grp = (F.col("p") - F.row_number().over(w)).alias("grp")
+    spans = (
+        mk.select("doc_id", "p", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("start_pos"),
+            (F.max("p") - F.min("p") + _SPAN_K).alias("span_tokens"),
+        )
+    )
+    return spans.filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS).select(
+        "doc_id",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )

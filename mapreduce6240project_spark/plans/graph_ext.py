@@ -605,3 +605,99 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("degree").cast("bigint").alias("degree"),
         )
     )
+
+
+# =========================================================================
+# wave 94: partition quality -- Newman modularity of the co-purchase
+# graph under the part-brand partition
+#
+# ``modularity_brand_partition``: per-community modularity contribution
+# ``L_c/m - (D_c/2m)^2`` (Newman & Girvan 2004) over the support-
+# filtered co-purchase pair graph, communities = ``p_brand``.  The op
+# every community-detection pipeline needs to SCORE a labeling; pairing
+# it with an existing hard partition keeps the query deterministic
+# (iterative Louvain is tie-break-unstable across engines by design).
+#
+# Exactness: m, every L_c, and every D_c are integer counts; the two
+# divisions happen once per community row (25 brands) and are nano-
+# quantized half-up.  100 TB: the pair graph build is the same two
+# aggregates every other copurchase op pays; brand lookup is a
+# broadcast dim join; the scoring table is |brands| rows.
+# =========================================================================
+
+
+@_register(
+    "modularity_brand_partition",
+    _COPURCHASE_EDGES_CTE
+    + """,
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM cp),
+lab AS (SELECT p_partkey, p_brand FROM part),
+deg AS (
+  SELECT la.p_brand, CAST(count(*) AS BIGINT) AS d_sum
+  FROM sym JOIN lab la ON la.p_partkey = sym.u
+  GROUP BY 1
+),
+intra AS (
+  SELECT la.p_brand, CAST(count(*) AS BIGINT) AS l_in
+  FROM cp JOIN lab la ON la.p_partkey = cp.id_a
+          JOIN lab lb ON lb.p_partkey = cp.id_b
+  WHERE la.p_brand = lb.p_brand
+  GROUP BY 1
+)
+SELECT deg.p_brand,
+       COALESCE(intra.l_in, 0) AS l_in,
+       deg.d_sum,
+       CAST(floor((COALESCE(intra.l_in, 0) * 1.0 / m.n_edges
+                   - (deg.d_sum * 1.0 / (2 * m.n_edges))
+                     * (deg.d_sum * 1.0 / (2 * m.n_edges)))
+                  * 1000000000 + 0.5) AS BIGINT) AS q_nano
+FROM deg LEFT JOIN intra USING (p_brand) CROSS JOIN m""",
+    ref="extension: Newman-Girvan modularity scoring of a fixed "
+    "partition (brand) on the co-purchase graph -- integer edge/degree "
+    "masses, one nano-quantized division per community row",
+)
+def q_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cp = _copurchase_edges_with_pairs(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    m = cp.agg(F.count(F.lit(1)).alias("n_edges"))
+    sym = cp.select(F.col("id_a").alias("u")).unionByName(
+        cp.select(F.col("id_b").alias("u"))
+    )
+    deg = (
+        sym.join(F.broadcast(lab), sym.u == lab.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("d_sum"))
+    )
+    la = lab.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("ba")
+    )
+    lb = lab.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("bb")
+    )
+    intra = (
+        cp.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("l_in"))
+    )
+    l_in = F.coalesce(F.col("l_in"), F.lit(0))
+    half = F.col("d_sum") * 1.0 / (2 * F.col("n_edges"))
+    return (
+        deg.join(intra, "p_brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_brand",
+            l_in.cast("bigint").alias("l_in"),
+            "d_sum",
+            F.floor(
+                (l_in * 1.0 / F.col("n_edges") - half * half)
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("q_nano"),
+        )
+    )

@@ -2795,3 +2795,192 @@ def q_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_micro"),
         (chi2 > 3841459).cast("int").alias("srm_flag"),
     )
+
+
+# =========================================================================
+# wave 94: time-series structure -- dominant period + forecastability
+#
+# - ``acf_top_period``: dominant seasonal period of the daily event-value
+#   series by raw autocovariance at lags 1..14.  Hash-exactness strategy:
+#   every aggregate is integer (cents sums; integer-floor global mean;
+#   bigint cross products), so Spark's partial-aggregation order cannot
+#   perturb the result; the only ordering is a rank over already-exact
+#   bigints.  A trig periodogram was rejected -- libm cos/sin last-ulp
+#   drift between the JVM and DuckDB would sit UNDER a float sum, where
+#   quantization cannot repair it.
+# - ``mase_seasonal_naive``: forecast-evaluation op -- the lag-7
+#   seasonal-naive forecast of daily order revenue scored by MASE
+#   (scaled by the lag-1 naive denominator, Hyndman & Koehler 2006) and
+#   sMAPE.  Absolute errors are exact integer cents; the two final
+#   ratios are computed once on a single row; sMAPE's per-pair division
+#   is micro-quantized BEFORE the sum so the aggregate is order-free.
+#
+# At 100 TB both are one (day) aggregate -- thousands of rows -- then
+# constant-size lag joins; the series stage after the first groupBy is
+# driver-scale regardless of input size.
+# =========================================================================
+
+_ACF_MAX_LAG = 14
+
+
+@_register(
+    "acf_top_period",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+mn AS (SELECT min(d) AS d0 FROM daily),
+idx AS (SELECT datediff('day', mn.d0, d) AS t, cents FROM daily, mn),
+mu AS (SELECT sum(cents) // count(*) AS m FROM idx),
+y AS (SELECT t, cents - mu.m AS yv FROM idx, mu),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag, a.yv * b.yv AS prod
+  FROM y a JOIN lags l ON TRUE JOIN y b ON b.t = a.t + l.lag
+),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(prod) AS BIGINT) AS acov_num
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs, acov_num,
+       CAST(row_number() OVER (ORDER BY acov_num DESC, lag) AS BIGINT)
+         AS rnk
+FROM agg""",
+    ref="extension: dominant-period detection via integer-exact "
+    "autocovariance (lags 1..14) of the daily value series -- seasonal "
+    "structure for the monitoring family, no trig in any aggregate",
+)
+def q_acf_top_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("t"), "cents"
+    )
+    mu = idx.agg(F.expr("sum(cents) div count(*)").alias("m"))
+    y = idx.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("cents") - F.col("m")).alias("yv")
+    )
+    lagged = y.select(
+        "t",
+        "yv",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+        ).alias("lag"),
+    ).select((F.col("t") + F.col("lag")).alias("t"), "lag", F.col("yv").alias("ya"))
+    agg = (
+        lagged.join(y.select("t", F.col("yv").alias("yb")), "t")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).alias("acov_num"),
+        )
+    )
+    w = Window.orderBy(F.col("acov_num").desc(), "lag")
+    return agg.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        "acov_num",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+@_register(
+    "mase_seasonal_naive",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+mn AS (SELECT min(d) AS d0 FROM daily),
+idx AS (SELECT datediff('day', mn.d0, d) AS t, cents FROM daily, mn),
+e7 AS (
+  SELECT a.cents AS actual, b.cents AS fc,
+         abs(a.cents - b.cents) AS ae,
+         CAST(floor(2.0 * abs(a.cents - b.cents)
+                    / (a.cents + b.cents) * 1000000 + 0.5) AS BIGINT)
+           AS smape_micro
+  FROM idx a JOIN idx b ON a.t = b.t + 7
+),
+e1 AS (
+  SELECT abs(a.cents - b.cents) AS ae
+  FROM idx a JOIN idx b ON a.t = b.t + 1
+),
+s7 AS (SELECT CAST(count(*) AS BIGINT) AS n7, CAST(sum(ae) AS BIGINT) AS sae7,
+              CAST(sum(smape_micro) // count(*) AS BIGINT) AS smape_micro_mean
+       FROM e7),
+s1 AS (SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(ae) AS BIGINT) AS sae1 FROM e1)
+SELECT n7, sae7, n1, sae1, smape_micro_mean,
+       round((sae7 * 1.0 / n7) / (sae1 * 1.0 / n1), 4) AS mase_q
+FROM s7, s1""",
+    ref="extension: seasonal-naive (lag-7) forecast evaluation on daily "
+    "revenue -- MASE and order-free micro-quantized sMAPE; the classic "
+    "baseline every forecasting pipeline must report",
+)
+def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = od.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("t"), "cents"
+    )
+    a = idx.alias("a")
+
+    def _lag_join(k: int) -> DataFrame:
+        b = idx.select(
+            (F.col("t") + k).alias("t"), F.col("cents").alias("fc")
+        ).alias("b")
+        return a.join(b, "t").select(
+            F.col("cents").alias("actual"), "fc"
+        )
+
+    p7 = _lag_join(7).select(
+        F.abs(F.col("actual") - F.col("fc")).alias("ae"),
+        F.floor(
+            F.lit(2.0)
+            * F.abs(F.col("actual") - F.col("fc"))
+            / (F.col("actual") + F.col("fc"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("smape_micro"),
+    )
+    s7 = p7.agg(
+        F.count(F.lit(1)).alias("n7"),
+        F.sum("ae").alias("sae7"),
+        F.expr("sum(smape_micro) div count(*)").alias("smape_micro_mean"),
+    )
+    s1 = (
+        _lag_join(1)
+        .select(F.abs(F.col("actual") - F.col("fc")).alias("ae"))
+        .agg(F.count(F.lit(1)).alias("n1"), F.sum("ae").alias("sae1"))
+    )
+    return s7.crossJoin(F.broadcast(s1)).select(
+        "n7",
+        "sae7",
+        "n1",
+        "sae1",
+        "smape_micro_mean",
+        F.round(
+            (F.col("sae7") * 1.0 / F.col("n7"))
+            / (F.col("sae1") * 1.0 / F.col("n1")),
+            4,
+        ).alias("mase_q"),
+    )

@@ -2028,3 +2028,110 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         d1.alias("d1_ratio"),
         d2.alias("d2_ratio"),
     )
+
+
+# =========================================================================
+# wave 94: Kneser-Ney bigram LM quality scoring
+#
+# ``kn_bigram_nll``: per-document cross-entropy under an interpolated
+# Kneser-Ney bigram model fit on the whole corpus (absolute discount
+# d = 0.75).  This is the smoothing the CCNet/KenLM quality-filter
+# stack actually uses -- add-one (``bigram_perplexity_docs``) badly
+# overweights unseen continuations of frequent contexts, while KN backs
+# off to the CONTINUATION unigram (how many distinct contexts a word
+# follows), which is the right novelty prior for filtering.
+#
+# Exactness: every model statistic is an integer count (bigram counts,
+# context totals, distinct-continuation fan-outs, bigram-type total);
+# the per-instance probability and its ln run once per row in identical
+# expression order on both engines, then get micro-quantized BEFORE the
+# per-doc mean so the aggregate is order-free.  d = 0.75 is exactly
+# representable in binary, so max(c - d, 0) stays exact.
+#
+# 100 TB: three hash aggregates over the bigram stream (counts, context
+# fan-out, continuation fan-out) -- all map-side combinable -- plus one
+# broadcastable scalar (type count); the scoring join is keyed on the
+# bigram, the same shuffle the counting already paid.
+# =========================================================================
+
+
+@_register(
+    "kn_bigram_nll",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+bi AS (
+  SELECT doc_id, w[i] AS wa, w[i+1] AS wb
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)
+),
+bc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+ctx AS (SELECT wa, CAST(sum(cab) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM bc GROUP BY 1),
+cont AS (SELECT wb, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY 1),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bc),
+term AS (
+  SELECT bi.doc_id,
+         CAST(floor(-ln((greatest(bc.cab - 0.75, 0.0)
+                         + 0.75 * ctx.n1f * cont.n1b / btot.bt)
+                        / ctx.ca)
+                    * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM bi JOIN bc USING (wa, wb) JOIN ctx USING (wa)
+          JOIN cont USING (wb) CROSS JOIN btot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll) // count(*) AS BIGINT) AS nll_micro_mean
+FROM term GROUP BY 1""",
+    ref="extension: interpolated Kneser-Ney bigram LM per-doc NLL "
+    "(d=0.75, continuation-unigram backoff) -- the KenLM-style quality "
+    "filter with the smoothing used in practice; integer model stats, "
+    "order-free micro-quantized instance terms",
+)
+def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p").getField("0").alias("wa"),
+        F.col("p").getField("1").alias("wb"),
+    )
+    bc = bi.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab"))
+    ctx = bc.groupBy("wa").agg(
+        F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bc.groupBy("wb").agg(F.count(F.lit(1)).alias("n1b"))
+    btot = bc.agg(F.count(F.lit(1)).alias("bt"))
+    p = (
+        F.greatest(F.col("cab") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75) * F.col("n1f") * F.col("n1b") / F.col("bt")
+    ) / F.col("ca")
+    term = (
+        bi.join(bc, ["wa", "wb"])
+        .join(ctx, "wa")
+        .join(cont, "wb")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "doc_id",
+            F.floor(-F.log(p) * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("nll"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(nll) div count(*)").alias("nll_micro_mean"),
+    )
