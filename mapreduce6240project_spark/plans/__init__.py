@@ -74,6 +74,23 @@ DRIVER_ORDER: tuple[str, ...] = (
     "props_json_stats",
     "props_variant_deciles",
     "null_safe_prop_pairs",
+    "wav_audio_features",
+    "binary_hamming_topk",
+    "gopher_quality_flags",
+    "distinct_ngram_diversity",
+    "dsir_select_top100",
+    "t_closeness_audit",
+    "query_likelihood_topk",
+    "sprt_boundary_day",
+    "srm_audit",
+    "dedup_threshold_sweep",
+    "kn_bigram_nll",
+    "dup_span_extents",
+    "acf_top_period",
+    "mase_seasonal_naive",
+    "modularity_brand_partition",
+    "dp_laplace_counts",
+    "simpson_reversal_audit",
     # -- numerically delicate, never externally checked --
     "km_repurchase_survival",
     "linear_attribution",
@@ -101,28 +118,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "supplier_order_reach",
     "kcore3_copurchase",
     "degree_histogram_simgraph",
-    # -- dedup_ext --
-    "dedup_bag_fingerprint",
-    "dedup_prefix_fp",
-    "dup_best_survivors",
-    "doc_survivor_remap",
-    "dedup_paragraphs",
-    # -- behavior --
-    "user_active_streaks",
-    "user_value_trend",
-    "bot_regularity_audit",
-    "dup_payment_pairs",
-    "fk_orphan_audit",
-    # -- tpch_analytics --
+    # -- family breadth (the 17 displaced by the late-round-7
+    #    additions -- dedup_ext/behavior/tpch/text draws -- head the
+    #    round-8 rotation next) --
     "skyline_parts",
-    "important_parts",
-    "late_ship_modes",
-    "top_supplier",
-    # -- text / sketch / streaming / parity / vectors --
-    "token_entropy",
-    "charlm_quality",
-    "markov_stationary_events",
-    "ingest_quarantine_report",
     "zscore_by_cluster",
     "excess_qty_suppliers",
 )

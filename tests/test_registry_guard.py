@@ -37,6 +37,14 @@ def test_driver_window_spends_budget_on_unverified():
         "multimodal_decode_real",
         "props_json_stats",
         "props_variant_deciles",
+        "wav_audio_features",
+        "query_likelihood_topk",
+        "kn_bigram_nll",
+        "dup_span_extents",
+        "acf_top_period",
+        "modularity_brand_partition",
+        "dp_laplace_counts",
+        "simpson_reversal_audit",
         # numerically delicate extension families (verdict item 8)
         "km_repurchase_survival",
         "linear_attribution",
