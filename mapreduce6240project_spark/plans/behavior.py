@@ -1310,3 +1310,95 @@ def q_simpson_reversal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reversed"),
     )
+
+
+# =========================================================================
+# wave 95: expected calibration error
+#
+# ``ece_calibration``: the scalar summary of the reliability diagram
+# ``brier_reliability_bins`` draws -- per-decile |empirical rate -
+# mean predicted| weighted by bin mass (ECE), plus the worst bin
+# (MCE).  Same first-half-propensity / second-half-outcome
+# construction as the diagram, same all-integer micro units: per bin
+# the gap |1e6 * sum(y) - sum(p)| is an exact integer, so ECE/MCE are
+# exact truncating divisions -- the calibration gate a model-serving
+# pipeline can hash-check.
+# =========================================================================
+
+
+@_register(
+    "ece_calibration",
+    """
+WITH ev2 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev2
+), u AS (
+  SELECT user_id,
+         (1000000 * count(*) FILTER (WHERE event_type = 'purchase'
+                                     AND t_us < (SELECT mid_us FROM thr)))
+           // count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) AS p,
+         CAST(coalesce(max(CASE WHEN event_type = 'purchase'
+                       AND t_us >= (SELECT mid_us FROM thr)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+  FROM ev2 GROUP BY 1
+  HAVING count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) > 0
+),
+bins AS (
+  SELECT CAST(least(p // 100000, 9) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(abs(1000000 * sum(y) - sum(p)) AS BIGINT) AS gap_microusers
+  FROM u GROUP BY 1
+)
+SELECT CAST(sum(n_b) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(gap_microusers) // sum(n_b) AS BIGINT) AS ece_micro,
+       CAST(max(gap_microusers // n_b) AS BIGINT) AS mce_micro
+FROM bins""",
+    ref="extension: expected + maximum calibration error over the "
+    "brier_reliability_bins deciles -- exact integer bin gaps, "
+    "truncating-div summary; the scalar calibration gate",
+)
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    thr = ev2.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    u = (
+        ev2.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(1000000 * count(CASE WHEN event_type = 'purchase'"
+                " AND t_us < mid_us THEN 1 END))"
+                " div count(CASE WHEN t_us < mid_us THEN 1 END)"
+            ).alias("p"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN event_type = 'purchase'"
+                " AND t_us >= mid_us THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("y"),
+            F.expr("count(CASE WHEN t_us < mid_us THEN 1 END)").alias(
+                "_npre"
+            ),
+        )
+        .filter(F.col("_npre") > 0)
+    )
+    bins = u.groupBy(
+        F.expr("CAST(least(p div 100000, 9) AS BIGINT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.abs(1000000 * F.sum("y") - F.sum("p"))
+        .cast("bigint")
+        .alias("gap_microusers"),
+    )
+    return bins.agg(
+        F.sum("n_b").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.expr("sum(gap_microusers) div sum(n_b)")
+        .cast("bigint")
+        .alias("ece_micro"),
+        F.max(F.expr("gap_microusers div n_b"))
+        .cast("bigint")
+        .alias("mce_micro"),
+    )

@@ -590,3 +590,130 @@ def q_acctbal_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
     b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return a.exceptAll(b).distinct()
+
+
+# =========================================================================
+# wave 95: knee detection over the multi-k elbow sweep
+#
+# ``elbow_knee_k``: picks the elbow point of the k=2..5 WCSS curve by
+# the max-perpendicular-distance-to-chord rule (Satopaa et al. 2011,
+# "kneedle") -- the step that turns ``elbow_sweep``'s curve into a
+# decision.  Per-k total cost is the per-row micro-quantized nearest-
+# medoid distance summed (exact integers, so the curve replays
+# bit-exactly); the chord cross-product score is pure integer algebra;
+# endpoints are excluded and ties break to the smallest k.  100 TB:
+# one narrow scan per k over the persisted feature store (the same
+# literal-expression assignment the elbow itself uses), then
+# constant-size (4-row) chord algebra.
+# =========================================================================
+
+
+def _knee_cost_sql(k: int) -> str:
+    dists = ", ".join(
+        f"{_dist_sql(m)} AS d{i}" for i, m in enumerate(MEDOIDS_BY_K[k])
+    )
+    least = ", ".join(f"d{i}" for i in range(k))
+    return (
+        f"SELECT {k} AS k, CAST(sum(CAST(floor(least({least})"
+        f" * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS cost_micro"
+        f" FROM (SELECT {dists} FROM features)"
+    )
+
+
+@_register(
+    "elbow_knee_k",
+    None,  # oracle assembled below (needs the shared features CTE)
+    ref="extension: kneedle-style elbow selection over the C3 multi-k "
+    "sweep (Cluster2/4/5.java) -- integer chord cross-products, "
+    "endpoint-excluded, smallest-k tie-break",
+)
+def q_elbow_knee_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.distance import (
+        medoid_distance_literal,
+    )
+    from mapreduce6240project_spark.sources.tweets import feature_store
+
+    feats = feature_store(spark, sf_dir)
+    costs = None
+    for k, medoids in MEDOIDS_BY_K.items():
+        d = F.least(*[medoid_distance_literal(m) for m in medoids])
+        row = feats.agg(
+            F.sum(F.floor(d * 1000000 + F.lit(0.5)).cast("bigint")).alias(
+                "cost_micro"
+            )
+        ).select(F.lit(k).alias("k"), "cost_micro")
+        costs = row if costs is None else costs.unionByName(row)
+    ends = costs.agg(
+        F.min("k").alias("k1"),
+        F.max("k").alias("kn"),
+        F.expr("min_by(cost_micro, k)").alias("c1"),
+        F.expr("max_by(cost_micro, k)").alias("cn"),
+    )
+    scored = costs.crossJoin(F.broadcast(ends)).select(
+        "k",
+        "cost_micro",
+        F.abs(
+            (F.col("cn") - F.col("c1")) * (F.col("k") - F.col("k1"))
+            - (F.col("kn") - F.col("k1"))
+            * (F.col("cost_micro") - F.col("c1"))
+        ).alias("knee_score"),
+        "k1",
+        "kn",
+    )
+    interior = scored.filter(
+        (F.col("k") != F.col("k1")) & (F.col("k") != F.col("kn"))
+    )
+    mx = interior.agg(F.max("knee_score").alias("ms"))
+    pick = (
+        interior.crossJoin(F.broadcast(mx))
+        .filter(F.col("knee_score") == F.col("ms"))
+        .agg(F.min("k").alias("kk"))
+    )
+    return scored.crossJoin(F.broadcast(pick)).select(
+        F.col("k").cast("bigint").alias("k"),
+        "cost_micro",
+        "knee_score",
+        F.when(F.col("k") == F.col("kk"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_knee"),
+    )
+
+
+# the oracle needs the shared features CTE wrapped around the cost
+# union; assemble it after registration (same pattern as elbow_sweep)
+REGISTRY["elbow_knee_k"] = QuerySpec(
+    "elbow_knee_k",
+    REGISTRY["elbow_knee_k"].fn,
+    _with_features(
+        ", costs AS ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM ({_knee_cost_sql(k)})" for k in MEDOIDS_BY_K
+        )
+        + """),
+ends AS (
+  SELECT min(k) AS k1, max(k) AS kn,
+         min_by(cost_micro, k) AS c1, max_by(cost_micro, k) AS cn
+  FROM costs
+),
+scored AS (
+  SELECT k, cost_micro,
+         abs((cn - c1) * (k - k1) - (kn - k1) * (cost_micro - c1))
+           AS knee_score,
+         k1, kn
+  FROM costs CROSS JOIN ends
+),
+mx AS (
+  SELECT max(knee_score) AS ms FROM scored WHERE k <> k1 AND k <> kn
+),
+pick AS (
+  SELECT min(k) AS kk FROM scored, mx
+  WHERE knee_score = mx.ms AND k <> k1 AND k <> kn
+)
+SELECT CAST(s.k AS BIGINT) AS k, s.cost_micro,
+       CAST(s.knee_score AS BIGINT) AS knee_score,
+       CAST(CASE WHEN s.k = pick.kk THEN 1 ELSE 0 END AS BIGINT) AS is_knee
+FROM scored s CROSS JOIN pick"""
+    ),
+    REGISTRY["elbow_knee_k"].ref,
+)

@@ -598,3 +598,94 @@ def q_churn_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("churn_pm"),
     )
+
+
+# =========================================================================
+# wave 95: AMS (Alon-Matias-Szegedy) second-moment sketch
+#
+# ``ams_f2_user_stream``: the classic F2 (self-join size) sketch over
+# the user-id event stream -- 16 counters, each summing a +/-1 sign
+# drawn from the parity bit of the md5-based hash of (user_id, counter
+# index); the estimate is the mean of the squared counters.  Every
+# counter is an exact integer sum (map-side combinable, order-free),
+# and both engines draw identical signs because hash60 renders md5
+# identically.  Reported next to the EXACT F2 (sum of squared user
+# frequencies) and the ppm error, so the sketch's accuracy contract is
+# itself an externally hash-checkable verdict -- same pattern as
+# bernoulli_sample_ci.  100 TB: 16 integers of state; the exact
+# baseline is one groupBy, dropped in production (it exists here to
+# audit the sketch).
+# =========================================================================
+
+_AMS_K = 16
+
+
+@_register(
+    "ams_f2_user_stream",
+    f"""
+WITH ids AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+  WHERE user_id IS NOT NULL
+),
+signs AS (
+  SELECT i,
+         CASE WHEN {hash60_sql("uid || ':' || CAST(i AS VARCHAR)")} % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(1, {_AMS_K})) AS i)
+),
+z AS (SELECT i, CAST(sum(sgn) AS BIGINT) AS zi FROM signs GROUP BY 1),
+est AS (SELECT CAST(sum(zi * zi) // {_AMS_K} AS BIGINT) AS est_f2 FROM z),
+freq AS (SELECT uid, CAST(count(*) AS BIGINT) AS c FROM ids GROUP BY 1),
+exact AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM freq)
+SELECT est.est_f2, exact.exact_f2,
+       CAST(floor(abs(est.est_f2 - exact.exact_f2) * 1000000.0
+                  / exact.exact_f2 + 0.5) AS BIGINT) AS err_ppm
+FROM est CROSS JOIN exact""",
+    ref="extension: AMS F2 (self-join size) sketch, 16 replayable "
+    "sign-hash counters vs the exact second moment -- the streaming "
+    "join-size estimator, accuracy reported as a checkable verdict",
+)
+def q_ams_f2_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ids = ev.select(F.col("user_id").cast("string").alias("uid"))
+    signs = ids.select(
+        "uid",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, _AMS_K + 1)])
+        ).alias("i"),
+    ).select(
+        "i",
+        F.when(
+            hash60(
+                F.concat(F.col("uid"), F.lit(":"), F.col("i").cast("string"))
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    z = signs.groupBy("i").agg(F.sum("sgn").alias("zi"))
+    est = z.agg(
+        F.expr(f"sum(zi * zi) div {_AMS_K}").cast("bigint").alias("est_f2")
+    )
+    exact = (
+        ids.groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_f2",
+        "exact_f2",
+        F.floor(
+            F.abs(F.col("est_f2") - F.col("exact_f2"))
+            * 1000000.0
+            / F.col("exact_f2")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

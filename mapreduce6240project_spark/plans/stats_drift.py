@@ -2984,3 +2984,166 @@ def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mase_q"),
     )
+
+
+# =========================================================================
+# wave 95: nonparametric effect size + instrumental-variable estimate
+#
+# - ``mann_whitney_effect``: Mann-Whitney U between purchase and click
+#   event values with exact tie handling, plus the rank-biserial /
+#   Cliff's-delta effect size.  Scalable shape: a VALUE HISTOGRAM first
+#   (one hash aggregate -- the distinct-cents table is bounded by the
+#   value range, not the row count), then the pid-parallel cumulative
+#   sum helper for the "how many B below each A value" term; U is kept
+#   in doubled units (2U) so tied values contribute exact integer
+#   half-credits.  No global window, no per-row ranking.
+# - ``iv_wald_estimate``: the Wald instrumental-variable ratio
+#   (intent-to-treat effect / first-stage compliance) with user-id
+#   parity as the instrument, any-purchase as treatment, and total
+#   event value as outcome.  Algebra is cleared to one integer
+#   numerator and one integer denominator (y1*u0 - y0*u1 over
+#   d1*u0 - d0*u1), so the only float is the final micro-quantized
+#   division.
+# =========================================================================
+
+
+@_register(
+    "mann_whitney_effect",
+    """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+hist AS (
+  SELECT cents,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS na,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS nb
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT na, nb,
+         sum(nb) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cwb
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * (cwb - nb) + nb)) AS BIGINT) AS u2_a
+  FROM cum
+)
+SELECT n_a, n_b, u2_a,
+       CAST(floor((u2_a - n_a * n_b) * 1000000.0 / (n_a * n_b) + 0.5)
+            AS BIGINT) AS cliffs_delta_micro
+FROM agg""",
+    ref="extension: Mann-Whitney U with exact tie half-credits (2U "
+    "integer units) + Cliff's delta -- the nonparametric effect size "
+    "for experiment readouts; histogram-first, no global ranking",
+)
+def q_mann_whitney_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.ranking import stratum_order_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("nb"),
+    )
+    cum = stratum_order_stats(
+        hist, strata=[], order=["cents"], weight="nb"
+    ).select("na", "nb", F.col("cw").alias("cwb"))
+    agg = cum.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * (F.col("cwb") - F.col("nb")) + F.col("nb"))
+        ).alias("u2_a"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.floor(
+            (F.col("u2_a") - F.col("n_a") * F.col("n_b"))
+            * 1000000.0
+            / (F.col("n_a") * F.col("n_b"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cliffs_delta_micro"),
+    )
+
+
+@_register(
+    "iv_wald_estimate",
+    """
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS z,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(CASE WHEN z = 1 THEN 1 END) AS BIGINT) AS u1,
+         CAST(count(CASE WHEN z = 0 THEN 1 END) AS BIGINT) AS u0,
+         CAST(sum(CASE WHEN z = 1 THEN d END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN z = 0 THEN d END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN z = 1 THEN y END) AS BIGINT) AS y1,
+         CAST(sum(CASE WHEN z = 0 THEN y END) AS BIGINT) AS y0
+  FROM u
+)
+SELECT u1, u0, d1, d0, y1, y0,
+       CASE WHEN d1 * u0 - d0 * u1 = 0 THEN NULL
+            ELSE CAST(floor((y1 * u0 - y0 * u1) * 1000000.0
+                            / (d1 * u0 - d0 * u1) + 0.5) AS BIGINT)
+       END AS wald_cents_micro
+FROM agg""",
+    ref="extension: Wald IV / LATE estimate (instrument = user-id "
+    "parity, treatment = any purchase, outcome = total value cents) -- "
+    "cross-multiplied to one integer ratio, one quantized division",
+)
+def q_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("d"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("y"),
+    ).select((F.col("user_id") % 2).alias("z"), "d", "y")
+    agg = u.agg(
+        F.count(F.when(F.col("z") == 1, 1)).alias("u1"),
+        F.count(F.when(F.col("z") == 0, 1)).alias("u0"),
+        F.sum(F.when(F.col("z") == 1, F.col("d"))).alias("d1"),
+        F.sum(F.when(F.col("z") == 0, F.col("d"))).alias("d0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y"))).alias("y1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y"))).alias("y0"),
+    )
+    den = F.col("d1") * F.col("u0") - F.col("d0") * F.col("u1")
+    num = F.col("y1") * F.col("u0") - F.col("y0") * F.col("u1")
+    return agg.select(
+        "u1",
+        "u0",
+        "d1",
+        "d0",
+        "y1",
+        "y0",
+        F.when(den == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(num * 1000000.0 / den + F.lit(0.5)).cast("bigint")
+        )
+        .alias("wald_cents_micro"),
+    )

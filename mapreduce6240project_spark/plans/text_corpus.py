@@ -2135,3 +2135,100 @@ def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(nll) div count(*)").alias("nll_micro_mean"),
     )
+
+
+# =========================================================================
+# wave 95: distributional shift between sources
+#
+# ``js_divergence_sources``: Jensen-Shannon divergence between each
+# source's language distribution and the corpus-wide marginal -- the
+# bounded, symmetric drift measure mixture tuning needs (KL explodes on
+# zero-mass cells; JS never does).  Computed over the full source x
+# lang grid so the Q-side mass of langs a source MISSES still
+# contributes (p=0 -> term is q/2 * ln 2).  Each grid term is
+# nano-quantized BEFORE the per-source sum, so the aggregate is
+# order-free; p, q, m are identically-ordered double expressions over
+# integer counts on both engines.  100 TB: two hash aggregates plus a
+# |sources| x |langs| grid join -- release cost independent of corpus
+# size.
+# =========================================================================
+
+
+@_register(
+    "js_divergence_sources",
+    """
+WITH cnt AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+src AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+lng AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+grid AS (
+  SELECT src.source, src.ns, lng.lang, lng.cl, tot.nn,
+         COALESCE(cnt.c, 0) AS ca
+  FROM src CROSS JOIN lng CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.source = src.source AND cnt.lang = lng.lang
+),
+term AS (
+  SELECT source, ns,
+         CAST(floor((CASE WHEN ca = 0 THEN 0.0
+                          ELSE 0.5 * (ca * 1.0 / ns)
+                               * ln((ca * 1.0 / ns)
+                                    / ((ca * 1.0 / ns + cl * 1.0 / nn) / 2))
+                     END
+                     + 0.5 * (cl * 1.0 / nn)
+                       * ln((cl * 1.0 / nn)
+                            / ((ca * 1.0 / ns + cl * 1.0 / nn) / 2)))
+                    * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM grid
+)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+       CAST(sum(t_nano) AS BIGINT) AS js_nano
+FROM term GROUP BY 1""",
+    ref="extension: per-source Jensen-Shannon divergence vs the corpus "
+    "language marginal -- bounded symmetric drift for mixture tuning; "
+    "full-grid zero-mass handling, order-free nano-quantized terms",
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    src = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    lng = cnt.groupBy("lang").agg(F.sum("c").alias("cl"))
+    tot = cnt.agg(F.sum("c").alias("nn"))
+    grid = (
+        src.crossJoin(F.broadcast(lng))
+        .crossJoin(F.broadcast(tot))
+        .join(cnt, ["source", "lang"], "left")
+        .select(
+            "source",
+            "ns",
+            "cl",
+            "nn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("ca"),
+        )
+    )
+    p = F.col("ca") * 1.0 / F.col("ns")
+    q = F.col("cl") * 1.0 / F.col("nn")
+    m = (p + q) / 2
+    t_nano = F.floor(
+        (
+            F.when(F.col("ca") == 0, F.lit(0.0)).otherwise(
+                F.lit(0.5) * p * F.log(p / m)
+            )
+            + F.lit(0.5) * q * F.log(q / m)
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        grid.select("source", "ns", t_nano.alias("t_nano"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_docs"),
+            F.sum("t_nano").cast("bigint").alias("js_nano"),
+        )
+    )

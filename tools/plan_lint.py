@@ -148,6 +148,14 @@ WHITELIST: dict[tuple[str, str], str] = {
         "stratum_order_stats offsets window over the per-pid count "
         "aggregate (#partitions rows; surfaced when RDDScanExec stopped "
         "counting as bounded)",
+    ("mann_whitney_effect", "global_window_unbounded"):
+        "stratum_order_stats offsets window over the per-pid count "
+        "aggregate (#partitions rows) atop the distinct-cents value "
+        "histogram (domain-quantized, like winsorized_mean_value)",
+    ("js_divergence_sources", "bnlj_unbounded_build"):
+        "source x lang probability grid -- the build side is the "
+        "language-marginal aggregate (lang enum, tens of rows), "
+        "broadcast by construction",
 }
 
 AGG_CLASSES = (
