@@ -1320,10 +1320,11 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extents (gaps-and-islands: position minus rank), reported when the
 # covered run is >= 12 tokens.
 #
-# Spark side groups/joins on the 60-bit md5 shingle key, never the
-# string (narrow shuffle rows); the oracle groups on the raw shingle --
-# identical output barring a 60-bit collision (~1e-10 at 1e4 shingles;
-# at 1e12-shingle scale swap in text_fingerprint128's two-hash struct).
+# Spark side groups/joins on a codegen xxhash64 of the token slice,
+# never a string (narrow shuffle rows, no per-shingle md5); the oracle
+# groups on the raw shingle -- identical output barring a 64-bit
+# collision (~1e-12 at 1e4 shingles; at 1e12-shingle scale swap in
+# text_fingerprint128's two-hash struct).
 # The reference's full suffix-array construction is deliberately NOT
 # replicated: shingle-join + islands gives the same >= k-token extents
 # with one hash aggregate and one window, both map-side-combinable /
@@ -1369,22 +1370,29 @@ FROM spans WHERE span_tokens >= {_SPAN_MIN_TOKENS}""".replace(
     "locates the verbatim run, not just the duplicated document",
 )
 def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce6240project_spark.functions.hashing import hash60
     from mapreduce6240project_spark.operators.dedup import tokens
+    from mapreduce6240project_spark.operators.fanout import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("w")).filter(
+    # compute-bound narrow stage (tokenize + 8-slice xxhash per
+    # position): conditional fan-out so a row-group-limited local scan
+    # still uses every core; no-op at real scan widths
+    toks = fan_out(docs).select("doc_id", tokens("text").alias("w")).filter(
         F.size("w") >= _SPAN_K
     )
+    # shingle key = codegen xxhash64 of the 8-token slice (no md5, no
+    # string materialization: the 10x stress run showed the per-shingle
+    # md5 dominating); only EQUALITY is consumed, so any injective-
+    # modulo-collision key matches the string-grouping oracle
     sh = toks.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("w") - (_SPAN_K - 1)),
-                lambda i: F.concat_ws(" ", F.slice("w", i, _SPAN_K)),
+                lambda i: F.xxhash64(F.slice("w", i, _SPAN_K)),
             )
-        ).alias("p", "s"),
-    ).select("doc_id", "p", hash60(F.col("s")).alias("h"))
+        ).alias("p", "h"),
+    )
     shared = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

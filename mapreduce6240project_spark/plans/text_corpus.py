@@ -2091,9 +2091,10 @@ FROM term GROUP BY 1""",
 )
 def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.dedup import normalize_text
+    from mapreduce6240project_spark.operators.fanout import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = fan_out(docs).select(
         "doc_id", F.split(normalize_text("text"), " ").alias("w")
     ).filter(F.size("w") >= 2)
     bi = toks.select(
@@ -2109,6 +2110,13 @@ def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").getField("0").alias("wa"),
         F.col("p").getField("1").alias("wb"),
     )
+    # The NLL term is a function of the bigram TYPE alone, so the model
+    # joins (context totals, continuation fan-outs, type count) run on
+    # the |types| table and the instance stream pays exactly ONE join,
+    # keyed on a codegen xxhash64 of the pair rather than two strings
+    # (the 10x stress run showed instance-stream string-key joins
+    # super-linear; type-level scoring brought the ratio back down).
+    hkey = F.xxhash64("wa", "wb")
     bc = bi.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab"))
     ctx = bc.groupBy("wa").agg(
         F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1f")
@@ -2119,18 +2127,18 @@ def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("cab") - F.lit(0.75), F.lit(0.0))
         + F.lit(0.75) * F.col("n1f") * F.col("n1b") / F.col("bt")
     ) / F.col("ca")
-    term = (
-        bi.join(bc, ["wa", "wb"])
-        .join(ctx, "wa")
+    type_nll = (
+        bc.join(ctx, "wa")
         .join(cont, "wb")
         .crossJoin(F.broadcast(btot))
         .select(
-            "doc_id",
+            hkey.alias("h"),
             F.floor(-F.log(p) * 1000000 + F.lit(0.5))
             .cast("bigint")
             .alias("nll"),
         )
     )
+    term = bi.select("doc_id", hkey.alias("h")).join(type_nll, "h")
     return term.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(nll) div count(*)").alias("nll_micro_mean"),

@@ -3141,3 +3141,197 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(std_micro * n AS DECIMAL(38,0)) END AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# =========================================================================
+# wave 96: Bradley-Terry preference strengths over brand head-to-heads
+#
+# ``bradley_terry_brands``: fit the Bradley-Terry pairwise-preference
+# model to within-order brand competitions (the brand with the higher
+# spend in an order beats each other brand in that order) with three
+# unrolled minorize-maximize iterations: s_i <- W_i / sum_j n_ij /
+# (s_i + s_j), mean-normalized each round.  The model behind chess
+# ratings, LLM arena leaderboards, and pairwise label aggregation --
+# expressed without a driver loop.
+#
+# Replayability: strengths live in integer MICRO units; each
+# pair term and each update is floored half-up BEFORE any sum, so the
+# per-brand denominator (an integer sum of integers) is immune to
+# Spark's partial-aggregation order.  The intermediate double
+# expressions are written identically on both engines (same literal
+# scale factors, same parenthesization), so IEEE determinism carries
+# the rest.  100 TB: the head-to-head table is one self-join keyed on
+# the order (fanout bounded by brands-per-order squared, ~tens), the
+# fit runs on the |brands|^2 aggregate -- independent of order count.
+# =========================================================================
+
+_BT_ITERS = 3
+
+
+def _bt_iter_sql(prev: str, idx: int) -> str:
+    """One MM update + mean normalization, strengths in micro."""
+    return f"""
+den{idx} AS (
+  SELECT g.a,
+         CAST(sum(CAST(floor(g.n * 1000000000.0
+                             / ((sa.s + sb.s) / 1000000.0) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS den
+  FROM games g
+  JOIN {prev} sa ON sa.a = g.a
+  JOIN {prev} sb ON sb.a = g.b
+  GROUP BY 1
+),
+raw{idx} AS (
+  SELECT w.a,
+         CAST(floor(w.w * 1000000000000000.0 / den{idx}.den + 0.5)
+              AS BIGINT) AS s
+  FROM wins w JOIN den{idx} ON den{idx}.a = w.a
+),
+tot{idx} AS (SELECT CAST(sum(s) AS BIGINT) AS t,
+                    CAST(count(*) AS BIGINT) AS nb FROM raw{idx}),
+s{idx} AS (
+  SELECT a, CAST(floor(s * (nb * 1000000.0) / t + 0.5) AS BIGINT) AS s
+  FROM raw{idx} CROSS JOIN tot{idx}
+)"""
+
+
+@_register(
+    "bradley_terry_brands",
+    """
+WITH ob AS (
+  SELECT l_orderkey, p.p_brand,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS spend
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+duels AS (
+  SELECT CASE WHEN a.spend > b.spend THEN a.p_brand ELSE b.p_brand END AS win,
+         CASE WHEN a.spend > b.spend THEN b.p_brand ELSE a.p_brand END AS lose
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  WHERE a.spend <> b.spend
+),
+wl AS (
+  SELECT win AS a, lose AS b, CAST(count(*) AS BIGINT) AS w
+  FROM duels GROUP BY 1, 2
+),
+games AS (
+  SELECT COALESCE(x.a, y.b) AS a, COALESCE(x.b, y.a) AS b,
+         COALESCE(x.w, 0) + COALESCE(y.w, 0) AS n
+  FROM wl x FULL OUTER JOIN wl y ON x.a = y.b AND x.b = y.a
+),
+wins AS (SELECT a, CAST(sum(w) AS BIGINT) AS w FROM wl GROUP BY 1),
+s0 AS (SELECT a, CAST(1000000 AS BIGINT) AS s FROM wins),"""
+    + ",".join(_bt_iter_sql(f"s{i - 1}" if i > 1 else "s0", i)
+               for i in range(1, _BT_ITERS + 1))
+    + f"""
+SELECT w.a AS p_brand, w.w AS wins,
+       s{_BT_ITERS}.s AS strength_micro
+FROM wins w JOIN s{_BT_ITERS} ON s{_BT_ITERS}.a = w.a""",
+    ref="extension: Bradley-Terry MM fit (3 unrolled iterations, "
+    "mean-normalized integer-micro strengths) over within-order brand "
+    "spend duels -- pairwise preference aggregation as hash joins",
+)
+def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("spend")
+        )
+    )
+    a = ob.alias("a")
+    b = ob.select(
+        "l_orderkey",
+        F.col("p_brand").alias("brand_b"),
+        F.col("spend").alias("spend_b"),
+    ).alias("b")
+    duels = (
+        a.join(b, "l_orderkey")
+        .filter(
+            (F.col("p_brand") < F.col("brand_b"))
+            & (F.col("spend") != F.col("spend_b"))
+        )
+        .select(
+            F.when(
+                F.col("spend") > F.col("spend_b"), F.col("p_brand")
+            )
+            .otherwise(F.col("brand_b"))
+            .alias("win"),
+            F.when(
+                F.col("spend") > F.col("spend_b"), F.col("brand_b")
+            )
+            .otherwise(F.col("p_brand"))
+            .alias("lose"),
+        )
+    )
+    wl = duels.groupBy(
+        F.col("win").alias("a"), F.col("lose").alias("b")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    y = wl.select(
+        F.col("a").alias("ya"), F.col("b").alias("yb"), F.col("w").alias("yw")
+    )
+    games = (
+        wl.join(
+            y, (F.col("a") == F.col("yb")) & (F.col("b") == F.col("ya")), "full"
+        )
+        .select(
+            F.coalesce(F.col("a"), F.col("yb")).alias("a"),
+            F.coalesce(F.col("b"), F.col("ya")).alias("b"),
+            (
+                F.coalesce(F.col("w"), F.lit(0))
+                + F.coalesce(F.col("yw"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    wins = wl.groupBy("a").agg(F.sum("w").alias("w"))
+    s = wins.select("a", F.lit(1000000).cast("bigint").alias("s"))
+    for _ in range(_BT_ITERS):
+        sa = s.select(F.col("a").alias("ja"), F.col("s").alias("s_a"))
+        sb = s.select(F.col("a").alias("jb"), F.col("s").alias("s_b"))
+        den = (
+            games.join(sa, games.a == sa.ja)
+            .join(sb, games.b == sb.jb)
+            .groupBy(F.col("a"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("n")
+                        * 1000000000.0
+                        / ((F.col("s_a") + F.col("s_b")) / 1000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("den")
+            )
+        )
+        raw = wins.join(den, "a").select(
+            "a",
+            F.floor(
+                F.col("w") * 1000000000000000.0 / F.col("den") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        tot = raw.agg(
+            F.sum("s").alias("t"), F.count(F.lit(1)).alias("nb")
+        )
+        s = raw.crossJoin(F.broadcast(tot)).select(
+            "a",
+            F.floor(
+                F.col("s") * (F.col("nb") * 1000000.0) / F.col("t")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    return wins.join(s, "a").select(
+        F.col("a").alias("p_brand"),
+        F.col("w").alias("wins"),
+        F.col("s").alias("strength_micro"),
+    )
