@@ -3147,3 +3147,207 @@ def q_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("wald_cents_micro"),
     )
+
+
+# =========================================================================
+# wave 96: inequality decomposition + STL-lite seasonal split
+#
+# - ``theil_index_nations``: Theil-T inequality of customer revenue
+#   decomposed by nation -- the additive between/within split Gini
+#   cannot give (``gini_customer_revenue`` measures only the total).
+#   Per-customer entropy terms are nano-quantized BEFORE the per-nation
+#   sum (order-free); group/global masses are exact integer cents.
+# - ``seasonal_decompose_daily``: classical additive decomposition of
+#   the daily value series -- centered 7-day moving-average trend
+#   (computed as an offset self-join, NOT a global window), day-of-week
+#   seasonal means over the detrended series, residual remainder.
+#   day-of-week = t % 7 from the integer day index, sidestepping the
+#   engines' different dayofweek() origins.
+#
+# 100 TB: theil is two hash aggregates + one broadcast-scalar join at
+# customer grain; the decomposition runs entirely on the per-day
+# aggregate (hundreds of rows).
+# =========================================================================
+
+
+@_register(
+    "theil_index_nations",
+    """
+WITH cust AS (
+  SELECT c.c_custkey, n.n_name,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+gtot AS (SELECT CAST(sum(x) AS BIGINT) AS xx,
+                CAST(count(*) AS BIGINT) AS nn FROM cust),
+grp AS (SELECT n_name, CAST(sum(x) AS BIGINT) AS xg,
+               CAST(count(*) AS BIGINT) AS ng FROM cust GROUP BY 1),
+terms AS (
+  SELECT c.n_name,
+         CAST(floor((c.x * 1.0 / g.xg)
+                    * ln((c.x * 1.0) / (g.xg * 1.0 / g.ng))
+                    * 1000000000 + 0.5) AS BIGINT) AS tw_nano
+  FROM cust c JOIN grp g ON g.n_name = c.n_name
+),
+within AS (SELECT n_name, CAST(sum(tw_nano) AS BIGINT) AS theil_within_nano
+           FROM terms GROUP BY 1)
+SELECT g.n_name, g.ng AS n_cust, g.xg AS revenue_cents,
+       w.theil_within_nano,
+       CAST(floor((g.xg * 1.0 / gl.xx)
+                  * ln((g.xg * 1.0 / gl.xx) / (g.ng * 1.0 / gl.nn))
+                  * 1000000000 + 0.5) AS BIGINT) AS between_term_nano
+FROM grp g JOIN within w ON w.n_name = g.n_name CROSS JOIN gtot gl""",
+    ref="extension: Theil-T inequality with between/within-nation "
+    "decomposition over customer revenue -- additive entropy split, "
+    "order-free nano-quantized customer terms",
+)
+def q_theil_index_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("x")
+        )
+    )
+    glob = cust.agg(
+        F.sum("x").alias("xx"), F.count(F.lit(1)).alias("nn")
+    )
+    grp = cust.groupBy("n_name").agg(
+        F.sum("x").alias("xg"), F.count(F.lit(1)).alias("ng")
+    )
+    terms = cust.join(F.broadcast(grp), "n_name").select(
+        "n_name",
+        F.floor(
+            (F.col("x") * 1.0 / F.col("xg"))
+            * F.log(
+                (F.col("x") * 1.0) / (F.col("xg") * 1.0 / F.col("ng"))
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tw_nano"),
+    )
+    within = terms.groupBy("n_name").agg(
+        F.sum("tw_nano").cast("bigint").alias("theil_within_nano")
+    )
+    return (
+        grp.join(within, "n_name")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "n_name",
+            F.col("ng").alias("n_cust"),
+            F.col("xg").alias("revenue_cents"),
+            "theil_within_nano",
+            F.floor(
+                (F.col("xg") * 1.0 / F.col("xx"))
+                * F.log(
+                    (F.col("xg") * 1.0 / F.col("xx"))
+                    / (F.col("ng") * 1.0 / F.col("nn"))
+                )
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("between_term_nano"),
+        )
+    )
+
+
+@_register(
+    "seasonal_decompose_daily",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+mn AS (SELECT min(d) AS d0 FROM daily),
+idx AS (SELECT datediff('day', mn.d0, d) AS t, cents FROM daily, mn),
+off AS (SELECT unnest(generate_series(-3, 3)) AS o),
+ma AS (
+  SELECT a.t, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(b.cents) AS BIGINT) AS s
+  FROM idx a JOIN off ON TRUE JOIN idx b ON b.t = a.t + off.o
+  GROUP BY 1
+),
+det AS (
+  SELECT idx.t, idx.cents, ma.s // 7 AS trend,
+         idx.cents - ma.s // 7 AS dt
+  FROM idx JOIN ma ON ma.t = idx.t AND ma.k = 7
+),
+dow AS (
+  SELECT t % 7 AS w, CAST(sum(dt) AS BIGINT) AS sw,
+         CAST(count(*) AS BIGINT) AS cw
+  FROM det GROUP BY 1
+)
+SELECT det.t, CAST(det.cents AS BIGINT) AS cents,
+       CAST(det.trend AS BIGINT) AS trend_cents,
+       CAST(sw // cw AS BIGINT) AS seasonal_cents,
+       CAST(det.dt - sw // cw AS BIGINT) AS resid_cents
+FROM det JOIN dow ON dow.w = det.t % 7""",
+    ref="extension: additive trend/seasonal/residual decomposition of "
+    "the daily value series (centered 7-day MA trend via offset "
+    "self-join, day-of-week seasonal means) -- all-integer, no global "
+    "window",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("t"), "cents"
+    )
+    offs = F.explode(F.array(*[F.lit(o) for o in range(-3, 4)])).alias("o")
+    ma = (
+        idx.select("t", offs)
+        .select((F.col("t") + F.col("o")).alias("bt"), F.col("t"))
+        .join(
+            idx.select(F.col("t").alias("bt"), F.col("cents").alias("bc")),
+            "bt",
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("k"), F.sum("bc").alias("s"))
+        .filter(F.col("k") == 7)
+    )
+    det = idx.join(ma, "t").select(
+        "t",
+        "cents",
+        F.expr("s div 7").alias("trend"),
+        (F.col("cents") - F.expr("s div 7")).alias("dt"),
+    )
+    dow = det.groupBy((F.col("t") % 7).alias("w")).agg(
+        F.sum("dt").alias("sw"), F.count(F.lit(1)).alias("cw")
+    )
+    return det.join(
+        F.broadcast(dow), det.t % 7 == dow.w
+    ).select(
+        "t",
+        "cents",
+        F.col("trend").cast("bigint").alias("trend_cents"),
+        F.expr("sw div cw").cast("bigint").alias("seasonal_cents"),
+        (F.col("dt") - F.expr("sw div cw")).cast("bigint").alias(
+            "resid_cents"
+        ),
+    )
