@@ -3180,6 +3180,7 @@ WITH cust AS (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
   GROUP BY 1, 2
+  HAVING sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) > 0
 ),
 gtot AS (SELECT CAST(sum(x) AS BIGINT) AS xx,
                 CAST(count(*) AS BIGINT) AS nn FROM cust),
@@ -3223,6 +3224,9 @@ def q_theil_index_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("x")
         )
+        # zero-revenue customers carry no entropy mass (x ln x -> 0);
+        # excluding them is exact and keeps ln finite on dirty inputs
+        .filter(F.col("x") > 0)
     )
     glob = cust.agg(
         F.sum("x").alias("xx"), F.count(F.lit(1)).alias("nn")

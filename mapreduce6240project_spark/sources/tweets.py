@@ -122,9 +122,18 @@ def tweet_features_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = ev.select(
         F.col("event_id").alias("tweet_id"),
         F.date_format("ts", "HH:mm:ss").alias("raw_time"),
-        F.element_at(
-            F.array(F.lit("en"), F.lit("tr"), F.lit("es"), F.lit("de")),
-            (F.col("user_id") % 4 + 1).cast("int"),
+        # explicit NULL branch: Spark 4's element_at with a NULL index
+        # does NOT return NULL (observed: it yields the last element),
+        # while DuckDB's list[NULL] is NULL -- a NULL user_id must
+        # produce a NULL language on both engines (dirty-events replay
+        # finding; clean data never has NULL user_id, so the clean-path
+        # output is unchanged)
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("tr"), F.lit("es"), F.lit("de")),
+                (F.col("user_id") % 4 + 1).cast("int"),
+            ),
         ).alias("language"),
         F.when(F.col("event_type") == "click", F.lit("[]"))
         .when(F.col("event_type") == "view", F.lit("tag1,tag2,tag3"))

@@ -116,6 +116,18 @@ REPLAY = [
     "event_props_map",
     "props_variant_deciles",
     "session_path_top10",
+    # wave 94-96 statistics over the events surface (NULL ts/value/
+    # type/user rows must be excluded identically on both engines)
+    "acf_top_period",
+    "seasonal_decompose_daily",
+    "mann_whitney_effect",
+    "iv_wald_estimate",
+    "dp_laplace_counts",
+    "ams_f2_user_stream",
+    "ece_calibration",
+    # feature-store-derived: the ingest filters (P1-P4) must drop the
+    # same dirty rows before the multi-k sweep on both engines
+    "elbow_knee_k",
 ]
 
 

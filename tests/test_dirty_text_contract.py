@@ -113,6 +113,11 @@ REPLAY = [
     "token_entropy",
     "byte_char_density",
     "tokenizer_fertility",
+    # wave 94-95 text ops (NULL text/lang/source, empty and
+    # whitespace-only docs, exact dup pairs)
+    "kn_bigram_nll",
+    "dup_span_extents",
+    "js_divergence_sources",
 ]
 
 

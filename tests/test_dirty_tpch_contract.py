@@ -124,6 +124,66 @@ def dirty_tpch_dir(tmp_path_factory):
         ),
         root / "lineitem.parquet",
     )
+    # dirty dimensions: NULL keys, NULL brands/nations, dangling refs
+    brands = [f"Brand#{1 + i % 5}{1 + i % 5}" for i in range(40)]
+    parts = [
+        (i, f"part {i}", brands[i], f"TYPE {i % 7}", i % 50,
+         round(900.0 + i, 2))
+        for i in range(40)
+    ]
+    parts += [
+        (950, "null brand", None, "TYPE 1", 5, 901.0),   # NULL brand
+        (None, "null key", "Brand#11", "TYPE 2", 6, 902.0),  # NULL partkey
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in parts], pa.int64()),
+                "p_name": pa.array([r[1] for r in parts], pa.string()),
+                "p_brand": pa.array([r[2] for r in parts], pa.string()),
+                "p_type": pa.array([r[3] for r in parts], pa.string()),
+                "p_size": pa.array([r[4] for r in parts], pa.int32()),
+                "p_retailprice": pa.array(
+                    [r[5] for r in parts], pa.float64()
+                ),
+            }
+        ),
+        root / "part.parquet",
+    )
+    custs = [
+        (i, f"cust {i}", i % 6, round(100.0 * i, 2),
+         ["BUILDING", "MACHINERY", "AUTOMOBILE"][i % 3])
+        for i in range(10)
+    ]
+    custs += [
+        (960, "null nation", None, 10.0, "BUILDING"),  # NULL nationkey
+        (None, "null key", 1, 11.0, "MACHINERY"),      # NULL custkey
+        (961, "dangling nation", 99, 12.0, "BUILDING"),  # no such nation
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in custs], pa.int64()),
+                "c_name": pa.array([r[1] for r in custs], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in custs], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in custs], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in custs], pa.string()),
+            }
+        ),
+        root / "customer.parquet",
+    )
+    nations = [(i, f"NATION_{i}", i % 3) for i in range(6)]
+    nations += [(7, None, 1)]  # NULL name
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([r[0] for r in nations], pa.int32()),
+                "n_name": pa.array([r[1] for r in nations], pa.string()),
+                "n_regionkey": pa.array([r[2] for r in nations], pa.int32()),
+            }
+        ),
+        root / "nation.parquet",
+    )
     return str(root)
 
 
@@ -132,7 +192,7 @@ def dirty_tpch_duck(dirty_tpch_dir):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("orders", "lineitem"):
+    for t in ("orders", "lineitem", "part", "customer", "nation"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{dirty_tpch_dir}/{t}.parquet'"
         )
@@ -173,6 +233,13 @@ REPLAY = [
     # sampling / checksum
     "weighted_sample_by_status",
     "table_checksum_orders",
+    # wave 94-96 over dirty dimensions (NULL part/customer keys, NULL
+    # brands/nations, dangling references)
+    "mase_seasonal_naive",
+    "simpson_reversal_audit",
+    "theil_index_nations",
+    "bradley_terry_brands",
+    "modularity_brand_partition",
 ]
 
 
