@@ -1629,3 +1629,109 @@ def q_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         mu=_QL_MU,
     )
+
+
+# =========================================================================
+# wave 96: MAP@10 -- completes the retrieval-eval triad (MRR gives the
+# first hit, NDCG the graded ranking, MAP the full precision profile).
+# Average precision is computed in exact integer arithmetic: at each
+# relevant rank k the precision term floor(hits_at_k * 1e6 / k) is an
+# integer (quantized per term, so the sum is order-free), and AP is the
+# truncating division by min(n_rel, 10).  The ranking reuses the NDCG
+# shape: rank INSIDE the TakeOrdered top-10 (limit-bounded window), the
+# relevant-total as a plain aggregate.
+# =========================================================================
+
+
+@_register(
+    "map_at10",
+    """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS s,
+         q.qlabel
+  FROM embeddings e, q WHERE e.vec_id <> 0
+    AND e.embedding IS NOT NULL
+    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+),
+rk AS (
+  SELECT label, qlabel,
+         row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+  FROM sims WHERE s IS NOT NULL
+),
+hits AS (
+  SELECT rank,
+         count(*) FILTER (WHERE label = qlabel)
+           OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS h,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+  FROM rk WHERE rank <= 10
+),
+nrel AS (SELECT CAST(count(*) FILTER (WHERE label = qlabel) AS BIGINT)
+                  AS n_rel FROM rk),
+ap AS (
+  SELECT CAST(sum(CASE WHEN rel = 1 THEN h * 1000000 // rank
+                       ELSE 0 END) AS BIGINT) AS ap_sum_micro,
+         CAST(sum(rel) AS BIGINT) AS hits10
+  FROM hits
+)
+SELECT ap.hits10, nrel.n_rel,
+       CAST(ap.ap_sum_micro // least(nrel.n_rel, 10) AS BIGINT)
+         AS ap_micro
+FROM ap CROSS JOIN nrel""",
+    ref="extension: MAP@10 against label ground truth -- exact integer "
+    "precision terms, truncating-div average; completes MRR/NDCG/MAP",
+)
+def q_map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.similarity import cosine
+    from mapreduce6240project_spark.plans.extensions import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlabel = emb.filter(F.col("vec_id") == 0).select("label").first().label
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine("embedding", q).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    top10 = sims.orderBy(F.col("s").desc(), "vec_id").limit(10)
+    hits = top10.select(
+        F.expr("row_number() OVER (ORDER BY s DESC, vec_id)").alias("rank"),
+        F.when(F.col("label") == qlabel, 1).otherwise(0).alias("rel"),
+    ).select(
+        "rank",
+        "rel",
+        F.expr(
+            "sum(rel) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW)"
+        ).alias("h"),
+    )
+    ap = hits.agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("h * 1000000 div rank"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ap_sum_micro"),
+        F.sum("rel").cast("bigint").alias("hits10"),
+    )
+    nrel = sims.agg(
+        F.count(F.when(F.col("label") == qlabel, 1))
+        .cast("bigint")
+        .alias("n_rel")
+    )
+    return ap.crossJoin(F.broadcast(nrel)).select(
+        "hits10",
+        "n_rel",
+        F.expr("ap_sum_micro div least(n_rel, 10)")
+        .cast("bigint")
+        .alias("ap_micro"),
+    )

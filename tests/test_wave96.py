@@ -127,3 +127,41 @@ def test_seasonal_decomposition_identity_and_coverage(spark):
     for r in rows:
         seas.setdefault(r.t % 7, set()).add(r.seasonal_cents)
     assert all(len(v) == 1 for v in seas.values())
+
+
+def test_map_at10_matches_bruteforce(spark):
+    import math as _m
+
+    emb = load_table(spark, SF, "embeddings").collect()
+    q = next(r for r in emb if r.vec_id == 0)
+    qv, qlabel = [float(x) for x in q.embedding], q.label
+
+    def cos(v):
+        num = sum(a * b for a, b in zip(v, qv))
+        da = _m.sqrt(sum(a * a for a in v))
+        db = _m.sqrt(sum(b * b for b in qv))
+        return num / (da * db) if da and db else None
+
+    scored = []
+    n_rel = 0
+    for r in emb:
+        if r.vec_id == 0 or r.embedding is None or any(
+            x is None for x in r.embedding
+        ):
+            continue
+        s = cos([float(x) for x in r.embedding])
+        if s is None:
+            continue
+        scored.append((-s, r.vec_id, r.label))
+        n_rel += r.label == qlabel
+    scored.sort()
+    hits = 0
+    ap_sum = 0
+    for k, (_, _, lab) in enumerate(scored[:10], start=1):
+        if lab == qlabel:
+            hits += 1
+            ap_sum += hits * 1000000 // k
+    r = REGISTRY["map_at10"].fn(spark, SF).collect()[0]
+    assert (r.hits10, r.n_rel) == (hits, n_rel)
+    assert r.ap_micro == ap_sum // min(n_rel, 10)
+    assert 0 <= r.ap_micro <= 1000000
