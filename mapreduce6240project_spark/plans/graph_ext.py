@@ -701,3 +701,63 @@ def q_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_nano"),
         )
     )
+
+
+# =========================================================================
+# wave 97: per-edge triangle support (the k-truss gate)
+#
+# ``edge_triangle_support``: for every co-purchase edge, how many
+# triangles contain it -- the edge-level statistic k-truss
+# decomposition thresholds on (an edge is in the 4-truss iff support
+# >= 2).  Complements the global triangle count and node-level
+# clustering coefficient with the edge-strength view community
+# trimming uses.  The wedge join is keyed on the shared neighbor over
+# the support-filtered pair graph, the same sum-of-degrees budget the
+# other two-hop operators pay; edges in no triangle are kept with
+# support 0 via a left join (absence is the signal k-truss prunes on).
+# =========================================================================
+
+
+@_register(
+    "edge_triangle_support",
+    _COPURCHASE_EDGES_CTE
+    + """,
+sup AS (
+  SELECT e.id_a, e.id_b, CAST(count(*) AS BIGINT) AS tri
+  FROM cp e
+  JOIN sym s1 ON s1.u = e.id_a
+  JOIN sym s2 ON s2.u = e.id_b AND s2.v = s1.v
+  GROUP BY 1, 2
+)
+SELECT cp.id_a, cp.id_b,
+       COALESCE(sup.tri, 0) AS tri_support,
+       CAST(CASE WHEN COALESCE(sup.tri, 0) >= 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS in_truss4
+FROM cp LEFT JOIN sup ON sup.id_a = cp.id_a AND sup.id_b = cp.id_b""",
+    ref="extension: per-edge triangle support over the co-purchase "
+    "graph -- the k-truss thresholding statistic; shared-neighbor "
+    "wedge join, zero-support edges preserved",
+)
+def q_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cp = _copurchase_edges_with_pairs(spark, sf_dir)
+    cp = cp.localCheckpoint()  # pair graph feeds three consumers
+    sym = cp.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        cp.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    s1 = sym.select(F.col("u").alias("id_a"), F.col("v").alias("z"))
+    s2 = sym.select(F.col("u").alias("id_b"), F.col("v").alias("z"))
+    sup = (
+        cp.join(s1, "id_a")
+        .join(s2, ["id_b", "z"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    tri = F.coalesce(F.col("tri"), F.lit(0))
+    return cp.join(sup, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        tri.cast("bigint").alias("tri_support"),
+        F.when(tri >= 2, 1).otherwise(0).cast("bigint").alias("in_truss4"),
+    )

@@ -3355,3 +3355,101 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_cents"
         ),
     )
+
+
+# =========================================================================
+# wave 97: quantile treatment effects
+#
+# ``qte_deciles``: the per-decile gap between the treated (purchase)
+# and control (click) event-value distributions -- where in the
+# distribution an effect lives, which the mean gap (welch_t_value,
+# permutation_test_value) cannot show.  Quantiles are the exact lower
+# quantile over a distinct-cents HISTOGRAM per arm (q_d = min cents
+# with cum*10 >= d*total), so everything is integer and order-free;
+# the per-arm cumulative ranks come from the pid-parallel
+# stratum_order_stats helper, not a per-arm window funnel.  100 TB:
+# one histogram aggregate per arm + a |values| x 9 bounded grid.
+# =========================================================================
+
+
+@_register(
+    "qte_deciles",
+    """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+hist AS (
+  SELECT arm, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT arm, cents,
+         sum(cnt) OVER (PARTITION BY arm ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(cnt) OVER (PARTITION BY arm) AS tw
+  FROM hist
+),
+ds AS (SELECT unnest(generate_series(1, 9)) AS decile),
+q AS (
+  SELECT ds.decile, cum.arm, min(cum.cents) AS qv
+  FROM cum JOIN ds ON cum.cw * 10 >= ds.decile * cum.tw
+  GROUP BY 1, 2
+)
+SELECT CAST(t.decile AS BIGINT) AS decile,
+       CAST(t.qv AS BIGINT) AS q_treat_cents,
+       CAST(c.qv AS BIGINT) AS q_ctrl_cents,
+       CAST(t.qv - c.qv AS BIGINT) AS qte_cents
+FROM q t JOIN q c ON c.decile = t.decile AND c.arm = 0
+WHERE t.arm = 1""",
+    ref="extension: quantile treatment effects at deciles (purchase vs "
+    "click values) -- exact integer lower quantiles over per-arm "
+    "histograms; locates the effect in the distribution",
+)
+def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.ranking import stratum_order_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    hist = base.groupBy("arm", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = stratum_order_stats(
+        hist, strata=["arm"], order=["cents"], weight="cnt"
+    ).select("arm", "cents", "cw", "tw")
+    ds = F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias(
+        "decile"
+    )
+    q = (
+        cum.select("arm", "cents", "cw", "tw", ds)
+        .filter(F.col("cw") * 10 >= F.col("decile") * F.col("tw"))
+        .groupBy("decile", "arm")
+        .agg(F.min("cents").alias("qv"))
+    )
+    t = q.filter(F.col("arm") == 1).select(
+        "decile", F.col("qv").alias("q_treat_cents")
+    )
+    c = q.filter(F.col("arm") == 0).select(
+        "decile", F.col("qv").alias("q_ctrl_cents")
+    )
+    return t.join(c, "decile").select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "q_treat_cents",
+        "q_ctrl_cents",
+        (F.col("q_treat_cents") - F.col("q_ctrl_cents"))
+        .cast("bigint")
+        .alias("qte_cents"),
+    )

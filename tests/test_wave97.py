@@ -1,0 +1,83 @@
+"""Semantic invariants for wave 97 (edge triangle support, QTE)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.plans.registry import REGISTRY
+from mapreduce6240project_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_edge_support_consistent_with_triangle_count(spark):
+    """Sum of per-edge supports = 3 * total triangles (every triangle
+    contributes one support unit to each of its three edges), checked
+    against an adjacency-set brute force."""
+    rows = REGISTRY["edge_triangle_support"].fn(spark, SF).collect()
+    assert rows
+    edges = {(r.id_a, r.id_b) for r in rows}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {
+        (a, b): len(adj[a] & adj[b]) for a, b in edges
+    }
+    got = {(r.id_a, r.id_b): r.tri_support for r in rows}
+    assert got == want
+    n_tri = sum(
+        1
+        for a, b in edges
+        for z in adj[a] & adj[b]
+        if a < b < z
+    )
+    assert sum(got.values()) == 3 * n_tri
+    for r in rows:
+        assert r.in_truss4 == (1 if r.tri_support >= 2 else 0)
+
+
+def test_qte_matches_bruteforce_quantiles(spark):
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    arms = {1: [], 0: []}
+    for r in ev:
+        arms[1 if r.event_type == "purchase" else 0].append(
+            math.floor(r.value * 100 + 0.5)
+        )
+
+    def q(vals, d):
+        vals = sorted(vals)
+        tw = len(vals)
+        cw = 0
+        seen = 0
+        # lower quantile over the value histogram: min v with cum*10 >= d*tw
+        from collections import Counter
+
+        for v, c in sorted(Counter(vals).items()):
+            seen += c
+            if seen * 10 >= d * tw:
+                return v
+        return vals[-1]
+
+    got = {
+        r.decile: (r.q_treat_cents, r.q_ctrl_cents, r.qte_cents)
+        for r in REGISTRY["qte_deciles"].fn(spark, SF).collect()
+    }
+    assert sorted(got) == list(range(1, 10))
+    for d in range(1, 10):
+        qt, qc = q(arms[1], d), q(arms[0], d)
+        assert got[d] == (qt, qc, qt - qc)
+    # quantiles are monotone in the decile
+    ts = [got[d][0] for d in range(1, 10)]
+    cs = [got[d][1] for d in range(1, 10)]
+    assert ts == sorted(ts) and cs == sorted(cs)
