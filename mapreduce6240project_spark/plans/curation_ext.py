@@ -2265,3 +2265,125 @@ def q_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise_micro"),
         (F.col("n") * 1000000 + noise).alias("released_micro"),
     )
+
+
+# =========================================================================
+# wave 97: cross-split near-duplicate leakage audit
+#
+# ``split_leakage_audit``: composes the exact stratified splitter with
+# the exact n-gram Jaccard near-dup join to answer the question every
+# train/eval split must answer BEFORE training: how many near-duplicate
+# pairs (Jaccard >= 0.5) STRADDLE a split boundary?  A cross train/test
+# near-dup is leakage the per-doc dedup gate cannot see (both copies
+# survive dedup if they differ slightly).  Output is the pair count per
+# unordered split pair -- the diagonal (within-split) rows are the
+# benign baseline the off-diagonal rows are judged against.  100 TB:
+# the same shared-shingle join budget as dedup_ngram_jaccard plus a
+# broadcast-size split map join.
+# =========================================================================
+
+
+@_register(
+    "split_leakage_audit",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN rn * 10 <= n * 8 THEN 'train'
+              WHEN rn * 10 <= n * 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [concat_ws(' ', w)] END) AS s
+    FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text),
+                                                  '\\s+', ' ', 'g')), ' ')
+                   AS w
+          FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+)
+SELECT least(s1.split, s2.split) AS split_a,
+       greatest(s1.split, s2.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN least(s1.split, s2.split)
+                      <> greatest(s1.split, s2.split)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+FROM pairs
+JOIN splits s1 ON s1.doc_id = pairs.id_a
+JOIN splits s2 ON s2.doc_id = pairs.id_b
+GROUP BY 1, 2""",
+    ref="extension: cross-split near-dup leakage audit -- composes the "
+    "exact stratified splitter with the Jaccard>=0.5 near-dup join; "
+    "off-diagonal pairs are train/eval contamination per-doc dedup "
+    "misses",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce6240project_spark.operators.ranking import stratum_order_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = stratum_order_stats(
+        docs.select(
+            "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+        ),
+        strata=["lang"],
+        order=["h", "doc_id"],
+    ).select("doc_id", "rn", "n")
+    splits = ranked.select(
+        "doc_id",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    s1 = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a")
+    )
+    s2 = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b")
+    )
+    lo = F.least(F.col("sp_a"), F.col("sp_b"))
+    hi = F.greatest(F.col("sp_a"), F.col("sp_b"))
+    return (
+        pairs.join(s1, "id_a")
+        .join(s2, "id_b")
+        .groupBy(lo.alias("split_a"), hi.alias("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_leak"),
+        )
+    )

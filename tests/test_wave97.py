@@ -81,3 +81,24 @@ def test_qte_matches_bruteforce_quantiles(spark):
     ts = [got[d][0] for d in range(1, 10)]
     cs = [got[d][1] for d in range(1, 10)]
     assert ts == sorted(ts) and cs == sorted(cs)
+
+
+def test_split_leakage_counts_reconcile(spark):
+    """Every Jaccard>=0.5 pair lands in exactly one split-pair bucket;
+    the is_leak flag marks exactly the off-diagonal rows."""
+    from mapreduce6240project_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    n_pairs_total = (
+        ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b").count()
+    )
+    rows = REGISTRY["split_leakage_audit"].fn(spark, SF).collect()
+    assert rows
+    assert sum(r.n_pairs for r in rows) == n_pairs_total
+    for r in rows:
+        assert r.split_a <= r.split_b
+        assert r.is_leak == (1 if r.split_a != r.split_b else 0)
+    # the planted near-dup corpus must exhibit some cross-split pairs
+    # at the 80/10/10 split (probabilistic but extremely safe: pairs
+    # land cross-split unless the md5 order conspires for every pair)
+    assert any(r.is_leak == 1 for r in rows)
