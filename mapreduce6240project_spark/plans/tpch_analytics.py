@@ -3174,8 +3174,8 @@ def _bt_iter_sql(prev: str, idx: int) -> str:
 den{idx} AS (
   SELECT g.a,
          CAST(sum(CAST(floor(g.n * 1000000000.0
-                             / ((sa.s + sb.s) / 1000000.0) + 0.5)
-                       AS BIGINT)) AS BIGINT) AS den
+             / ((sa.s + sb.s) / 1000000.0) + 0.5) AS BIGINT)) AS BIGINT)
+           AS den
   FROM games g
   JOIN {prev} sa ON sa.a = g.a
   JOIN {prev} sb ON sb.a = g.b
