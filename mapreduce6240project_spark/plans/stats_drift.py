@@ -3453,3 +3453,303 @@ def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qte_cents"),
     )
+
+
+# =========================================================================
+# wave 98: exact 1-D optimal transport
+#
+# ``wasserstein_value_gap``: the Wasserstein-1 (earth-mover) distance
+# between the purchase and click value distributions -- the drift/shift
+# metric that, unlike KS (sup of CDF gap), weights HOW FAR mass must
+# move, and unlike PSI, needs no binning choice.  In 1-D it is the
+# integral of |F_A - F_B|, computed EXACTLY over the merged distinct-
+# cents grid: between consecutive values the CDF gap is constant, so
+# W1 = sum |cwa*tb - cwb*ta| * (next_v - v) / (ta*tb) with every factor
+# an exact integer; terms are summed as integers and divided once.
+# The cumulative counts ride the same pid-parallel order-stats helper
+# as the other histogram statistics -- no global window.
+# =========================================================================
+
+
+@_register(
+    "wasserstein_value_gap",
+    """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+hist AS (
+  SELECT cents,
+         CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS cb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+               CAST(sum(cb) AS BIGINT) AS tb FROM hist),
+cum AS (
+  SELECT cents,
+         sum(ca) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cwa,
+         sum(cb) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cwb,
+         lead(cents) OVER (ORDER BY cents) AS nxt
+  FROM hist
+),
+seg AS (
+  SELECT CAST(abs(cwa * tot.tb - cwb * tot.ta) * (nxt - cents) AS BIGINT)
+           AS num
+  FROM cum CROSS JOIN tot WHERE nxt IS NOT NULL
+)
+SELECT tot.ta AS n_treat, tot.tb AS n_ctrl,
+       CAST(sum(seg.num) AS BIGINT) AS w1_num,
+       CAST(sum(seg.num) // (tot.ta * tot.tb) AS BIGINT) AS w1_cents
+FROM seg CROSS JOIN tot GROUP BY tot.ta, tot.tb""",
+    ref="extension: exact 1-D Wasserstein-1 distance between the "
+    "purchase and click value distributions -- integer CDF-gap "
+    "segments over the merged cents grid, one truncating division",
+)
+def q_wasserstein_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.ranking import stratum_order_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        )
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    # pid-parallel cumulative counts; the within-grid lead() needs the
+    # next DISTINCT value, recovered by a self-join on rank+1 (the
+    # helper's rn is dense over distinct cents rows)
+    cum = stratum_order_stats(
+        hist.withColumn("_one", F.lit(1)),
+        strata=[],
+        order=["cents"],
+        weight="ca",
+    ).select("cents", "cb", F.col("cw").alias("cwa"), F.col("rn"))
+    cumb = stratum_order_stats(
+        hist, strata=[], order=["cents"], weight="cb"
+    ).select(F.col("cents").alias("c2"), F.col("cw").alias("cwb"))
+    cum = cum.join(cumb, cum.cents == cumb.c2).drop("c2")
+    nxt = cum.select(
+        (F.col("rn") - 1).alias("rn"), F.col("cents").alias("nxt")
+    )
+    seg = (
+        cum.join(nxt, "rn")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(
+                    F.col("cwa") * F.col("tb") - F.col("cwb") * F.col("ta")
+                )
+                * (F.col("nxt") - F.col("cents"))
+            ).alias("num")
+        )
+    )
+    return (
+        seg.agg(F.sum("num").alias("w1_num"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ta").alias("n_treat"),
+            F.col("tb").alias("n_ctrl"),
+            F.col("w1_num").cast("bigint").alias("w1_num"),
+            F.expr("w1_num div (ta * tb)").cast("bigint").alias("w1_cents"),
+        )
+    )
+
+
+# =========================================================================
+# wave 98: multiple-testing control
+#
+# ``bh_fdr_type_gaps``: one permutation test PER EVENT TYPE (is the
+# weekend-vs-weekday mean value gap real?), then Benjamini-Hochberg
+# across the family of types at q = 0.25 -- the step every dashboard
+# that fires K tests at once must apply before alerting.  The
+# permutation machinery is the replayable LCG of
+# ``permutation_test_value`` (20 label shuffles keyed on user_id); the
+# p-value is integer (extreme count + 1 over 21, the add-one
+# permutation convention), and the BH threshold comparison
+# p_(i) <= q*i/K is evaluated by integer cross-multiplication
+# (p_num * K_total * 4 <= i * p_den), so the whole procedure is exact.
+# The rank over the per-type p-values is a |types|-row sort.
+# =========================================================================
+
+
+@_register(
+    "bh_fdr_type_gaps",
+    f"""
+WITH base AS (
+  SELECT event_type, user_id,
+         CASE WHEN CAST(dayofweek(ts) AS INT) IN (0, 6) THEN 1 ELSE 0 END
+           AS wkend,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+),
+obs AS (
+  SELECT event_type,
+         abs(COALESCE(sum(CASE WHEN wkend = 1 THEN cents END)
+               // NULLIF(count(CASE WHEN wkend = 1 THEN 1 END), 0), 0)
+             - COALESCE(sum(CASE WHEN wkend = 0 THEN cents END)
+               // NULLIF(count(CASE WHEN wkend = 0 THEN 1 END), 0), 0))
+           AS gap
+  FROM base GROUP BY 1
+),
+perms AS (
+  SELECT b.event_type, p.perm,
+         CAST({_PERM.format(k="p.perm")} AS BIGINT) AS grp,
+         b.cents
+  FROM base b
+  CROSS JOIN (SELECT unnest(generate_series(1, {_K_PERMS})) AS perm) p
+),
+pgaps AS (
+  SELECT event_type, perm,
+         abs(COALESCE(sum(CASE WHEN grp = 1 THEN cents END)
+               // NULLIF(count(CASE WHEN grp = 1 THEN 1 END), 0), 0)
+             - COALESCE(sum(CASE WHEN grp = 0 THEN cents END)
+               // NULLIF(count(CASE WHEN grp = 0 THEN 1 END), 0), 0))
+           AS gap
+  FROM perms GROUP BY 1, 2
+),
+pv AS (
+  SELECT o.event_type,
+         CAST(1 + count(CASE WHEN pg.gap >= o.gap THEN 1 END) AS BIGINT)
+           AS p_num,
+         CAST({_K_PERMS} + 1 AS BIGINT) AS p_den,
+         CAST(o.gap AS BIGINT) AS obs_gap_cents
+  FROM obs o JOIN pgaps pg ON pg.event_type = o.event_type
+  GROUP BY o.event_type, o.gap
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY p_num, event_type) AS i,
+         count(*) OVER () AS kk
+  FROM pv
+),
+flag AS (
+  SELECT *, CASE WHEN p_num * kk * 4 <= i * p_den THEN 1 ELSE 0 END AS ok
+  FROM rk
+),
+thresh AS (SELECT COALESCE(max(CASE WHEN ok = 1 THEN i END), 0) AS imax
+           FROM flag)
+SELECT f.event_type, f.obs_gap_cents, f.p_num, f.p_den,
+       CAST(f.i AS BIGINT) AS rank_i,
+       CAST(CASE WHEN f.i <= t.imax THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM flag f CROSS JOIN thresh t""",
+    ref="extension: per-type permutation tests + Benjamini-Hochberg "
+    "step-up at q=0.25 -- replayable LCG shuffles, add-one integer "
+    "p-values, cross-multiplied threshold; exact multiple-testing "
+    "control",
+)
+def q_bh_fdr_type_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        "user_id",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wkend"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+
+    def _gap(df, grp_col):
+        return df.groupBy("event_type", *(
+            ["perm"] if "perm" in df.columns else []
+        )).agg(
+            F.abs(
+                F.coalesce(
+                    F.expr(
+                        f"sum(CASE WHEN {grp_col} = 1 THEN cents END)"
+                        f" div nullif(count(CASE WHEN {grp_col} = 1"
+                        " THEN 1 END), 0)"
+                    ),
+                    F.lit(0),
+                )
+                - F.coalesce(
+                    F.expr(
+                        f"sum(CASE WHEN {grp_col} = 0 THEN cents END)"
+                        f" div nullif(count(CASE WHEN {grp_col} = 0"
+                        " THEN 1 END), 0)"
+                    ),
+                    F.lit(0),
+                )
+            ).alias("gap")
+        )
+
+    obs = _gap(base, "wkend")
+    perms = base.select(
+        "event_type",
+        "cents",
+        "user_id",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _K_PERMS + 1)])
+        ).alias("perm"),
+    ).withColumn("grp", F.expr(_PERM.format(k="perm")).cast("bigint"))
+    pgaps = _gap(perms, "grp")
+    pv = (
+        pgaps.join(
+            obs.select("event_type", F.col("gap").alias("obs_gap")),
+            "event_type",
+        )
+        .groupBy("event_type", "obs_gap")
+        .agg(
+            (
+                1 + F.count(F.when(F.col("gap") >= F.col("obs_gap"), 1))
+            )
+            .cast("bigint")
+            .alias("p_num")
+        )
+        .select(
+            "event_type",
+            "p_num",
+            F.lit(_K_PERMS + 1).cast("bigint").alias("p_den"),
+            F.col("obs_gap").alias("obs_gap_cents"),
+        )
+    )
+    w = Window.orderBy("p_num", "event_type")
+    rk = pv.select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("kk"),
+    )
+    flag = rk.withColumn(
+        "ok",
+        F.when(
+            F.col("p_num") * F.col("kk") * 4 <= F.col("i") * F.col("p_den"),
+            1,
+        ).otherwise(0),
+    )
+    thresh = flag.agg(
+        F.coalesce(
+            F.max(F.when(F.col("ok") == 1, F.col("i"))), F.lit(0)
+        ).alias("imax")
+    )
+    return flag.crossJoin(F.broadcast(thresh)).select(
+        "event_type",
+        "obs_gap_cents",
+        "p_num",
+        "p_den",
+        F.col("i").cast("bigint").alias("rank_i"),
+        F.when(F.col("i") <= F.col("imax"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    )

@@ -102,3 +102,57 @@ def test_split_leakage_counts_reconcile(spark):
     # at the 80/10/10 split (probabilistic but extremely safe: pairs
     # land cross-split unless the md5 order conspires for every pair)
     assert any(r.is_leak == 1 for r in rows)
+
+
+# --- wave 98 -----------------------------------------------------------
+
+
+def test_wasserstein_matches_bruteforce(spark):
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(
+        math.floor(r.value * 100 + 0.5) for r in ev if r.event_type == "purchase"
+    )
+    b = sorted(
+        math.floor(r.value * 100 + 0.5) for r in ev if r.event_type == "click"
+    )
+    grid = sorted(set(a) | set(b))
+    ta, tb = len(a), len(b)
+    import bisect
+
+    num = 0
+    for v, nxt in zip(grid, grid[1:]):
+        cwa = bisect.bisect_right(a, v)
+        cwb = bisect.bisect_right(b, v)
+        num += abs(cwa * tb - cwb * ta) * (nxt - v)
+    r = REGISTRY["wasserstein_value_gap"].fn(spark, SF).collect()[0]
+    assert (r.n_treat, r.n_ctrl, r.w1_num) == (ta, tb, num)
+    assert r.w1_cents == num // (ta * tb)
+    # W1 in cents must also equal the classic quantile-coupling form
+    # (within truncation): sanity bound against the mean gap
+    mean_gap = abs(sum(a) // ta - sum(b) // tb)
+    assert r.w1_cents >= mean_gap - 1  # W1 >= |mean difference|
+
+
+def test_bh_fdr_monotone_and_exact_pvalues(spark):
+    rows = REGISTRY["bh_fdr_type_gaps"].fn(spark, SF).collect()
+    assert rows
+    by_rank = sorted(rows, key=lambda r: r.rank_i)
+    ps = [r.p_num for r in by_rank]
+    assert ps == sorted(ps)
+    assert all(r.p_den == 21 for r in rows)
+    assert all(1 <= r.p_num <= 21 for r in rows)
+    # BH step-up: the rejection set is exactly ranks 1..imax where imax
+    # is the largest i with p_(i) <= q*i/K (q=0.25)
+    kk = len(rows)
+    ok = [r.rank_i for r in by_rank if r.p_num * kk * 4 <= r.rank_i * r.p_den]
+    imax = max(ok) if ok else 0
+    for r in rows:
+        assert r.rejected == (1 if r.rank_i <= imax else 0)

@@ -156,6 +156,13 @@ WHITELIST: dict[tuple[str, str], str] = {
         "source x lang probability grid -- the build side is the "
         "language-marginal aggregate (lang enum, tens of rows), "
         "broadcast by construction",
+    ("wasserstein_value_gap", "global_window_unbounded"):
+        "stratum_order_stats offsets windows over per-pid count "
+        "aggregates (#partitions rows) atop the distinct-cents value "
+        "histogram (domain-quantized, like mann_whitney_effect)",
+    ("bh_fdr_type_gaps", "global_window_unbounded"):
+        "p-value rank / family-size windows over the per-event-type "
+        "permutation aggregate (type enum, like label_maxsim_rank)",
 }
 
 AGG_CLASSES = (
