@@ -1402,3 +1402,171 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mce_micro"),
     )
+
+
+# =========================================================================
+# wave 99: operating-point selection
+#
+# ``f1_threshold_sweep``: sweep the decision threshold over the same
+# first-half-propensity / second-half-outcome table as
+# ``brier_reliability_bins`` / ``ece_calibration`` and report
+# precision / recall / F1 at each decile cut plus the argmax-F1
+# operating point -- the last step of shipping a classifier the
+# calibration audits only score.  Exactness: TP/FP/FN are integer
+# counts per cut; P, R, F1 are reported as micro ratios via one
+# truncating division each, and the argmax comparison is done by
+# integer cross-multiplication of F1 = 2TP/(2TP+FP+FN) (numerators
+# 2TP*(den_other) vs ...), so the winner is exact, never a float
+# artifact.  The sweep table is 10 rows regardless of input size.
+# =========================================================================
+
+
+@_register(
+    "f1_threshold_sweep",
+    """
+WITH ev2 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+), thr AS (
+  SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev2
+), u AS (
+  SELECT user_id,
+         (1000000 * count(*) FILTER (WHERE event_type = 'purchase'
+                                     AND t_us < (SELECT mid_us FROM thr)))
+           // count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) AS p,
+         CAST(coalesce(max(CASE WHEN event_type = 'purchase'
+                       AND t_us >= (SELECT mid_us FROM thr)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+  FROM ev2 GROUP BY 1
+  HAVING count(*) FILTER (WHERE t_us < (SELECT mid_us FROM thr)) > 0
+),
+cuts AS (SELECT unnest(generate_series(0, 9)) * 100000 AS cut),
+conf AS (
+  SELECT cuts.cut,
+         CAST(count(CASE WHEN u.p >= cuts.cut AND u.y = 1 THEN 1 END)
+              AS BIGINT) AS tp,
+         CAST(count(CASE WHEN u.p >= cuts.cut AND u.y = 0 THEN 1 END)
+              AS BIGINT) AS fp,
+         CAST(count(CASE WHEN u.p < cuts.cut AND u.y = 1 THEN 1 END)
+              AS BIGINT) AS fn
+  FROM u CROSS JOIN cuts GROUP BY 1
+),
+scored AS (
+  SELECT cut, tp, fp, fn,
+         CASE WHEN tp + fp = 0 THEN 0
+              ELSE tp * 1000000 // (tp + fp) END AS prec_micro,
+         CASE WHEN tp + fn = 0 THEN 0
+              ELSE tp * 1000000 // (tp + fn) END AS rec_micro,
+         CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+              ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micro
+  FROM conf
+),
+best AS (
+  SELECT min(cut) AS best_cut FROM scored s1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM scored s2
+    WHERE 2 * s2.tp * (2 * s1.tp + s1.fp + s1.fn)
+          > 2 * s1.tp * (2 * s2.tp + s2.fp + s2.fn)
+  )
+)
+SELECT CAST(s.cut AS BIGINT) AS cut_micro, s.tp, s.fp, s.fn,
+       CAST(s.prec_micro AS BIGINT) AS prec_micro,
+       CAST(s.rec_micro AS BIGINT) AS rec_micro,
+       CAST(s.f1_micro AS BIGINT) AS f1_micro,
+       CAST(CASE WHEN s.cut = b.best_cut THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best
+FROM scored s CROSS JOIN best b""",
+    ref="extension: precision/recall/F1 threshold sweep over the "
+    "propensity table with an exact cross-multiplied argmax -- the "
+    "operating-point selection the calibration audits stop short of",
+)
+def q_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    thr = ev2.agg(F.expr("(min(t_us) + max(t_us)) div 2").alias("mid_us"))
+    u = (
+        ev2.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(1000000 * count(CASE WHEN event_type = 'purchase'"
+                " AND t_us < mid_us THEN 1 END))"
+                " div count(CASE WHEN t_us < mid_us THEN 1 END)"
+            ).alias("p"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN event_type = 'purchase'"
+                " AND t_us >= mid_us THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("y"),
+            F.expr("count(CASE WHEN t_us < mid_us THEN 1 END)").alias(
+                "_npre"
+            ),
+        )
+        .filter(F.col("_npre") > 0)
+    )
+    cuts = F.explode(
+        F.array(*[F.lit(c * 100000) for c in range(10)])
+    ).alias("cut")
+    conf = (
+        u.select("p", "y", cuts)
+        .groupBy("cut")
+        .agg(
+            F.count(
+                F.when((F.col("p") >= F.col("cut")) & (F.col("y") == 1), 1)
+            ).alias("tp"),
+            F.count(
+                F.when((F.col("p") >= F.col("cut")) & (F.col("y") == 0), 1)
+            ).alias("fp"),
+            F.count(
+                F.when((F.col("p") < F.col("cut")) & (F.col("y") == 1), 1)
+            ).alias("fn"),
+        )
+    )
+    scored = conf.select(
+        "cut",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, 0)
+        .otherwise(F.expr("tp * 1000000 div (tp + fp)"))
+        .alias("prec_micro"),
+        F.when(F.col("tp") + F.col("fn") == 0, 0)
+        .otherwise(F.expr("tp * 1000000 div (tp + fn)"))
+        .alias("rec_micro"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, 0)
+        .otherwise(F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+        .alias("f1_micro"),
+    )
+    o = scored.select(
+        F.col("cut").alias("o_cut"),
+        F.col("tp").alias("o_tp"),
+        F.col("fp").alias("o_fp"),
+        F.col("fn").alias("o_fn"),
+    )
+    # exact argmax by cross-multiplied F1; ties -> smallest cut
+    dominated = (
+        scored.join(
+            F.broadcast(o),
+            2 * o.o_tp * (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            > 2 * F.col("tp") * (2 * o.o_tp + o.o_fp + o.o_fn),
+            "left_semi",
+        )
+        .select("cut")
+    )
+    best = (
+        scored.join(dominated, "cut", "left_anti")
+        .agg(F.min("cut").alias("best_cut"))
+    )
+    return scored.crossJoin(F.broadcast(best)).select(
+        F.col("cut").cast("bigint").alias("cut_micro"),
+        "tp",
+        "fp",
+        "fn",
+        F.col("prec_micro").cast("bigint").alias("prec_micro"),
+        F.col("rec_micro").cast("bigint").alias("rec_micro"),
+        F.col("f1_micro").cast("bigint").alias("f1_micro"),
+        F.when(F.col("cut") == F.col("best_cut"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_best"),
+    )

@@ -3335,3 +3335,152 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("wins"),
         F.col("s").alias("strength_micro"),
     )
+
+
+# =========================================================================
+# wave 99: decision-stump split-gain audit
+#
+# ``stump_split_gain``: the one-level decision tree every feature-
+# importance pipeline starts from -- which discount-bin threshold best
+# separates returned from kept lineitems, scored by Gini impurity
+# decrease.  Counts are exact integers per candidate split; each
+# side's Gini and the weighted impurity are micro-quantized with the
+# identical expression on both engines; the winner is flagged with a
+# smallest-split tie-break.  One hash aggregate over (bin, returnflag)
+# -- 11x2 cells -- then a 9-row sweep: cost independent of data size.
+# =========================================================================
+
+
+@_register(
+    "stump_split_gain",
+    """
+WITH base AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+),
+cells AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ret) AS BIGINT) AS r
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(r) AS BIGINT) AS rt
+        FROM cells),
+splits AS (SELECT unnest(generate_series(1, 9)) AS s),
+sides AS (
+  SELECT splits.s,
+         CAST(sum(CASE WHEN cells.bin < splits.s THEN cells.n ELSE 0 END)
+              AS BIGINT) AS nl,
+         CAST(sum(CASE WHEN cells.bin < splits.s THEN cells.r ELSE 0 END)
+              AS BIGINT) AS rl
+  FROM cells CROSS JOIN splits GROUP BY 1
+),
+scored AS (
+  SELECT sides.s, nl, rl, tot.nt - nl AS nr, tot.rt - rl AS rr,
+         CAST(CASE WHEN nl = 0 THEN 0
+              ELSE floor((1.0 - (rl * 1.0 / nl) * (rl * 1.0 / nl)
+                              - ((nl - rl) * 1.0 / nl)
+                                * ((nl - rl) * 1.0 / nl))
+                         * 1000000 + 0.5) END AS BIGINT) AS gini_l_micro,
+         CAST(CASE WHEN tot.nt - nl = 0 THEN 0
+              ELSE floor((1.0 - ((tot.rt - rl) * 1.0 / (tot.nt - nl))
+                                * ((tot.rt - rl) * 1.0 / (tot.nt - nl))
+                              - ((tot.nt - nl - tot.rt + rl) * 1.0
+                                 / (tot.nt - nl))
+                                * ((tot.nt - nl - tot.rt + rl) * 1.0
+                                   / (tot.nt - nl)))
+                         * 1000000 + 0.5) END AS BIGINT) AS gini_r_micro
+  FROM sides CROSS JOIN tot
+),
+wtd AS (
+  SELECT scored.*,
+         CAST((nl * gini_l_micro + nr * gini_r_micro) // (nl + nr)
+              AS BIGINT) AS weighted_micro
+  FROM scored
+),
+best AS (SELECT min(s) AS bs FROM wtd
+         WHERE weighted_micro = (SELECT min(weighted_micro) FROM wtd))
+SELECT CAST(wtd.s AS BIGINT) AS split_bin, wtd.nl, wtd.rl, wtd.nr,
+       wtd.rr, wtd.gini_l_micro, wtd.gini_r_micro, wtd.weighted_micro,
+       CAST(CASE WHEN wtd.s = best.bs THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best
+FROM wtd CROSS JOIN best""",
+    ref="extension: decision-stump Gini split sweep over discount bins "
+    "predicting returns -- the first step of tree-based feature "
+    "importance, on an 11x2 contingency aggregate",
+)
+def q_stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull() & F.col("l_returnflag").isNotNull()
+    )
+    cells = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "bin"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ret").alias("r")
+    )
+    tot = cells.agg(F.sum("n").alias("nt"), F.sum("r").alias("rt"))
+    splits = F.explode(F.array(*[F.lit(s) for s in range(1, 10)])).alias("s")
+    sides = (
+        cells.select("bin", "n", "r", splits)
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("bin") < F.col("s"), F.col("n")).otherwise(0))
+            .alias("nl"),
+            F.sum(F.when(F.col("bin") < F.col("s"), F.col("r")).otherwise(0))
+            .alias("rl"),
+        )
+    )
+    j = sides.crossJoin(F.broadcast(tot))
+    nl, rl = F.col("nl"), F.col("rl")
+    nr = F.col("nt") - nl
+    rr = F.col("rt") - rl
+
+    def gini(num_pos, num_all):
+        p1 = num_pos * 1.0 / num_all
+        p0 = (num_all - num_pos) * 1.0 / num_all
+        return F.floor(
+            (F.lit(1.0) - p1 * p1 - p0 * p0) * 1000000 + F.lit(0.5)
+        )
+
+    scored = j.select(
+        "s",
+        nl.alias("nl"),
+        rl.alias("rl"),
+        nr.alias("nr"),
+        rr.alias("rr"),
+        F.when(nl == 0, 0).otherwise(gini(rl, nl)).cast("bigint").alias(
+            "gini_l_micro"
+        ),
+        F.when(nr == 0, 0).otherwise(gini(rr, nr)).cast("bigint").alias(
+            "gini_r_micro"
+        ),
+    ).withColumn(
+        "weighted_micro",
+        F.expr(
+            "(nl * gini_l_micro + nr * gini_r_micro) div (nl + nr)"
+        ).cast("bigint"),
+    )
+    mn = scored.agg(F.min("weighted_micro").alias("mw"))
+    best = (
+        scored.crossJoin(F.broadcast(mn))
+        .filter(F.col("weighted_micro") == F.col("mw"))
+        .agg(F.min("s").alias("bs"))
+    )
+    return scored.crossJoin(F.broadcast(best)).select(
+        F.col("s").cast("bigint").alias("split_bin"),
+        "nl",
+        "rl",
+        "nr",
+        "rr",
+        "gini_l_micro",
+        "gini_r_micro",
+        "weighted_micro",
+        F.when(F.col("s") == F.col("bs"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_best"),
+    )

@@ -156,3 +156,91 @@ def test_bh_fdr_monotone_and_exact_pvalues(spark):
     imax = max(ok) if ok else 0
     for r in rows:
         assert r.rejected == (1 if r.rank_i <= imax else 0)
+
+
+# --- wave 99 -----------------------------------------------------------
+
+
+def test_f1_sweep_confusion_reconciles_and_best_is_argmax(spark):
+    rows = REGISTRY["f1_threshold_sweep"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    n_users = {r.tp + r.fp + r.fn for r in rows if r.cut_micro == 0}
+    for r in rows:
+        if r.tp + r.fp > 0:
+            assert r.prec_micro == r.tp * 1000000 // (r.tp + r.fp)
+        if r.tp + r.fn > 0:
+            assert r.rec_micro == r.tp * 1000000 // (r.tp + r.fn)
+        if 2 * r.tp + r.fp + r.fn > 0:
+            assert r.f1_micro == 2 * r.tp * 1000000 // (2 * r.tp + r.fp + r.fn)
+    # cut 0 keeps every user positive: recall = 1
+    r0 = next(r for r in rows if r.cut_micro == 0)
+    assert r0.fn == 0 and (r0.rec_micro == 1000000 or r0.tp == 0)
+    # exact argmax with smallest-cut tie-break
+    def f1_frac(r):
+        den = 2 * r.tp + r.fp + r.fn
+        return (2 * r.tp, den if den else 1)
+
+    best = min(
+        (r for r in rows),
+        key=lambda r: (-(f1_frac(r)[0] / f1_frac(r)[1]), r.cut_micro),
+    )
+    assert [r.cut_micro for r in rows if r.is_best == 1] == [best.cut_micro]
+    assert n_users  # monotone positives: tp+fp shrinks as cut grows
+    by_cut = sorted(rows, key=lambda r: r.cut_micro)
+    pos = [r.tp + r.fp for r in by_cut]
+    assert pos == sorted(pos, reverse=True)
+
+
+def test_stump_split_matches_bruteforce_gini(spark):
+    li = (
+        load_table(spark, SF, "lineitem")
+        .filter(
+            F.col("l_discount").isNotNull() & F.col("l_returnflag").isNotNull()
+        )
+        .select("l_discount", "l_returnflag")
+        .collect()
+    )
+    cells: dict[int, list] = {}
+    for r in li:
+        b = math.floor(r.l_discount * 100 + 0.5)
+        rec = cells.setdefault(b, [0, 0])
+        rec[0] += 1
+        rec[1] += r.l_returnflag == "R"
+    nt = sum(v[0] for v in cells.values())
+    rt = sum(v[1] for v in cells.values())
+
+    def gini_micro(rr, nn):
+        if nn == 0:
+            return 0
+        p1 = rr * 1.0 / nn
+        p0 = (nn - rr) * 1.0 / nn
+        return math.floor((1.0 - p1 * p1 - p0 * p0) * 1000000 + 0.5)
+
+    want = {}
+    for s in range(1, 10):
+        nl = sum(v[0] for b, v in cells.items() if b < s)
+        rl = sum(v[1] for b, v in cells.items() if b < s)
+        nr, rr = nt - nl, rt - rl
+        gl, gr = gini_micro(rl, nl), gini_micro(rr, nr)
+        want[s] = (nl, rl, nr, rr, gl, gr, (nl * gl + nr * gr) // (nl + nr))
+    got = {
+        r.split_bin: (
+            r.nl,
+            r.rl,
+            r.nr,
+            r.rr,
+            r.gini_l_micro,
+            r.gini_r_micro,
+            r.weighted_micro,
+        )
+        for r in REGISTRY["stump_split_gain"].fn(spark, SF).collect()
+    }
+    assert got == want
+    mw = min(v[6] for v in want.values())
+    best = min(s for s, v in want.items() if v[6] == mw)
+    flags = [
+        r.split_bin
+        for r in REGISTRY["stump_split_gain"].fn(spark, SF).collect()
+        if r.is_best == 1
+    ]
+    assert flags == [best]

@@ -123,6 +123,9 @@ WHITELIST: dict[tuple[str, str], str] = {
     # -- calendar-grain (continued)
     ("changepoint_day", "global_window_unbounded"):
         "two-segment scan statistic over the per-day value aggregate",
+    ("sprt_boundary_day", "global_window_unbounded"):
+        "cumulative LLR window over the per-day trial aggregate "
+        "(same calendar grain as changepoint_day)",
     # -- documented-quadratic ground truth
     ("embedding_pairs_exact", "bnlj_unbounded_build"):
         "the exact all-pairs cosine ground truth the ANN/LSH paths are "
