@@ -128,6 +128,11 @@ REPLAY = [
     # feature-store-derived: the ingest filters (P1-P4) must drop the
     # same dirty rows before the multi-k sweep on both engines
     "elbow_knee_k",
+    # wave 97-99 statistics over the events surface
+    "qte_deciles",
+    "wasserstein_value_gap",
+    "bh_fdr_type_gaps",
+    "f1_threshold_sweep",
 ]
 
 

@@ -240,6 +240,7 @@ REPLAY = [
     "theil_index_nations",
     "bradley_terry_brands",
     "modularity_brand_partition",
+    "stump_split_gain",
 ]
 
 
