@@ -36,8 +36,9 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "Markov transition matrix, hard-erroring above 4096 rows",
     ),
     "plans/retrieval.py": (
-        3,
-        "query-vector/label probes: 1 row by key each",
+        4,
+        "query-vector/label probes: 1 row by key each (4th site: "
+        "map_at10's qlabel first(), same vec_id=0 point lookup)",
     ),
     "streaming/jobs.py": (1, "watermark cutoff scalar (1-row agg)"),
     "operators/sampling.py": (
