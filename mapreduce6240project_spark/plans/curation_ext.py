@@ -2391,3 +2391,106 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_leak"),
         )
     )
+
+
+# =========================================================================
+# wave 100: mixture reweighting diagnostics
+#
+# ``mixture_ess_audit``: when a corpus is resampled toward temperature-
+# 0.75 source weights (the ``temperature_resample_langs`` scheme), the
+# effective sample size ESS = (sum w)^2 / sum w^2 of the importance
+# ratios says how much of the corpus the reweighting actually keeps --
+# the diagnostic that catches a mixture spec quietly collapsing onto
+# one source.  Per-source ratios r_s = target_share / natural_share
+# involve one pow(0.75) each; they are micro-quantized per source
+# (tens of rows) BEFORE the integer moment sums, so ESS is exact given
+# the quantized ratios.  100 TB: one count aggregate, |sources|-row
+# algebra.
+# =========================================================================
+
+
+@_register(
+    "mixture_ess_audit",
+    """
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
+pw AS (
+  SELECT source, n, power(n * 1.0 / tot.nn, 0.75) AS tw
+  FROM cnt CROSS JOIN tot
+),
+zt AS (SELECT sum(tw) AS z FROM pw),
+r AS (
+  SELECT source, n,
+         CAST(floor((tw / zt.z) / (n * 1.0 / tot.nn) * 1000000 + 0.5)
+              AS BIGINT) AS r_micro
+  FROM pw CROSS JOIN zt CROSS JOIN tot
+),
+mom AS (
+  SELECT CAST(sum(n * r_micro) AS BIGINT) AS s1,
+         CAST(sum(n * r_micro * r_micro) AS BIGINT) AS s2,
+         CAST(min(r_micro) AS BIGINT) AS min_r_micro,
+         CAST(max(r_micro) AS BIGINT) AS max_r_micro,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM r
+)
+SELECT tot.nn AS n_docs, mom.n_sources, mom.min_r_micro, mom.max_r_micro,
+       CAST(floor(mom.s1 * 1.0 * mom.s1 / (mom.s2 * 1.0 * tot.nn)
+                  * 10000 + 0.5) AS BIGINT) AS ess_permyriad
+FROM mom CROSS JOIN tot""",
+    ref="extension: effective-sample-size audit of temperature-0.75 "
+    "source reweighting -- (sum w)^2/sum w^2 over micro-quantized "
+    "importance ratios; catches mixture collapse before training",
+)
+def q_mixture_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("nn"))
+    pw = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "nn",
+        F.pow(F.col("n") * 1.0 / F.col("nn"), 0.75).alias("tw"),
+    )
+    zt = pw.agg(F.sum("tw").alias("z"))
+    r = pw.crossJoin(F.broadcast(zt)).select(
+        "source",
+        "n",
+        "nn",
+        F.floor(
+            (F.col("tw") / F.col("z"))
+            / (F.col("n") * 1.0 / F.col("nn"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("r_micro"),
+    )
+    mom = r.agg(
+        F.sum(F.col("n") * F.col("r_micro")).alias("s1"),
+        F.sum(
+            F.col("n") * F.col("r_micro") * F.col("r_micro")
+        ).alias("s2"),
+        F.min("r_micro").alias("min_r_micro"),
+        F.max("r_micro").alias("max_r_micro"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("nn").alias("nn"),
+    )
+    return mom.select(
+        F.col("nn").alias("n_docs"),
+        "n_sources",
+        "min_r_micro",
+        "max_r_micro",
+        F.floor(
+            F.col("s1") * 1.0 * F.col("s1")
+            / (F.col("s2") * 1.0 * F.col("nn"))
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ess_permyriad"),
+    )

@@ -1415,3 +1415,152 @@ def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_pos").cast("bigint").alias("start_pos"),
         F.col("span_tokens").cast("bigint").alias("span_tokens"),
     )
+
+
+# =========================================================================
+# wave 100: b-bit MinHash accuracy audit (Li & Koenig, WWW'10)
+#
+# ``bbit_minhash_audit``: production MinHash keeps whole 31-bit
+# signature slots; b-bit MinHash stores only the LOWEST BIT of each
+# slot (32x smaller sketches) and estimates Jaccard from the bit-
+# collision fraction (E[c] ~ (1+J)/2, so J_hat = 2c - 1).  This audit
+# computes, for every verified Jaccard >= 0.5 pair, the exact
+# similarity next to the 32-permutation 1-bit estimate and the error
+# -- the measurement that decides whether the 32x sketch compression
+# is safe for a given corpus.  Replayability: the audit's base hash is
+# the md5-backed hash60 (NOT the production xxhash64 -- md5 is the
+# price of a DuckDB-replayable estimator), Carter-Wegman multipliers
+# are literals, the estimate 625*n_coll - 10000 is pure integer.
+# Eval-sample economics: signatures are one extra aggregate over the
+# shingle explode the exact join already pays.
+# =========================================================================
+
+_BBIT_PERMS = 32
+_BBIT_P = 2147483647  # 2^31 - 1
+
+
+def _bbit_sig_sql() -> str:
+    mins = ", ".join(
+        f"CAST(min(({2 * i + 1} * hm + {i * 12345 + 7}) % {_BBIT_P}) % 2"
+        f" AS BIGINT) AS b{i}"
+        for i in range(1, _BBIT_PERMS + 1)
+    )
+    return mins
+
+
+@_register(
+    "bbit_minhash_audit",
+    f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [concat_ws(' ', w)] END) AS s
+    FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text),
+                                                  '\\s+', ' ', 'g')), ' ')
+                   AS w
+          FROM documents)
+  )
+),
+hm AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_BBIT_P}
+                        AS hm FROM sh),
+sig AS (SELECT doc_id, {_bbit_sig_sql()} FROM hm GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(floor(round(CAST(n_inter AS DOUBLE)
+                          / (sa.n_sh + sb.n_sh - n_inter), 4)
+                    * 10000 + 0.5) AS BIGINT) AS jac_permyriad
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+),
+coll AS (
+  SELECT p.id_a, p.id_b, p.jac_permyriad,
+         CAST({" + ".join(f"CASE WHEN x.b{i} = y.b{i} THEN 1 ELSE 0 END"
+                          for i in range(1, _BBIT_PERMS + 1))} AS BIGINT)
+           AS n_coll
+  FROM pairs p JOIN sig x ON x.doc_id = p.id_a
+               JOIN sig y ON y.doc_id = p.id_b
+)
+SELECT id_a, id_b, jac_permyriad,
+       CAST(625 * n_coll - 10000 AS BIGINT) AS est_permyriad,
+       CAST(abs(625 * n_coll - 10000 - jac_permyriad) AS BIGINT)
+         AS abs_err_permyriad
+FROM coll""",
+    ref="extension: 1-bit (b-bit) MinHash estimator audit on verified "
+    "pairs -- 32 Carter-Wegman low bits vs exact Jaccard; decides "
+    "whether 32x sketch compression is safe on this corpus",
+)
+def q_bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+    from mapreduce6240project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+    )
+    hm = sh.select(
+        "doc_id", (hash60(F.col("s")) % _BBIT_P).alias("hm")
+    )
+    sig = hm.groupBy("doc_id").agg(
+        *[
+            (
+                F.min(
+                    ((2 * i + 1) * F.col("hm") + (i * 12345 + 7)) % _BBIT_P
+                )
+                % 2
+            )
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(1, _BBIT_PERMS + 1)
+        ]
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("jac_permyriad"),
+    )
+    x = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"xa{i}") for i in range(1, _BBIT_PERMS + 1)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"yb{i}") for i in range(1, _BBIT_PERMS + 1)],
+    )
+    n_coll = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(1, _BBIT_PERMS + 1)
+    ).cast("bigint")
+    est = (F.lit(625) * n_coll - 10000).cast("bigint")
+    return (
+        pairs.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jac_permyriad",
+            est.alias("est_permyriad"),
+            F.abs(est - F.col("jac_permyriad"))
+            .cast("bigint")
+            .alias("abs_err_permyriad"),
+        )
+    )
