@@ -2494,3 +2494,139 @@ def q_mixture_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ess_permyriad"),
     )
+
+
+# =========================================================================
+# wave 100: optimal stratified-sampling design
+#
+# ``neyman_allocation``: how should a 1000-doc annotation/eval budget
+# be split across sources?  Neyman allocation (n_h proportional to
+# N_h * S_h) minimizes the estimator variance for a fixed budget --
+# the design step uniform or proportional sampling silently gets
+# wrong when strata variances differ.  Stratum standard deviations
+# come from exact integer moment sums (n*sum(y^2) - sum(y)^2, y =
+# n_chars); the one sqrt per stratum row is micro-quantized; the
+# integer budget is apportioned EXACTLY by largest remainder, with
+# the rank computed as a bounded |sources|^2 self-join comparison --
+# no window, no float ties, sum(alloc) == budget by construction.
+# =========================================================================
+
+_NEYMAN_BUDGET = 1000
+
+
+@_register(
+    "neyman_allocation",
+    f"""
+WITH st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1
+),
+w AS (
+  SELECT source, n,
+         CAST(CASE WHEN n < 2 THEN 0
+              ELSE floor(n * sqrt((n * s2 - s1 * s1) * 1.0
+                                  / (n * (n - 1)))
+                         * 1000000 + 0.5) END AS BIGINT) AS w_micro
+  FROM st
+),
+tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wt FROM w),
+base AS (
+  SELECT w.source, w.n, w.w_micro,
+         CAST({_NEYMAN_BUDGET} * w.w_micro // tw.wt AS BIGINT) AS floor_a,
+         CAST({_NEYMAN_BUDGET} * w.w_micro % tw.wt AS BIGINT) AS rem
+  FROM w CROSS JOIN tw
+),
+short AS (
+  SELECT CAST({_NEYMAN_BUDGET} - sum(floor_a) AS BIGINT) AS k FROM base
+),
+rk AS (
+  SELECT b.source, b.n, b.w_micro, b.floor_a,
+         CAST(1 + (SELECT count(*) FROM base o
+                   WHERE o.rem > b.rem
+                      OR (o.rem = b.rem AND o.source < b.source))
+              AS BIGINT) AS r
+  FROM base b
+)
+SELECT rk.source, rk.n AS n_docs, rk.w_micro,
+       CAST(rk.floor_a + CASE WHEN rk.r <= short.k THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk CROSS JOIN short""",
+    ref="extension: Neyman-optimal stratified sample allocation with "
+    "exact largest-remainder apportionment -- integer moment sums, "
+    "windowless remainder ranking, sum(alloc) == budget",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    w = st.select(
+        "source",
+        "n",
+        F.when(F.col("n") < 2, 0)
+        .otherwise(
+            F.floor(
+                F.col("n")
+                * F.sqrt(
+                    (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    * 1.0
+                    / (F.col("n") * (F.col("n") - 1))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    tw = w.agg(F.sum("w_micro").alias("wt"))
+    base = w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n",
+        "w_micro",
+        F.expr(f"{_NEYMAN_BUDGET} * w_micro div wt").cast("bigint").alias(
+            "floor_a"
+        ),
+        (F.lit(_NEYMAN_BUDGET) * F.col("w_micro") % F.col("wt"))
+        .cast("bigint")
+        .alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("floor_a"))
+        .cast("bigint")
+        .alias("k")
+    )
+    o = base.select(
+        F.col("source").alias("o_source"), F.col("rem").alias("o_rem")
+    )
+    rk = (
+        base.join(
+            F.broadcast(o),
+            (F.col("o_rem") > F.col("rem"))
+            | (
+                (F.col("o_rem") == F.col("rem"))
+                & (F.col("o_source") < F.col("source"))
+            ),
+            "left",
+        )
+        .groupBy("source", "n", "w_micro", "floor_a")
+        .agg((1 + F.count(F.col("o_source"))).cast("bigint").alias("r"))
+    )
+    return rk.crossJoin(F.broadcast(short)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "w_micro",
+        (
+            F.col("floor_a")
+            + F.when(F.col("r") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

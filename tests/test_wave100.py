@@ -82,3 +82,47 @@ def test_mixture_ess_matches_python_and_bounds(spark):
     assert row.ess_permyriad == want
     # ESS is a fraction of N: (0, 1] in permyriad
     assert 0 < row.ess_permyriad <= 10000
+
+
+def test_neyman_allocation_exact_budget_and_python_mirror(spark):
+    rows = REGISTRY["neyman_allocation"].fn(spark, SF).collect()
+    assert rows
+    assert sum(r.alloc for r in rows) == 1000
+    docs = [
+        (r.source, r.n_chars)
+        for r in load_table(spark, SF, "documents").collect()
+        if r.source is not None and r.n_chars is not None
+    ]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for s, y in docs:
+        a = agg[s]
+        a[0] += 1
+        a[1] += y
+        a[2] += y * y
+    w = {}
+    for s, (n, s1, s2) in agg.items():
+        if n < 2:
+            w[s] = 0
+        else:
+            w[s] = math.floor(
+                n * math.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))
+                * 1000000 + 0.5
+            )
+    wt = sum(w.values())
+    floor_a = {s: 1000 * w[s] // wt for s in w}
+    rem = {s: 1000 * w[s] % wt for s in w}
+    k = 1000 - sum(floor_a.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    want = {
+        s: floor_a[s] + (1 if order.index(s) < k else 0) for s in w
+    }
+    got = {r.source: (r.n_docs, r.w_micro, r.alloc) for r in rows}
+    assert got == {s: (agg[s][0], w[s], want[s]) for s in w}
+    # Neyman dominates proportional: bigger-variance strata get more
+    # than proportional share iff their S_h exceeds the pooled mean
+    # (sanity: allocations track weights monotonically)
+    by_w = sorted(rows, key=lambda r: r.w_micro)
+    allocs = [r.alloc for r in by_w]
+    assert all(b - a >= -1 for a, b in zip(allocs, allocs[1:]))
