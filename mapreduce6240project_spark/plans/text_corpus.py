@@ -2240,3 +2240,193 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t_nano").cast("bigint").alias("js_nano"),
         )
     )
+
+
+# =========================================================================
+# wave 101: batching efficiency + cross-source vocabulary structure
+#
+# - ``padding_waste_audit``: how many pad tokens does max-length
+#   batching burn at batch size 32, and how much does length-sorted
+#   bucketing save?  Padding waste = sum over batches of
+#   (batch_max - len) -- computed for BOTH orders: doc_id order (the
+#   arrival-order baseline) and length-sorted order (the bucketed
+#   schedule).  Batch assignment is rank div 32 from the pid-parallel
+#   order-stats helper; per-batch maxima are tiny aggregates.  Every
+#   quantity is an exact integer.  The measurement behind every
+#   sequence-bucketing knob in a training pipeline.
+# - ``source_vocab_overlap``: pairwise Jaccard of the top-50 token
+#   vocabularies of each source pair -- the lexical-diversity matrix
+#   mixture design reads next to js_divergence_sources (distributional
+#   drift can be low while vocabularies barely overlap, and vice
+#   versa).  Top-50 per source is an exact rank with a frequency/token
+#   tie-break; the pair join is |sources|^2 x 50, trivially bounded.
+# =========================================================================
+
+_PAD_BATCH = 32
+
+
+@_register(
+    "padding_waste_audit",
+    f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+arrival AS (
+  SELECT n_tok,
+         (row_number() OVER (ORDER BY doc_id) - 1) // {_PAD_BATCH} AS b
+  FROM d
+),
+sorted_o AS (
+  SELECT n_tok,
+         (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // {_PAD_BATCH}
+           AS b
+  FROM d
+),
+wa AS (
+  SELECT CAST(sum(mx * cnt - tok) AS BIGINT) AS waste,
+         CAST(sum(tok) AS BIGINT) AS toks
+  FROM (SELECT b, max(n_tok) AS mx, count(*) AS cnt, sum(n_tok) AS tok
+        FROM arrival GROUP BY b)
+),
+ws AS (
+  SELECT CAST(sum(mx * cnt - tok) AS BIGINT) AS waste
+  FROM (SELECT b, max(n_tok) AS mx, count(*) AS cnt, sum(n_tok) AS tok
+        FROM sorted_o GROUP BY b)
+)
+SELECT wa.toks AS real_tokens,
+       wa.waste AS arrival_pad_tokens,
+       ws.waste AS sorted_pad_tokens,
+       CAST(wa.waste * 10000 // (wa.toks + wa.waste) AS BIGINT)
+         AS arrival_waste_permyriad,
+       CAST(ws.waste * 10000 // (wa.toks + ws.waste) AS BIGINT)
+         AS sorted_waste_permyriad
+FROM wa CROSS JOIN ws""",
+    ref="extension: padding-waste audit for max-length batching "
+    "(batch 32), arrival order vs length-sorted bucketing -- the "
+    "integer-exact measurement behind sequence-bucketing decisions",
+)
+def q_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import tokens
+    from mapreduce6240project_spark.operators.ranking import stratum_order_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+
+    def _waste(order_cols):
+        ranked = stratum_order_stats(d, strata=[], order=order_cols).select(
+            "n_tok", ((F.col("rn") - 1) / _PAD_BATCH).cast("bigint").alias("b")
+        )
+        per_b = ranked.groupBy("b").agg(
+            F.max("n_tok").alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_tok").alias("tok"),
+        )
+        return per_b.agg(
+            F.sum(
+                F.col("mx") * F.col("cnt") - F.col("tok")
+            ).alias("waste"),
+            F.sum("tok").alias("toks"),
+        )
+
+    wa = _waste(["doc_id"]).select(
+        F.col("waste").alias("a_waste"), F.col("toks").alias("toks")
+    )
+    ws = _waste(["n_tok", "doc_id"]).select(
+        F.col("waste").alias("s_waste")
+    )
+    return wa.crossJoin(F.broadcast(ws)).select(
+        F.col("toks").cast("bigint").alias("real_tokens"),
+        F.col("a_waste").cast("bigint").alias("arrival_pad_tokens"),
+        F.col("s_waste").cast("bigint").alias("sorted_pad_tokens"),
+        F.expr("a_waste * 10000 div (toks + a_waste)")
+        .cast("bigint")
+        .alias("arrival_waste_permyriad"),
+        F.expr("s_waste * 10000 div (toks + s_waste)")
+        .cast("bigint")
+        .alias("sorted_waste_permyriad"),
+    )
+
+
+@_register(
+    "source_vocab_overlap",
+    f"""
+WITH tok AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS t
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+tf AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+rk AS (
+  SELECT source, t,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, t) AS r
+  FROM tf
+),
+top AS (SELECT source, t FROM rk WHERE r <= 50),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM top GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM top a JOIN top b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       CAST(n_common * 10000
+            // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_permyriad
+FROM inter
+JOIN sz sa ON sa.source = src_a
+JOIN sz sb ON sb.source = src_b""",
+    ref="extension: pairwise top-50-vocabulary Jaccard between "
+    "sources -- the lexical-diversity matrix beside the JS "
+    "distributional drift; bounded |sources|^2 x 50 join",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalize_text("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "t")
+    top = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 50)
+        .select("source", "t")
+    )
+    sz = top.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = top.select(F.col("source").alias("src_a"), "t")
+    b = top.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    inter = (
+        a.join(b, (F.col("t") == F.col("tb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.expr("n_common * 10000 div (na + nb - n_common)")
+            .cast("bigint")
+            .alias("jaccard_permyriad"),
+        )
+    )

@@ -166,6 +166,10 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("bh_fdr_type_gaps", "global_window_unbounded"):
         "p-value rank / family-size windows over the per-event-type "
         "permutation aggregate (type enum, like label_maxsim_rank)",
+    ("padding_waste_audit", "global_window_unbounded"):
+        "stratum_order_stats offsets windows over per-pid count "
+        "aggregates (#partitions rows) for the two batching orders "
+        "(same pattern as stable_doc_ids)",
 }
 
 AGG_CLASSES = (
