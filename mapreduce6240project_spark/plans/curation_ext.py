@@ -2630,3 +2630,100 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# =========================================================================
+# wave 101: training-order shuffle quality
+#
+# ``epoch_shuffle_quality``: a training run reshuffles the corpus each
+# epoch by a keyed hash; if the permutation is weak, examples keep
+# their neighbors and gradient noise decorrelates poorly.  This audit
+# orders docs by the shared LCG keyed on (doc_id, epoch) for epochs 1
+# and 2 and counts ADJACENT PAIRS preserved between the two orders
+# (expected ~2/N under a uniform permutation, so the permyriad should
+# be ~0 for any real corpus).  Adjacency is recovered with the
+# rank+1 self-join on the pid-parallel rank -- no global window; the
+# pair sets are |N| rows and the overlap is one equi-join on the
+# canonical (lo, hi) pair key.
+# =========================================================================
+
+
+def _epoch_perm_sql(epoch: int) -> str:
+    # md5-based key, NOT the affine LCG: an affine map of doc_id has a
+    # constant key stride, so sorting by it preserves ~all adjacency
+    # (this audit itself flagged it at 9979 permyriad) -- exactly the
+    # weak-shuffle failure mode the op exists to catch
+    return (
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{epoch}'),"
+        " 1, 15))::BIGINT"
+    )
+
+
+@_register(
+    "epoch_shuffle_quality",
+    f"""
+WITH d AS (SELECT doc_id FROM documents),
+e1 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {_epoch_perm_sql(1)}, doc_id) AS r
+  FROM d
+),
+e2 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {_epoch_perm_sql(2)}, doc_id) AS r
+  FROM d
+),
+p1 AS (
+  SELECT least(a.doc_id, b.doc_id) AS lo,
+         greatest(a.doc_id, b.doc_id) AS hi
+  FROM e1 a JOIN e1 b ON b.r = a.r + 1
+),
+p2 AS (
+  SELECT least(a.doc_id, b.doc_id) AS lo,
+         greatest(a.doc_id, b.doc_id) AS hi
+  FROM e2 a JOIN e2 b ON b.r = a.r + 1
+),
+ov AS (SELECT CAST(count(*) AS BIGINT) AS n_preserved
+       FROM p1 JOIN p2 USING (lo, hi)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d)
+SELECT n.n_docs, ov.n_preserved,
+       CAST(ov.n_preserved * 10000 // (n.n_docs - 1) AS BIGINT)
+         AS preserved_permyriad
+FROM ov CROSS JOIN n""",
+    ref="extension: epoch-to-epoch shuffle quality -- adjacent pairs "
+    "preserved between two keyed-LCG epoch permutations; near-zero "
+    "permyriad certifies the reshuffle actually decorrelates order",
+)
+def q_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.ranking import stratum_order_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def pairs(epoch: int):
+        from mapreduce6240project_spark.functions.hashing import hash60
+
+        key = hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{epoch}"))
+        ).alias("k")
+        ranked = stratum_order_stats(
+            d.select("doc_id", key), strata=[], order=["k", "doc_id"]
+        ).select("doc_id", F.col("rn").alias("r"))
+        nxt = ranked.select(
+            (F.col("r") - 1).alias("r"), F.col("doc_id").alias("doc_b")
+        )
+        return ranked.join(nxt, "r").select(
+            F.least(F.col("doc_id"), F.col("doc_b")).alias("lo"),
+            F.greatest(F.col("doc_id"), F.col("doc_b")).alias("hi"),
+        )
+
+    ov = pairs(1).join(pairs(2), ["lo", "hi"]).agg(
+        F.count(F.lit(1)).alias("n_preserved")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return ov.crossJoin(F.broadcast(n)).select(
+        "n_docs",
+        "n_preserved",
+        F.expr("n_preserved * 10000 div (n_docs - 1)")
+        .cast("bigint")
+        .alias("preserved_permyriad"),
+    )

@@ -75,3 +75,33 @@ def test_vocab_overlap_matches_bruteforce(spark):
     }
     assert got == want
     assert all(0 <= v[1] <= 10000 for v in got.values())
+
+
+def test_epoch_shuffle_quality_matches_bruteforce(spark):
+    ids = [
+        r.doc_id for r in load_table(spark, SF, "documents").collect()
+    ]
+
+    import hashlib
+
+    def order(epoch):
+        def key(d):
+            h = int(
+                hashlib.md5(f"{d}:{epoch}".encode()).hexdigest()[:15], 16
+            )
+            return (h, d)
+
+        return sorted(ids, key=key)
+
+    def pairs(seq):
+        return {
+            (min(a, b), max(a, b)) for a, b in zip(seq, seq[1:])
+        }
+
+    p1, p2 = pairs(order(1)), pairs(order(2))
+    r = REGISTRY["epoch_shuffle_quality"].fn(spark, SF).collect()[0]
+    assert r.n_docs == len(ids)
+    assert r.n_preserved == len(p1 & p2)
+    assert r.preserved_permyriad == len(p1 & p2) * 10000 // (len(ids) - 1)
+    # a decent keyed permutation preserves essentially no adjacency
+    assert r.preserved_permyriad <= 100

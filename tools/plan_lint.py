@@ -170,6 +170,10 @@ WHITELIST: dict[tuple[str, str], str] = {
         "stratum_order_stats offsets windows over per-pid count "
         "aggregates (#partitions rows) for the two batching orders "
         "(same pattern as stable_doc_ids)",
+    ("epoch_shuffle_quality", "global_window_unbounded"):
+        "stratum_order_stats offsets windows over per-pid count "
+        "aggregates (#partitions rows) for the two epoch permutations "
+        "(same pattern as stable_doc_ids)",
 }
 
 AGG_CLASSES = (
