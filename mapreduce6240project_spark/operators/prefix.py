@@ -98,6 +98,22 @@ def cache_tracked(df: DataFrame) -> DataFrame:
     return d
 
 
+def checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` ``df`` and register it for release.
+
+    For driver-loop iterative state (Bradley-Terry, power iteration)
+    whose recurrence references the previous state more than once: a
+    checkpoint truncates the lineage so the physical plan stays LINEAR
+    in the iteration count instead of exponential.  Tracked here so
+    :func:`release_prefix_caches` frees the checkpoint blocks
+    (``unpersist`` alone is a no-op on them -- see
+    :func:`_release_frame`)."""
+    d = df.localCheckpoint(eager=True)
+    with _lock:
+        _live.append(d)
+    return d
+
+
 def distributed_prefix(
     df: DataFrame,
     order_cols: list[str],

@@ -2402,10 +2402,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratios says how much of the corpus the reweighting actually keeps --
 # the diagnostic that catches a mixture spec quietly collapsing onto
 # one source.  Per-source ratios r_s = target_share / natural_share
-# involve one pow(0.75) each; they are micro-quantized per source
-# (tens of rows) BEFORE the integer moment sums, so ESS is exact given
-# the quantized ratios.  100 TB: one count aggregate, |sources|-row
-# algebra.
+# involve one pow(0.75) each; both the temperature weight AND the
+# ratio are micro-quantized per source (tens of rows) BEFORE any sum
+# -- the normalizer z is an integer sum of integer qw, so neither
+# engine's aggregation order can wobble it (r7 ADVICE) -- and ESS is
+# exact given the quantized ratios.  100 TB: one count aggregate,
+# |sources|-row algebra.
 # =========================================================================
 
 
@@ -2418,13 +2420,15 @@ WITH cnt AS (
 ),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
 pw AS (
-  SELECT source, n, power(n * 1.0 / tot.nn, 0.75) AS tw
+  SELECT source, n,
+         CAST(floor(power(n * 1.0 / tot.nn, 0.75) * 1000000 + 0.5) AS BIGINT)
+           AS qw
   FROM cnt CROSS JOIN tot
 ),
-zt AS (SELECT sum(tw) AS z FROM pw),
+zt AS (SELECT CAST(sum(qw) AS BIGINT) AS z FROM pw),
 r AS (
   SELECT source, n,
-         CAST(floor((tw / zt.z) / (n * 1.0 / tot.nn) * 1000000 + 0.5)
+         CAST(floor((qw * 1.0 / zt.z) / (n * 1.0 / tot.nn) * 1000000 + 0.5)
               AS BIGINT) AS r_micro
   FROM pw CROSS JOIN zt CROSS JOIN tot
 ),
@@ -2450,19 +2454,28 @@ def q_mixture_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     tot = cnt.agg(F.sum("n").alias("nn"))
+    # ADVICE r7: the temperature weight is micro-quantized BEFORE the
+    # normalizer sum (integer addition is order-free; a raw DOUBLE sum
+    # under partial aggregation is not), matching the sibling
+    # temperature_resample_langs convention.
     pw = cnt.crossJoin(F.broadcast(tot)).select(
         "source",
         "n",
         "nn",
-        F.pow(F.col("n") * 1.0 / F.col("nn"), 0.75).alias("tw"),
+        F.floor(
+            F.pow(F.col("n") * 1.0 / F.col("nn"), 0.75) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("qw"),
     )
-    zt = pw.agg(F.sum("tw").alias("z"))
+    zt = pw.agg(F.sum("qw").cast("bigint").alias("z"))
     r = pw.crossJoin(F.broadcast(zt)).select(
         "source",
         "n",
         "nn",
         F.floor(
-            (F.col("tw") / F.col("z"))
+            (F.col("qw") * 1.0 / F.col("z"))
             / (F.col("n") * 1.0 / F.col("nn"))
             * 1000000
             + F.lit(0.5)

@@ -573,7 +573,14 @@ ORDER BY a2.a DESC, a2.p LIMIT 10""",
 def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    # edges feeds four aggregates (a1r, h1r, a2r, deg) -- without a
+    # persist each one re-derives the orders><lineitem distinct join
+    # (r7 PLANPROFILE: 43 exchanges, ~6 fact-table scans).  One cached
+    # edge table is the iterative-state discipline the clustering and
+    # co-purchase families already follow.
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    edges = cache_tracked(
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()

@@ -3534,10 +3534,7 @@ def q_wasserstein_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next DISTINCT value, recovered by a self-join on rank+1 (the
     # helper's rn is dense over distinct cents rows)
     cum = stratum_order_stats(
-        hist.withColumn("_one", F.lit(1)),
-        strata=[],
-        order=["cents"],
-        weight="ca",
+        hist, strata=[], order=["cents"], weight="ca"
     ).select("cents", "cb", F.col("cw").alias("cwa"), F.col("rn"))
     cumb = stratum_order_stats(
         hist, strata=[], order=["cents"], weight="cb"

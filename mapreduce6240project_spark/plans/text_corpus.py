@@ -2366,7 +2366,8 @@ tf AS (
 rk AS (
   SELECT source, t,
          row_number() OVER (PARTITION BY source
-                            ORDER BY c DESC, t) AS r
+                            ORDER BY c DESC,
+                            ('0x' || substr(md5(t), 1, 15))::BIGINT, t) AS r
   FROM tf
 ),
 top AS (SELECT source, t FROM rk WHERE r <= 50),
@@ -2402,7 +2403,18 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "t")
+    # ADVICE r7: equal-count tokens tie-break on the replayable md5
+    # hash60, not the raw string -- Spark orders strings by UTF-16 code
+    # unit while DuckDB compares UTF-8 bytes, so supplementary-plane
+    # tokens could rank differently and flip the top-50 set between
+    # engines.  The trailing raw-string key only resolves 60-bit hash
+    # collisions (same within-engine determinism, no cross-engine
+    # exposure at any real collision rate).
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), hash60(F.col("t")), "t"
+    )
     top = (
         tf.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 50)

@@ -3290,7 +3290,21 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n"),
         )
     )
-    wins = wl.groupBy("a").agg(F.sum("w").alias("w"))
+    # Iterative-state discipline (SURVEY §7): the MM recurrence
+    # references the previous s twice (den's sa/sb) and wins/games every
+    # round, so unpersisted lineage grows EXPONENTIALLY in _BT_ITERS --
+    # r7 PLANPROFILE measured 1187 exchanges for this one query.
+    # Persist the two fixed inputs (<=|brands|^2 rows) and truncate each
+    # iteration's lineage with an eager localCheckpoint: the plan is now
+    # linear in iterations (3 tiny joins over a ~25-row checkpoint), and
+    # exchange reuse is no longer load-bearing for correctness.
+    from mapreduce6240project_spark.operators.prefix import (
+        cache_tracked,
+        checkpoint_tracked,
+    )
+
+    games = cache_tracked(games)
+    wins = cache_tracked(wl.groupBy("a").agg(F.sum("w").alias("w")))
     s = wins.select("a", F.lit(1000000).cast("bigint").alias("s"))
     for _ in range(_BT_ITERS):
         sa = s.select(F.col("a").alias("ja"), F.col("s").alias("s_a"))
@@ -3330,6 +3344,7 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("s"),
         )
+        s = checkpoint_tracked(s)
     return wins.join(s, "a").select(
         F.col("a").alias("p_brand"),
         F.col("w").alias("wins"),
