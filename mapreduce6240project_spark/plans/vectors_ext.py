@@ -106,13 +106,71 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kmeans_embeddings",
     None,  # rows-only: float centroid means compound across iterations
     # (sum-order-sensitive), unlike the discrete medoid trajectory that
-    # lets kmedoids_k3 unroll into an exact SQL replay
+    # lets kmedoids_k3 unroll into an exact SQL replay -- the
+    # hash-checkable verdict lives in kmeans_quality_ci below
     ref="extension: full Lloyd's k-means over the embedding corpus",
 )
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     res = V.kmeans_embeddings(emb, k=8, max_iter=10, tol=1e-3)
     return V.kmeans_summary(res)
+
+
+@_register(
+    "kmeans_quality_ci",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS all_assigned,
+       TRUE AS clusters_within_k,
+       TRUE AS inertia_nonincreasing
+FROM embeddings""",
+    ref="extension: external verdict for Lloyd's k-means (r7 verdict "
+    "item 3, bernoulli_sample_ci pattern): the float centroid "
+    "trajectory is not value-hashable, but the algorithm's invariants "
+    "ARE -- every vector assigned exactly once, cluster ids in "
+    "[0, k-1], and final inertia <= initial-assignment inertia "
+    "(Lloyd's monotone-descent guarantee; both inertias are "
+    "micro-quantized per row BEFORE the integer sum, so the comparison "
+    "is immune to float aggregation order).  The oracle pins all three "
+    "booleans TRUE; a broken assign/update step flips one and fails "
+    "the external hash",
+)
+def q_kmeans_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    res = V.kmeans_embeddings(emb, k=k, max_iter=10, tol=1e-3)
+    # same deterministic LCG seed pick the loop itself started from
+    init_cents = V.initial_centroids(emb, k=k)
+    micro = F.floor(F.col("sq_dist") * 1000000 + F.lit(0.5)).cast("bigint")
+    init = (
+        V.kmeans_assign(emb, init_cents)
+        .agg(F.sum(micro).alias("init_inertia_micro"))
+    )
+    fin = res.assignments.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.count("cluster").alias("n_clustered"),
+        F.min("cluster").alias("c_min"),
+        F.max("cluster").alias("c_max"),
+        F.sum(micro).alias("fin_inertia_micro"),
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return (
+        tot.crossJoin(F.broadcast(fin))
+        .crossJoin(F.broadcast(init))
+        .select(
+            "n_vectors",
+            (
+                (F.col("n_assigned") == F.col("n_vectors"))
+                & (F.col("n_clustered") == F.col("n_vectors"))
+            ).alias("all_assigned"),
+            (
+                (F.col("c_min") >= F.lit(0)) & (F.col("c_max") < F.lit(k))
+            ).alias("clusters_within_k"),
+            (
+                F.col("fin_inertia_micro") <= F.col("init_inertia_micro")
+            ).alias("inertia_nonincreasing"),
+        )
+    )
 
 
 @_register(
