@@ -477,10 +477,18 @@ def minhash_candidate_pairs(
             # deterministic blind spot for buckets just under the
             # threshold (miss cost is bounded -- one ~threshold^2/2-pair
             # task, pair set unchanged -- but the margin is the only
-            # guard, so keep it wide).  At m = threshold with
-            # probe_mod = 16 the sample sees ~threshold/16 rows and
-            # P[sample*16 < threshold/4] = P[Binom(m, 1/16) < m/64]
-            # ~ 2e-7 (Chernoff); //2 left that at ~0.04.
+            # guard, so keep it wide).  Miss probability before tuning
+            # hot_bucket_threshold (exact Binomial tails for a bucket
+            # at exactly m = threshold, the worst detectable case;
+            # probe_mod tracks the threshold so E[sampled] >= 32):
+            #   thr=128:  P[Binom(128, 1/4)  <  8] = 5.3e-9
+            #   thr=256:  P[Binom(256, 1/8)  <  8] = 2.8e-8  (default)
+            #   thr=512:  P[Binom(512, 1/16) <  8] = 5.7e-8
+            #   thr=1024: P[Binom(1024,1/16) < 16] = 5.7e-14
+            # (the //2 margin sat at ~0.04).  The xxhash64-mod sample
+            # is deterministic per id set, so a given corpus either
+            # always detects or always misses -- the Binomial is over
+            # the id-hash ensemble, not per-run randomness.
             need_full = smax * probe_mod >= hot_bucket_threshold // 4
         last_run_stats["hot_probe"] = "full" if need_full else "sample-clear"
         if not need_full:
