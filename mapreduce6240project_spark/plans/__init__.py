@@ -58,72 +58,77 @@ for _mod in (
 #: tests/test_registry_guard.py); cumulative external coverage is
 #: tracked in COVERAGE.md (tools/coverage_ledger.py).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- round-7 rotation: rounds 2-6 externally verified 227 distinct
-    #    queries (CORRECTNESS_r02..r06), all hash-exact.  This window
-    #    leads with the queries round 7 ADDED or whose oracles round 7
-    #    CHANGED (external signal on changed code first), then the
-    #    never-checked numerically delicate extension families the
-    #    round-6 verdict item 8 named (survival, attribution, privacy,
-    #    experimentation/stats), then the graph family whose dirty-edge
-    #    hygiene changed this round, then proportional never-checked
-    #    draws across the remaining families.  COVERAGE.md tracks the
-    #    cumulative ledger; tools/coverage_ledger.py regenerates it. --
-    # -- new in round 7 / oracle changed in round 7 --
-    "bernoulli_sample_ci",
-    "multimodal_decode_real",
-    "props_json_stats",
-    "props_variant_deciles",
-    "null_safe_prop_pairs",
-    "wav_audio_features",
-    "binary_hamming_topk",
-    "gopher_quality_flags",
-    "distinct_ngram_diversity",
-    "dsir_select_top100",
-    "t_closeness_audit",
-    "query_likelihood_topk",
-    "sprt_boundary_day",
-    "srm_audit",
-    "dedup_threshold_sweep",
-    "kn_bigram_nll",
-    "dup_span_extents",
-    "acf_top_period",
-    "mase_seasonal_naive",
-    "modularity_brand_partition",
-    "dp_laplace_counts",
-    "simpson_reversal_audit",
-    # -- numerically delicate, never externally checked --
-    "km_repurchase_survival",
-    "linear_attribution",
-    "last_touch_attribution",
-    "randomized_response_segments",
-    "power_mde_audit",
-    "mann_kendall_daily",
-    "theil_sen_daily",
-    "welch_t_value",
-    "bootstrap_mean_value",
-    "topk_stability_bootstrap",
-    "chi2_segment_status",
-    "mi_type_valuebin",
-    "benford_totalprice",
-    "acf1_daily_value",
-    "cusum_max_deviation",
-    "value_overdispersion",
-    "embedding_drift_l1",
-    "discount_qty_response",
-    "lang_id_kappa",
-    "gini_customer_revenue",
-    # -- graph family (dirty-edge hygiene touched this round) --
-    "degree_assortativity",
-    "random_walks_k3",
-    "supplier_order_reach",
-    "kcore3_copurchase",
-    "degree_histogram_simgraph",
-    # -- family breadth (the 17 displaced by the late-round-7
-    #    additions -- dedup_ext/behavior/tpch/text draws -- head the
-    #    round-8 rotation next) --
-    "skyline_parts",
-    "zscore_by_cluster",
-    "excess_qty_suppliers",
+    # -- round-8 rotation: rounds 2-7 externally verified 277 distinct
+    #    queries (CORRECTNESS_r02..r07), all hash-exact.  This window
+    #    leads with the queries round 8 ADDED or whose plans/oracles
+    #    round 8 CHANGED (the two new external verdicts, the
+    #    Bradley-Terry linear-plan rewrite, the three r7-ADVICE
+    #    determinism fixes), then the gnarliest never-checked plans the
+    #    r7 verdict named, then proportional never-checked draws across
+    #    every family that still has mirror-only members.  COVERAGE.md
+    #    tracks the cumulative ledger; tools/coverage_ledger.py
+    #    regenerates it. --
+    # -- new in round 8 / plan or oracle changed in round 8 --
+    "approx_distinct_ci",
+    "kmeans_quality_ci",
+    "bradley_terry_brands",
+    "mixture_ess_audit",
+    "source_vocab_overlap",
+    "wasserstein_value_gap",
+    "epoch_shuffle_quality",
+    # -- tpch_analytics never-checked depth --
+    "stump_split_gain",
+    "winsorized_mean_value",
+    "ohlc_hourly_value",
+    "twap_user_value",
+    "revenue_waterfall_monthly",
+    "value_quintile_migration",
+    "asof_nearest_signup",
+    "hhi_supplier_nation",
+    "corpus_dedup_inflation",
+    # -- engineering --
+    "udtf_chunk_docs",
+    "python_datasource_range",
+    "incremental_merge_agg",
+    "fd_violation_audit",
+    "interp_linear_minute",
+    # -- curation_ext --
+    "neyman_allocation",
+    "split_leakage_audit",
+    "group_kfold_sources",
+    "feature_hashing",
+    # -- text_corpus --
+    "padding_waste_audit",
+    "js_divergence_sources",
+    "tokenizer_fertility",
+    "token_entropy",
+    # -- dedup_ext --
+    "bbit_minhash_audit",
+    "dedup_survivor_length_bias",
+    "selectivity_estimate_audit",
+    "source_overlap_matrix",
+    # -- retrieval --
+    "map_at10",
+    "minhash_recall_audit",
+    "int8_recall_audit",
+    # -- stats_drift --
+    "bh_fdr_type_gaps",
+    "mann_whitney_effect",
+    "qte_deciles",
+    # -- behavior --
+    "ece_calibration",
+    "f1_threshold_sweep",
+    "bot_regularity_audit",
+    # -- vectors_ext / sketch_ext / streaming_ext / extensions /
+    #    parity / graph_ext breadth --
+    "label_scatter_ratio",
+    "impute_props_k",
+    "markov_stationary_events",
+    "corpus_merkle_roots",
+    "ingest_quarantine_report",
+    "gapfill_locf",
+    "bpe_token_count",
+    "edge_triangle_support",
 )
 
 _ordered: dict[str, QuerySpec] = {}

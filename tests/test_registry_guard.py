@@ -25,46 +25,48 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """Round-7 rotation: the first 50 are oracle-backed queries with no
-    hash-exact external verdict yet -- the round-7 additions/oracle
-    changes first, then the numerically delicate never-checked
-    families, then breadth.  Guards against an import-order change
-    silently demoting them."""
+    """Round-8 rotation: the first 50 are oracle-backed queries with no
+    hash-exact external verdict yet -- the round-8 additions/plan
+    changes first (the two new external verdicts, the Bradley-Terry
+    linear-plan rewrite, the r7-ADVICE determinism fixes), then the
+    gnarly never-checked plans the r7 verdict named, then family
+    breadth.  Guards against an import-order change silently demoting
+    them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        # round-7 additions / changed oracles head the window
-        "bernoulli_sample_ci",
-        "multimodal_decode_real",
-        "props_json_stats",
-        "props_variant_deciles",
-        "wav_audio_features",
-        "query_likelihood_topk",
-        "kn_bigram_nll",
-        "dup_span_extents",
-        "acf_top_period",
-        "modularity_brand_partition",
-        "dp_laplace_counts",
-        "simpson_reversal_audit",
-        # numerically delicate extension families (verdict item 8)
-        "km_repurchase_survival",
-        "linear_attribution",
-        "randomized_response_segments",
-        "power_mde_audit",
-        # graph family whose dirty-edge hygiene changed this round
-        "degree_assortativity",
-        "kcore3_copurchase",
+        # round-8 additions / changed plans or oracles head the window
+        "approx_distinct_ci",
+        "kmeans_quality_ci",
+        "bradley_terry_brands",
+        "mixture_ess_audit",
+        "source_vocab_overlap",
+        "wasserstein_value_gap",
+        # gnarliest never-checked plans (r7 verdict item 1)
+        "epoch_shuffle_quality",
         # family breadth
-        "skyline_parts",
-        "zscore_by_cluster",
+        "stump_split_gain",
+        "udtf_chunk_docs",
+        "neyman_allocation",
+        "padding_waste_audit",
+        "bbit_minhash_audit",
+        "map_at10",
+        "bh_fdr_type_gaps",
+        "ece_calibration",
+        "label_scatter_ratio",
+        "corpus_merkle_roots",
+        "ingest_quarantine_report",
+        "bpe_token_count",
+        "edge_triangle_support",
     ):
         assert name in first50
-    # fully disjoint from the 227 queries rounds 2-6 already verified
+    # fully disjoint from the 277 queries rounds 2-7 already verified
     for fname in (
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     ):
         seen = set(json.load(open(f"/root/repo/{fname}")))
         assert not (set(first50) & seen)
@@ -90,7 +92,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 395
     assert info["o"] >= 300
-    assert info["first"] == "bernoulli_sample_ci"
+    assert info["first"] == "approx_distinct_ci"
 
 
 def test_oracle_micros_sums_match_canonical_helper():
