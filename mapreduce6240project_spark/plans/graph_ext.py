@@ -280,11 +280,16 @@ ORDER BY aa_micro DESC, a, b LIMIT 20""",
     "micro-floored before the order-free sum, deterministic top-20",
 )
 def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no persist: the support-filtered edge set is a few thousand rows
-    # and recomputation is cheaper than pinning executor cache for the
-    # session lifetime (these query fns return lazy frames, so there is
-    # no safe point to unpersist)
+    # the capped edge table feeds THREE consumers (deg, both hop sides)
+    # and cp a fourth -- unpersisted, each re-derives the lineitem
+    # self-join + support aggregate (r7 profile: 26 exchanges, 14
+    # scans).  cache_tracked pins both; release_prefix_caches (wired
+    # into plan_lint / driver_mirror / test fixtures) is the safe
+    # unpersist point the old no-persist note said was missing.
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
     edges, cp = _copurchase_edges_with_pairs(spark, sf_dir)
+    edges, cp = cache_tracked(edges), cache_tracked(cp)
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("z"))
     e2 = edges.select(F.col("u").alias("z2"), F.col("v").alias("b"))
@@ -337,13 +342,20 @@ SELECT start, n1, n2, n3 FROM s3""",
     "current-node-keyed join per step",
 )
 def q_random_walks_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nb is filtered once per walk step -- cached so the three steps
+    # share one copurchase-graph build instead of re-deriving the
+    # lineitem self-join each (r7 profile: 23 exchanges, 12 scans)
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
     edges = _copurchase_edges(spark, sf_dir)
     w = Window.partitionBy("u").orderBy("v")
-    nb = edges.select(
-        "u",
-        "v",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("u")).alias("deg"),
+    nb = cache_tracked(
+        edges.select(
+            "u",
+            "v",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("u")).alias("deg"),
+        )
     )
 
     def pick(step: int) -> F.Column:
