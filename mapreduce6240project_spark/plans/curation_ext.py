@@ -2740,3 +2740,150 @@ def q_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("preserved_permyriad"),
     )
+
+
+# =========================================================================
+# wave 103: token-budget waterfilling across sources
+#
+# ``token_budget_waterfill``: the mixture solver ``neyman_allocation``
+# and ``mixture_ess_audit`` both stop short of -- given a total token
+# budget (60% of the corpus here), give every source an EQUAL share,
+# except that no source can supply more than it has; the surplus from
+# small sources redistributes to the rest (max-min fair / waterfilling
+# allocation, the standard answer when target mixture weights hit
+# supply limits).  Exact integer algebra end to end: sources sorted
+# ascending by supply, the classic prefix condition
+# ``n_i <= (B - cum_{i-1}) div (k - i + 1)`` identifies the fully-
+# served ("capped") prefix -- once it fails it fails for every larger
+# source, so the capped set is computable per row; the water level is
+# one integer division over the uncapped count and the remainder goes
+# to the smallest uncapped sources one token each, so
+# ``sum(alloc) == B`` by construction.  Ranks are windowless
+# |sources|^2 broadcast self-join counts (neyman_allocation
+# convention).  100 TB: one hash aggregate over documents, then
+# |sources|-row algebra.
+# =========================================================================
+
+_WF_PCT = 60
+
+
+@_register(
+    "token_budget_waterfill",
+    f"""
+WITH cnt AS (
+  SELECT source, CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) * {_WF_PCT} // 100 AS BIGINT) AS b
+  FROM cnt
+),
+rk AS (
+  SELECT c.source, c.n,
+         CAST(1 + (SELECT count(*) FROM cnt o
+                   WHERE o.n < c.n OR (o.n = c.n AND o.source < c.source))
+              AS BIGINT) AS i,
+         CAST(c.n + (SELECT coalesce(sum(o.n), 0) FROM cnt o
+                     WHERE o.n < c.n OR (o.n = c.n AND o.source < c.source))
+              AS BIGINT) AS cum
+  FROM cnt c
+),
+cap AS (
+  SELECT rk.source, rk.n, rk.i, rk.cum,
+         CASE WHEN rk.n <= (tot.b - (rk.cum - rk.n)) // (tot.k - rk.i + 1)
+              THEN 1 ELSE 0 END AS capped
+  FROM rk CROSS JOIN tot
+),
+lvl AS (
+  SELECT CAST(sum(capped) AS BIGINT) AS m,
+         CAST(sum(n * capped) AS BIGINT) AS cum_m
+  FROM cap
+),
+wl AS (
+  SELECT CASE WHEN tot.k > lvl.m
+              THEN (tot.b - lvl.cum_m) // (tot.k - lvl.m) ELSE 0 END AS level,
+         CASE WHEN tot.k > lvl.m
+              THEN (tot.b - lvl.cum_m) % (tot.k - lvl.m) ELSE 0 END AS rem,
+         lvl.m AS m
+  FROM tot CROSS JOIN lvl
+)
+SELECT cap.source, cap.n AS supply_tok,
+       CAST(CASE WHEN cap.capped = 1 THEN cap.n
+            ELSE wl.level + CASE WHEN cap.i - wl.m <= wl.rem
+                                 THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tok,
+       CAST(cap.capped AS BIGINT) AS capped
+FROM cap CROSS JOIN wl""",
+    ref="extension: max-min fair (waterfilling) token-budget allocation "
+    "across sources -- exact integer prefix condition, windowless "
+    "|sources|^2 ranks, largest-remainder level split, "
+    "sum(alloc) == budget by construction",
+)
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    cnt = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n")
+    )
+    tot = cnt.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr(f"CAST(sum(n) * {_WF_PCT} div 100 AS BIGINT)").alias("b"),
+    )
+    o = cnt.select(F.col("source").alias("o_src"), F.col("n").alias("o_n"))
+    rk = (
+        cnt.join(
+            F.broadcast(o),
+            (F.col("o_n") < F.col("n"))
+            | ((F.col("o_n") == F.col("n")) & (F.col("o_src") < F.col("source"))),
+            "left",
+        )
+        .groupBy("source", "n")
+        .agg(
+            (1 + F.count("o_src")).cast("bigint").alias("i"),
+            (F.col("n") + F.coalesce(F.sum("o_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("cum"),
+        )
+    )
+    cap = rk.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "i",
+        F.when(
+            F.col("n")
+            <= F.expr("(b - (cum - n)) div (k - i + 1)"),
+            1,
+        )
+        .otherwise(0)
+        .alias("capped"),
+    )
+    lvl = cap.agg(
+        F.sum("capped").cast("bigint").alias("m"),
+        F.sum(F.col("n") * F.col("capped")).cast("bigint").alias("cum_m"),
+    )
+    wl = lvl.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN k > m THEN (b - cum_m) div (k - m) ELSE 0 END"
+        ).alias("level"),
+        F.expr(
+            "CASE WHEN k > m THEN (b - cum_m) % (k - m) ELSE 0 END"
+        ).alias("rem"),
+        "m",
+    )
+    return cap.crossJoin(F.broadcast(wl)).select(
+        "source",
+        F.col("n").alias("supply_tok"),
+        F.when(F.col("capped") == 1, F.col("n"))
+        .otherwise(
+            F.col("level")
+            + F.when(F.col("i") - F.col("m") <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tok"),
+        F.col("capped").cast("bigint").alias("capped"),
+    )

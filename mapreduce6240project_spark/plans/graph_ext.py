@@ -780,3 +780,117 @@ def q_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.cast("bigint").alias("tri_support"),
         F.when(tri >= 2, 1).otherwise(0).cast("bigint").alias("in_truss4"),
     )
+
+
+# =========================================================================
+# wave 103: Weisfeiler-Lehman color refinement signature
+#
+# ``wl_refinement_colors``: two rounds of 1-WL color refinement on the
+# capped co-purchase out-adjacency -- the canonical graph fingerprint
+# behind graph-isomorphism tests, graph kernels, and GNN expressivity
+# analysis.  color_0(v) = out-degree; color_{t+1}(v) =
+# hash60(color_t(v) || '|' || comma-joined NUMERICALLY-sorted multiset
+# of out-neighbor colors).  The output is the per-round partition
+# summary (n_color_classes, max_class_size, n_singletons): how fast
+# the refinement shatters the graph.  Replayable: colors are integer
+# hash60 values, the neighbor multiset is sorted numerically before
+# joining (Spark sort_array == DuckDB ORDER BY c on BIGINTs, no
+# collation exposure), and each round is one join + one aggregate.
+# 100 TB: the iterative state is one (node, color) row per node,
+# cached per round (checkpoint discipline, cf. bradley_terry); the
+# neighbor aggregate is bounded by the _NEIGHBOR_CAP fanout.
+# =========================================================================
+
+
+def _wl_round_sql(prev: str, idx: int) -> str:
+    return f"""
+agg{idx} AS (
+  SELECT e.u,
+         string_agg(CAST(p.c AS VARCHAR), ',' ORDER BY p.c) AS sig
+  FROM edges e JOIN {prev} p ON p.v = e.v
+  GROUP BY e.u
+),
+c{idx} AS (
+  SELECT a.u AS v,
+         ('0x' || substr(md5(CAST(p.c AS VARCHAR) || '|' || a.sig), 1, 15))::BIGINT AS c
+  FROM agg{idx} a JOIN {prev} p ON p.v = a.u
+)"""
+
+
+def _wl_summary_sql(rel: str, rnd: int) -> str:
+    return f"""
+SELECT CAST({rnd} AS BIGINT) AS round,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_color_classes,
+       CAST(max(sz) AS BIGINT) AS max_class_size,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+FROM (SELECT c, count(*) AS sz FROM {rel} GROUP BY c)"""
+
+
+@_register(
+    "wl_refinement_colors",
+    _COPURCHASE_EDGES_CTE
+    + f""",
+c0 AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY u),
+{_wl_round_sql('c0', 1)},
+{_wl_round_sql('c1', 2)}
+{_wl_summary_sql('c0', 0)}
+UNION ALL {_wl_summary_sql('c1', 1)}
+UNION ALL {_wl_summary_sql('c2', 2)}""",
+    ref="extension: 1-WL color refinement (2 rounds) on the co-purchase "
+    "graph -- hash60 colors over numerically-sorted neighbor multisets, "
+    "per-round partition summary; iterative state cached per round",
+)
+def q_wl_refinement_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    edges = cache_tracked(_copurchase_edges(spark, sf_dir))
+    colors = cache_tracked(
+        edges.groupBy(F.col("u").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    rounds = [colors]
+    for _ in range(2):
+        prev = rounds[-1]
+        nb = prev.select(F.col("v").alias("nv"), F.col("c").alias("nc"))
+        agg = (
+            edges.join(nb, edges.v == nb.nv)
+            .groupBy("u")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("nc")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("sig")
+            )
+        )
+        own = prev.select(F.col("v").alias("ov"), F.col("c").alias("oc"))
+        nxt = cache_tracked(
+            agg.join(own, agg.u == own.ov).select(
+                F.col("u").alias("v"),
+                hash60(
+                    F.concat(
+                        F.col("oc").cast("string"), F.lit("|"), F.col("sig")
+                    )
+                ).alias("c"),
+            )
+        )
+        rounds.append(nxt)
+
+    def summary(df: DataFrame, rnd: int) -> DataFrame:
+        sz = df.groupBy("c").agg(F.count(F.lit(1)).alias("sz"))
+        return sz.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.count_distinct("c").cast("bigint").alias("n_color_classes"),
+            F.max("sz").cast("bigint").alias("max_class_size"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singletons"),
+        )
+
+    out = summary(rounds[0], 0)
+    for rnd in (1, 2):
+        out = out.unionByName(summary(rounds[rnd], rnd))
+    return out

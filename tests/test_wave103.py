@@ -1,0 +1,141 @@
+"""Semantic invariants for wave 103 (token-budget waterfilling,
+Weisfeiler-Lehman color refinement)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.plans.registry import REGISTRY
+from mapreduce6240project_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _waterfill_bruteforce(supplies: dict[str, int], budget: int):
+    """Reference max-min fair allocation: repeatedly split the
+    remaining budget equally over unsatisfied sources; any source whose
+    supply is below its share is served fully and removed."""
+    alloc = {s: 0 for s in supplies}
+    live = dict(supplies)
+    b = budget
+    while live:
+        share = b // len(live)
+        served = {s: n for s, n in live.items() if n <= share}
+        if not served:
+            # final level: equal split + remainder to the smallest
+            # (supply, name)-ordered sources, one token each
+            order = sorted(live, key=lambda s: (live[s], s))
+            rem = b - share * len(live)
+            for j, s in enumerate(order):
+                alloc[s] = share + (1 if j < rem else 0)
+            return alloc
+        for s, n in served.items():
+            alloc[s] = n
+            b -= n
+            del live[s]
+    return alloc
+
+
+def test_waterfill_matches_bruteforce_and_budget(spark):
+    rows = REGISTRY["token_budget_waterfill"].fn(spark, SF).collect()
+    assert rows
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "source",
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n"))
+        .collect()
+    )
+    supplies = {r.source: r.n for r in docs}
+    total = sum(supplies.values())
+    budget = total * 60 // 100
+    want = _waterfill_bruteforce(supplies, budget)
+    got = {r.source: r.alloc_tok for r in rows}
+    assert got == want
+    # exact budget exhaustion and per-source feasibility
+    assert sum(got.values()) == budget
+    for r in rows:
+        assert 0 <= r.alloc_tok <= r.supply_tok
+        assert r.capped == (1 if r.alloc_tok == r.supply_tok else 0) or (
+            # an uncapped source can coincidentally receive its full
+            # supply only if level+1 == supply; capped flag tracks the
+            # prefix condition, not the coincidence
+            r.capped == 0
+        )
+    # the capped set is exactly the sources the brute force served fully
+    # before the final level split
+    uncapped_supplies = {s: n for s, n in supplies.items() if want[s] < n}
+    for r in rows:
+        if r.source in uncapped_supplies:
+            assert r.capped == 0
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_wl_refinement_matches_bruteforce(spark):
+    """Replay 2 WL rounds in pure Python over the capped adjacency and
+    compare every per-round partition summary."""
+    from mapreduce6240project_spark.plans.graph_ext import (
+        _copurchase_edges,
+    )
+
+    edges = [
+        (r.u, r.v) for r in _copurchase_edges(spark, SF).collect()
+    ]
+    out_nb: dict[int, list[int]] = {}
+    for u, v in edges:
+        out_nb.setdefault(u, []).append(v)
+    color = {u: len(vs) for u, vs in out_nb.items()}
+    summaries = {}
+
+    def summarize(rnd, col):
+        from collections import Counter
+
+        sizes = Counter(col.values())
+        by_class = Counter()
+        for v, c in col.items():
+            by_class[c] += 1
+        summaries[rnd] = (
+            len(by_class),
+            max(by_class.values()),
+            sum(1 for n in by_class.values() if n == 1),
+        )
+
+    summarize(0, color)
+    for rnd in (1, 2):
+        nxt = {}
+        for u, vs in out_nb.items():
+            ncs = sorted(color[v] for v in vs if v in color)
+            sig = ",".join(str(c) for c in ncs)
+            nxt[u] = _hash60(f"{color[u]}|{sig}")
+        color = nxt
+        summarize(rnd, color)
+
+    rows = REGISTRY["wl_refinement_colors"].fn(spark, SF).collect()
+    got = {
+        r.round: (r.n_color_classes, r.max_class_size, r.n_singletons)
+        for r in rows
+    }
+    assert got == summaries
+
+
+def test_wl_refinement_only_shatters(spark):
+    """Refinement is monotone: the number of color classes can only
+    grow round over round."""
+    rows = REGISTRY["wl_refinement_colors"].fn(spark, SF).collect()
+    by_round = sorted(rows, key=lambda r: r.round)
+    for a, b in zip(by_round, by_round[1:]):
+        assert b.n_color_classes >= a.n_color_classes

@@ -174,6 +174,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "stratum_order_stats offsets windows over per-pid count "
         "aggregates (#partitions rows) for the two epoch permutations "
         "(same pattern as stable_doc_ids)",
+    ("token_budget_waterfill", "bnlj_unbounded_build"):
+        "windowless |sources|^2 rank/prefix self-pairing: the broadcast "
+        "build is the per-source token-supply aggregate (source enum, "
+        "tens of rows -- same shape as neyman_allocation's remainder "
+        "rank join)",
 }
 
 AGG_CLASSES = (
