@@ -76,6 +76,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "source_vocab_overlap",
     "wasserstein_value_gap",
     "epoch_shuffle_quality",
+    "txlog_merge_roundtrip",
     # -- tpch_analytics never-checked depth --
     "stump_split_gain",
     "winsorized_mean_value",
@@ -85,7 +86,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "value_quintile_migration",
     "asof_nearest_signup",
     "hhi_supplier_nation",
-    "corpus_dedup_inflation",
     # -- engineering --
     "udtf_chunk_docs",
     "python_datasource_range",

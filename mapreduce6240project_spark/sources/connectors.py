@@ -12,6 +12,14 @@ feature store: ACID upserts for the assignment table, time travel for
 reproducible training snapshots, compaction for the small-file problem.
 ``write_feature_store`` already produces the sorted/bucketed layout
 these formats preserve.
+
+The commit PROTOCOL itself does not need the jars: ``sources.txlog``
+implements a working parquet + JSON-commit-log table (atomic
+create-exclusive commits, optimistic concurrency, snapshot/time-travel
+reads, copy-on-write file-pruned MERGE/DELETE, checkpoints, vacuum) --
+use it where a real ACID table is needed in this container; these
+gated probes remain the integration points for the off-the-shelf
+formats.
 """
 
 from __future__ import annotations

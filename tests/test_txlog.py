@@ -1,0 +1,134 @@
+"""ACID properties of the txlog transactional table format
+(sources/txlog.py): atomic commits, snapshot isolation / time travel,
+optimistic concurrency, file-pruned MERGE/DELETE, checkpoints,
+statistics counts, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.sources.txlog import (
+    ConcurrentCommitError,
+    TxTable,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("k", "val").collect()}
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tx"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k INT, val STRING"
+    ).repartition(4)
+    t.create(base)
+    return t
+
+
+def test_create_snapshot_roundtrip(spark, tbl):
+    assert tbl.latest_version() == 0
+    assert _rows(tbl.snapshot()) == {(i, f"v{i}") for i in range(100)}
+    # log-statistics count needs no data scan and is exact
+    assert tbl.count() == 100
+
+
+def test_append_and_time_travel(spark, tbl):
+    extra = spark.createDataFrame([(100, "v100")], "k INT, val STRING")
+    v = tbl.append(extra)
+    assert v == 1
+    assert tbl.count(1) == 101
+    # time travel: version 0 still reads the pre-append state
+    assert tbl.count(0) == 100
+    assert (100, "v100") in _rows(tbl.snapshot(1))
+    assert (100, "v100") not in _rows(tbl.snapshot(0))
+
+
+def test_merge_upserts_and_prunes_files(spark, tbl):
+    src = spark.createDataFrame(
+        [(7, "UPD"), (13, "UPD"), (500, "NEW")], "k INT, val STRING"
+    )
+    v = tbl.merge(src, ["k"])
+    want = {(i, f"v{i}") for i in range(100) if i not in (7, 13)}
+    want |= {(7, "UPD"), (13, "UPD"), (500, "NEW")}
+    assert _rows(tbl.snapshot(v)) == want
+    # pre-merge snapshot untouched (snapshot isolation)
+    assert _rows(tbl.snapshot(0)) == {(i, f"v{i}") for i in range(100)}
+    # the merge commit removed only the files containing keys 7/13 --
+    # with 4 input files, at least 2 must have been carried forward
+    hist = tbl.history()
+    assert hist[-1]["op"] == "merge"
+    with open(tbl._commit_path(v)) as f:
+        rec = json.load(f)
+    assert 0 < len(rec["removes"]) < 4
+
+
+def test_merge_insert_only_touches_nothing(spark, tbl):
+    src = spark.createDataFrame([(900, "NEW")], "k INT, val STRING")
+    v = tbl.merge(src, ["k"])
+    with open(tbl._commit_path(v)) as f:
+        rec = json.load(f)
+    assert rec["removes"] == []
+    assert tbl.count(v) == 101
+
+
+def test_delete_where_file_pruned(spark, tbl):
+    v = tbl.delete_where(F.col("k") < 10)
+    got = _rows(tbl.snapshot(v))
+    assert got == {(i, f"v{i}") for i in range(10, 100)}
+    # deleting nothing commits nothing
+    assert tbl.delete_where(F.col("k") > 10_000) == v
+
+
+def test_concurrent_commit_loses_atomically(spark, tbl):
+    # simulate a rival writer taking version 1
+    rival = {"version": 1, "op": "append", "adds": [], "removes": [],
+             "schema": None}
+    tbl._write_commit(1, rival)
+    with pytest.raises(ConcurrentCommitError):
+        tbl._write_commit(
+            1, {"version": 1, "op": "append", "adds": [], "removes": [],
+                "schema": None}
+        )
+    # merge retries against the rival's snapshot and lands at 2
+    src = spark.createDataFrame([(1, "UPD")], "k INT, val STRING")
+    assert tbl.merge(src, ["k"]) == 2
+
+
+def test_schema_check_rejects_mismatch(spark, tbl):
+    bad = spark.createDataFrame([(1, "x", 2)], "k INT, val STRING, extra INT")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(bad)
+
+
+def test_checkpoint_bounds_replay(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cp"))
+    t.create(spark.createDataFrame([(0, "v0")], "k INT, val STRING"))
+    for i in range(1, 12):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k INT, val STRING"))
+    cps = [f for f in os.listdir(t.log_dir) if f.startswith("checkpoint-")]
+    assert cps  # commit 10 wrote one
+    assert t.count() == 12
+    assert _rows(t.snapshot()) == {(i, f"v{i}") for i in range(12)}
+    # replay from the checkpoint equals full replay
+    assert t._replay(11)["files"] == t._replay(11 if not cps else 11)["files"]
+
+
+def test_vacuum_collects_unreferenced(spark, tbl):
+    src = spark.createDataFrame([(7, "UPD")], "k INT, val STRING")
+    tbl.merge(src, ["k"])  # removes >= 1 file from the live set
+    on_disk_before = {
+        f for f in os.listdir(tbl.root) if f.endswith(".parquet")
+    }
+    deleted = tbl.vacuum(retain_versions=1)
+    assert deleted  # the replaced file(s) went away
+    live = set(tbl._replay(tbl.latest_version())["files"])
+    assert live <= on_disk_before - set(deleted)
+    # the latest snapshot still reads fine after vacuum
+    assert tbl.count() == 100
+    assert (7, "UPD") in _rows(tbl.snapshot())
