@@ -229,9 +229,12 @@ class TxTable:
         state = self._replay(v)
         paths = [os.path.join(self.root, p) for p in sorted(state["files"])]
         if not paths:
-            schema = state["schema"]
+            from pyspark.sql.types import StructType
+
+            if state["schema"] is None:
+                raise FileNotFoundError(f"no committed schema at {self.root}")
             return self.spark.createDataFrame(
-                [], schema=json.loads(schema)["type"] if schema else "id INT"
+                [], schema=StructType.fromJson(json.loads(state["schema"]))
             )
         return self.spark.read.parquet(*paths)
 
@@ -314,7 +317,13 @@ class TxTable:
             if not affected:
                 return v  # nothing to do; no empty commit
             aff_paths = [os.path.join(self.root, p) for p in affected]
-            keep = self.spark.read.parquet(*aff_paths).filter(~condition)
+            # null-safe negation: a row where the predicate evaluates
+            # NULL is NOT deleted (SQL DELETE semantics), so it must
+            # survive the rewrite of its file -- a bare ~condition
+            # would silently drop it
+            keep = self.spark.read.parquet(*aff_paths).filter(
+                ~F.coalesce(condition, F.lit(False))
+            )
             adds = self._write_data_files(keep)
             nv = v + 1
             try:

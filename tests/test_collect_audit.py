@@ -41,6 +41,12 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "map_at10's qlabel first(), same vec_id=0 point lookup)",
     ),
     "streaming/jobs.py": (1, "watermark cutoff scalar (1-row agg)"),
+    "sources/txlog.py": (
+        2,
+        "MERGE/DELETE affected-file lists: distinct input_file_name "
+        "values, bounded by the table's data-file count (the commit "
+        "log's removes list must hold them anyway)",
+    ),
     "operators/sampling.py": (
         2,
         "per-stratum counts: strata are enum-bounded group keys",
