@@ -339,6 +339,50 @@ class TxTable:
             f"delete lost {max_retries} optimistic-concurrency races"
         )
 
+    def optimize(
+        self,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """Compaction (OPTIMIZE): rewrite the current snapshot into
+        ``target_files`` files -- the small-file answer for a table
+        that has accrued many tiny commits.  ``zorder_by`` range-sorts
+        the rewrite on those columns so min/max file statistics prune
+        scans (the poor-man's Z-ORDER: a single-dimension range
+        cluster; true multi-column interleaving lives in
+        ``sources.layout``).  Logically a no-op: the commit swaps the
+        full file set for the compacted one, and any concurrent
+        append/merge wins the race cleanly (we retry on the new
+        snapshot)."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            state = self._replay(v)
+            olds = sorted(state["files"])
+            if len(olds) <= target_files and zorder_by is None:
+                return v  # nothing to compact; no empty commit
+            cur = self.snapshot(v)
+            if zorder_by:
+                cur = cur.repartitionByRange(
+                    target_files, *[F.col(c) for c in zorder_by]
+                ).sortWithinPartitions(*zorder_by)
+            else:
+                cur = cur.coalesce(target_files)
+            adds = self._write_data_files(cur)
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "optimize", "adds": adds,
+                     "removes": olds, "schema": None},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"optimize lost {max_retries} optimistic-concurrency races"
+        )
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the latest
         ``retain_versions`` snapshots (orphans from lost races

@@ -132,3 +132,38 @@ def test_vacuum_collects_unreferenced(spark, tbl):
     # the latest snapshot still reads fine after vacuum
     assert tbl.count() == 100
     assert (7, "UPD") in _rows(tbl.snapshot())
+
+
+def test_optimize_compacts_without_logical_change(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "opt"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k INT, val STRING"
+        ).repartition(1)
+    )
+    for i in range(20, 30):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k INT, val STRING"))
+    before_files = len(t._replay(t.latest_version())["files"])
+    assert before_files >= 11
+    v = t.optimize(target_files=2, zorder_by=["k"])
+    state = t._replay(v)
+    assert len(state["files"]) <= 2
+    assert _rows(t.snapshot(v)) == {(i, f"v{i}") for i in range(30)}
+    # statistics count carried exactly through the rewrite
+    assert t.count(v) == 30
+    assert t.history()[-1]["op"] == "optimize"
+    # a second optimize at the same shape is a no-op commit-wise
+    assert t.optimize(target_files=2) == v
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "nulldel"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "k INT, val STRING"
+        ).repartition(1)
+    )
+    # predicate on val is NULL for k=2 -- SQL DELETE must keep that row
+    v = t.delete_where(F.col("val") < "b")
+    got = {tuple(r) for r in t.snapshot(v).collect()}
+    assert got == {(2, None), (3, "c")}
