@@ -327,3 +327,44 @@ def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_dedup_bounded_state(spark, sf_dir)
+
+
+# =========================================================================
+# wave 103: streaming CDC into the ACID txlog table
+#
+# ``streaming_txlog_cdc``: the lakehouse streaming-sink pattern --
+# every micro-batch MERGEs its per-user latest state into a
+# sources/txlog table under an idempotent writer transaction
+# (txn=("cdc", epoch_id): a replayed batch is a no-op, the Delta
+# txnAppId/txnVersion design).  The per-batch reduce + re-reduce over
+# matched current rows is an associative last-wins fold, so the final
+# table is identical however the stream is split into batches; the
+# oracle is therefore the same batch window SQL as ``streaming_cdc``
+# (restricted to non-null users, the mergeable key domain).
+# =========================================================================
+
+
+@_register(
+    "streaming_txlog_cdc",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id, cents AS last_value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+    ref="extension: streaming CDC upserts into the txlog ACID table "
+    "(foreachBatch + idempotent writer txn); batching-independent "
+    "last-wins fold, tombstones filtered at emission -- same oracle "
+    "as streaming_cdc over the non-null key domain",
+)
+def q_streaming_txlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce6240project_spark.streaming.jobs import streaming_txlog_cdc
+
+    root = tempfile.mkdtemp(prefix="sparkgraft_txcdc_")
+    return streaming_txlog_cdc(spark, sf_dir, root)

@@ -136,13 +136,15 @@ class TxTable:
             return best, json.load(f)
 
     def _replay(self, version: int) -> dict:
-        """File-list state ``{"files": {path: rows}, "schema": s}`` at
-        ``version``, starting from the newest checkpoint <= version."""
+        """File-list state ``{"files": {path: rows}, "schema": s,
+        "txns": {app: last_version}}`` at ``version``, starting from
+        the newest checkpoint <= version."""
         start = 0
-        state: dict = {"files": {}, "schema": None}
+        state: dict = {"files": {}, "schema": None, "txns": {}}
         cp = self._latest_checkpoint_at_most(version)
         if cp is not None:
             start, state = cp[0] + 1, cp[1]
+            state.setdefault("txns", {})  # pre-txn checkpoints
         for v in range(start, version + 1):
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
@@ -152,7 +154,20 @@ class TxTable:
                 state["files"].pop(r, None)
             if rec.get("schema"):
                 state["schema"] = rec["schema"]
+            if rec.get("txn"):
+                state["txns"][rec["txn"]["app"]] = rec["txn"]["version"]
         return state
+
+    def last_txn_version(self, app: str) -> int:
+        """Highest writer-transaction version committed under ``app``
+        (-1 when none) -- the idempotent-retry guard for streaming
+        foreachBatch sinks (the Delta txnAppId/txnVersion pattern:
+        a replayed micro-batch sees its own version already in the log
+        and skips)."""
+        v = self.latest_version()
+        if v < 0:
+            return -1
+        return self._replay(v)["txns"].get(app, -1)
 
     # -- data-file plumbing ----------------------------------------------
 
@@ -248,6 +263,7 @@ class TxTable:
         source: DataFrame,
         key_cols: list[str],
         max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert): source rows REPLACE current
         rows with the same key; unmatched source rows are inserts.
@@ -258,9 +274,19 @@ class TxTable:
         distinct source keys, so driver state is bounded by the file
         count, and every untouched file is carried forward in the
         commit unchanged.  Retries on a lost optimistic-concurrency
-        race re-read the new snapshot and re-derive."""
+        race re-read the new snapshot and re-derive.
+
+        ``txn=(app, version)`` makes the merge IDEMPOTENT per writer:
+        if the fresh snapshot already records ``version`` (or newer)
+        for ``app``, the call is a no-op -- a replayed streaming
+        micro-batch cannot double-apply.  The guard re-checks inside
+        the retry loop, so a race lost to our own earlier attempt is
+        also caught."""
         for _ in range(max_retries):
             v = self.latest_version()
+            if txn is not None and v >= 0:
+                if self._replay(v)["txns"].get(txn[0], -1) >= txn[1]:
+                    return v  # already applied; idempotent skip
             self._check_schema(source, v)
             state = self._replay(v)
             cur = self.snapshot(v).withColumn("_file", F.input_file_name())
@@ -281,17 +307,17 @@ class TxTable:
                 new_df = source
             adds = self._write_data_files(new_df)
             nv = v + 1
+            rec = {
+                "version": nv,
+                "op": "merge",
+                "adds": adds,
+                "removes": affected,
+                "schema": None,
+            }
+            if txn is not None:
+                rec["txn"] = {"app": txn[0], "version": txn[1]}
             try:
-                self._write_commit(
-                    nv,
-                    {
-                        "version": nv,
-                        "op": "merge",
-                        "adds": adds,
-                        "removes": affected,
-                        "schema": None,
-                    },
-                )
+                self._write_commit(nv, rec)
                 return nv
             except ConcurrentCommitError:
                 # lost the race: orphan the staged files (vacuum will

@@ -772,3 +772,69 @@ def streaming_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_estimate(
         merged, {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     )
+
+
+def streaming_txlog_cdc(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """Stream -> ACID table: last-event-wins CDC applied per
+    micro-batch into a ``sources.txlog`` table via idempotent MERGE --
+    the lakehouse streaming-sink pattern (Delta's foreachBatch +
+    txnAppId/txnVersion) running end-to-end on the in-repo commit log.
+
+    Batching-independence: each batch reduces to its per-user latest
+    row, then the MERGE source is recomputed as the latest over
+    (current matched rows UNION batch rows) under the same total order
+    (ts desc, event_id desc) -- an associative/commutative fold, so
+    the final table is identical however the stream is split.  The
+    ``txn=("cdc", epoch_id)`` guard makes a replayed micro-batch a
+    no-op instead of a double-apply.  Tombstones ('error' events)
+    stay in the table as state and are filtered at emission, exactly
+    like ``streaming_cdc_state``."""
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("user_id").isNotNull())
+    tbl = TxTable(spark, root)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = _latest(batch_df)
+        if tbl.latest_version() < 0:
+            tbl.create(latest)
+            return
+        cur = tbl.snapshot()
+        matched = cur.join(
+            F.broadcast(latest.select("user_id").distinct()),
+            "user_id",
+            "left_semi",
+        )
+        src = _latest(matched.unionByName(latest))
+        tbl.merge(src, ["user_id"], txn=("cdc", epoch_id))
+
+    q = ev.writeStream.outputMode("append").foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        tbl.snapshot()
+        .filter(F.col("event_type") != "error")
+        .select("user_id", F.col("cents").alias("last_value_cents"))
+    )

@@ -1,0 +1,105 @@
+"""Property-based tests for the token_budget_waterfill integer kernel:
+on ARBITRARY supplies and budgets the allocation must exhaust the
+budget exactly, never exceed any supply, and satisfy max-min fairness
+-- the invariants on arbitrary inputs, not just the TPC-H-shaped
+testdata (same doctrine as test_properties_alloc)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+
+def _waterfill(supplies: dict[str, int], budget: int) -> dict[str, int]:
+    """Python mirror of the token_budget_waterfill SQL kernel (the
+    prefix-condition formulation, NOT the iterative reference)."""
+    k = len(supplies)
+    order = sorted(supplies, key=lambda s: (supplies[s], s))
+    cum = 0
+    m = 0
+    cum_m = 0
+    for i, s in enumerate(order, start=1):
+        n = supplies[s]
+        cand = (budget - cum) // (k - i + 1)
+        cum += n
+        if n <= cand:
+            m, cum_m = i, cum
+        else:
+            break  # the condition is monotone: once false, always false
+    alloc = {}
+    if k > m:
+        level = (budget - cum_m) // (k - m)
+        rem = (budget - cum_m) % (k - m)
+    else:
+        level = rem = 0
+    for i, s in enumerate(order, start=1):
+        if i <= m:
+            alloc[s] = supplies[s]
+        else:
+            alloc[s] = level + (1 if i - m <= rem else 0)
+    return alloc
+
+
+def _iterative_reference(supplies: dict[str, int], budget: int) -> dict[str, int]:
+    """Independent max-min fair reference: repeatedly split the
+    remaining budget equally; fully-servable sources leave the pool."""
+    alloc = {s: 0 for s in supplies}
+    live = dict(supplies)
+    b = budget
+    while live:
+        share = b // len(live)
+        served = {s: n for s, n in live.items() if n <= share}
+        if not served:
+            order = sorted(live, key=lambda s: (live[s], s))
+            rem = b - share * len(live)
+            for j, s in enumerate(order):
+                alloc[s] = share + (1 if j < rem else 0)
+            return alloc
+        for s, n in served.items():
+            alloc[s] = n
+            b -= n
+            del live[s]
+    return alloc
+
+
+NAMES = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(NAMES, st.data())
+@settings(max_examples=300, deadline=None)
+def test_waterfill_invariants(names, data):
+    supplies = {
+        s: data.draw(st.integers(min_value=0, max_value=10**6)) for s in names
+    }
+    total = sum(supplies.values())
+    budget = data.draw(st.integers(min_value=0, max_value=total))
+    alloc = _waterfill(supplies, budget)
+    # budget exhausted exactly, feasibility per source
+    assert sum(alloc.values()) == budget
+    for s in supplies:
+        assert 0 <= alloc[s] <= supplies[s]
+    # matches the independent iterative reference
+    assert alloc == _iterative_reference(supplies, budget)
+    # max-min fairness: an unsatisfied source never gets more than one
+    # token less than ANY other source's allocation (the +1 remainder
+    # spread is the only allowed gap among unsatisfied sources)
+    unsat = [s for s in supplies if alloc[s] < supplies[s]]
+    if unsat:
+        lo = min(alloc[s] for s in unsat)
+        assert all(alloc[s] <= lo + 1 for s in unsat)
+        # and every satisfied source is below the water level
+        for s in supplies:
+            if s not in unsat:
+                assert supplies[s] <= lo + 1 or alloc[s] == supplies[s]
+
+
+@given(NAMES)
+@settings(max_examples=100, deadline=None)
+def test_waterfill_full_budget_serves_everyone(names):
+    supplies = {s: (i + 1) * 7 for i, s in enumerate(names)}
+    total = sum(supplies.values())
+    assert _waterfill(supplies, total) == supplies

@@ -167,3 +167,51 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     v = t.delete_where(F.col("val") < "b")
     got = {tuple(r) for r in t.snapshot(v).collect()}
     assert got == {(2, None), (3, "c")}
+
+
+def test_idempotent_txn_merge_skips_replay(spark, tbl):
+    src = spark.createDataFrame([(7, "UPD")], "k INT, val STRING")
+    v1 = tbl.merge(src, ["k"], txn=("app1", 0))
+    assert tbl.last_txn_version("app1") == 0
+    # replaying the same writer version is a no-op commit-wise
+    src2 = spark.createDataFrame([(7, "WRONG")], "k INT, val STRING")
+    assert tbl.merge(src2, ["k"], txn=("app1", 0)) == v1
+    assert (7, "UPD") in _rows(tbl.snapshot())
+    # the next writer version applies
+    v2 = tbl.merge(src2, ["k"], txn=("app1", 1))
+    assert v2 == v1 + 1
+    assert (7, "WRONG") in _rows(tbl.snapshot())
+    # independent writers don't interfere
+    assert tbl.last_txn_version("other") == -1
+
+
+def test_streaming_txlog_cdc_matches_batch(spark, tmp_path):
+    """The streaming CDC sink equals the batch last-event-per-user
+    query regardless of micro-batch splits (single-batch here; the
+    fold's associativity is argued in the job docstring and the
+    multi-epoch txn path is covered above)."""
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.sources.tables import load_table
+    from mapreduce6240project_spark.streaming.jobs import streaming_txlog_cdc
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.last_value_cents)
+        for r in streaming_txlog_cdc(spark, sf, str(tmp_path / "cdc")).collect()
+    }
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.unix_micros("ts")), F.desc("event_id")
+    )
+    want = {
+        (r.user_id, r.cents)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
