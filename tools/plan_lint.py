@@ -532,7 +532,15 @@ def main() -> int:
             "regressions (a broadcast degrading to sort-merge, an "
             "extra exchange in a narrow pipeline) show up here as "
             "review diffs.  AQE may further coalesce or convert "
-            "joins at runtime; this is the static upper bound.",
+            "joins at runtime; this is the static upper bound.  "
+            "Caveat: plans are captured COLD (`clearCache` between "
+            "queries), so a query whose runtime plan reads a "
+            "session-persisted shared frame (the simgraph pair "
+            "cache, the feature store) profiles as if it rebuilt "
+            "that frame per consumer -- e.g. degree_assortativity's "
+            "exchanges count three cold simgraph builds that one "
+            "warm `persist` serves at runtime.  Compare rows across "
+            "rounds, not against the warm execution.",
             "",
             "| query | " + " | ".join(cols) + " |",
             "|---|" + "|".join(["---"] * len(cols)) + "|",
