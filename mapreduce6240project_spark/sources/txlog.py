@@ -20,7 +20,8 @@ Layout::
 Commit record (one JSON object per file)::
 
     {"version": 3, "op": "merge",
-     "adds":    [{"path": "part-...parquet", "rows": 123}, ...],
+     "adds":    [{"path": "part-...parquet", "rows": 123,
+                  "stats": {"k": [0, 17], "val": ["a", "zz"]}}, ...],
      "removes": ["part-...parquet", ...],
      "schema":  "<json StructType>"}
 
@@ -48,8 +49,10 @@ amortized to O(1) by checkpoints every ``CHECKPOINT_EVERY`` commits;
 MERGE rewrites ONLY the data files that contain matched keys (found
 with a broadcast semi-join on ``input_file_name``, driver state
 bounded by the file count), carrying every untouched file forward --
-the standard copy-on-write MERGE.  The per-file row counts in the log
-give costless ``count()`` / file-skipping statistics.
+the standard copy-on-write MERGE.  Row counts and per-column min/max
+zonemaps come from the parquet footers at write time (no extra scan),
+so ``count()`` is log-only and ``snapshot_where`` skips whole files --
+``optimize(zorder_by=...)`` is what makes those zonemaps disjoint.
 """
 
 from __future__ import annotations
@@ -67,6 +70,49 @@ CHECKPOINT_EVERY = 10
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the version this writer raced for."""
+
+
+def _footer_stats(path: str) -> tuple[int, dict]:
+    """(row_count, {col: [min, max]}) from the parquet footer -- no
+    data scan.  Only JSON-representable primitive stats are kept
+    (int/float/str/bool; dates and timestamps render via str); a
+    column with any stats-less or NaN row group is dropped entirely,
+    because a partial zonemap would skip files it must not."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list] = {}
+    bad: set[str] = set()
+
+    def _ok(v) -> bool:
+        if isinstance(v, bool) or v is None:
+            return isinstance(v, bool)
+        if isinstance(v, float):
+            return v == v  # NaN poisons ordering
+        return isinstance(v, (int, str))
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf: not a top-level zonemap col
+                bad.add(name)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if not (_ok(mn) and _ok(mx)):
+                bad.add(name)  # non-primitive (timestamp/decimal/NaN):
+                continue  # no zonemap rather than a lossy rendering
+            if name in agg:
+                agg[name][0] = min(agg[name][0], mn)
+                agg[name][1] = max(agg[name][1], mx)
+            else:
+                agg[name] = [mn, mx]
+    return md.num_rows, {k: v for k, v in agg.items() if k not in bad}
 
 
 class TxTable:
@@ -149,7 +195,9 @@ class TxTable:
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
             for a in rec["adds"]:
-                state["files"][a["path"]] = a["rows"]
+                # whole add entry (rows + zonemap stats); pre-stats
+                # checkpoints may hold bare ints -- readers handle both
+                state["files"][a["path"]] = a
             for r in rec["removes"]:
                 state["files"].pop(r, None)
             if rec.get("schema"):
@@ -174,7 +222,13 @@ class TxTable:
     def _write_data_files(self, df: DataFrame) -> list[dict]:
         """Write ``df`` as new immutable parquet files under root and
         return their add-entries.  Files are invisible to readers until
-        a commit references them."""
+        a commit references them.
+
+        Row counts AND per-column min/max statistics come from the
+        parquet footers (pyarrow metadata -- no extra scan); the stats
+        land in the commit log so ``snapshot_where`` can skip whole
+        files (zonemap/data-skipping, the mechanism Delta/Iceberg use
+        and ``optimize(zorder_by=...)`` clusters for)."""
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         adds = []
@@ -182,11 +236,10 @@ class TxTable:
             if not f.endswith(".parquet"):
                 continue
             final = f"part-{uuid.uuid4().hex}.parquet"
-            n = self.spark.read.parquet(os.path.join(staging, f)).count()
-            os.replace(
-                os.path.join(staging, f), os.path.join(self.root, final)
-            )
-            adds.append({"path": final, "rows": n})
+            src = os.path.join(staging, f)
+            n, stats = _footer_stats(src)
+            os.replace(src, os.path.join(self.root, final))
+            adds.append({"path": final, "rows": n, "stats": stats})
         for leftover in os.listdir(staging):
             os.unlink(os.path.join(staging, leftover))
         os.rmdir(staging)
@@ -256,7 +309,46 @@ class TxTable:
     def count(self, version: int | None = None) -> int:
         """Exact row count from log statistics -- no data scan."""
         v = self.latest_version() if version is None else version
-        return sum(self._replay(v)["files"].values())
+        return sum(
+            e["rows"] if isinstance(e, dict) else e
+            for e in self._replay(v)["files"].values()
+        )
+
+    def snapshot_where(
+        self,
+        column: str,
+        lower,
+        upper,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping read: ``(df, files_read, files_total)`` for
+        rows with ``lower <= column <= upper`` -- files whose footer
+        [min, max] zonemap misses the range are never opened.  The
+        residual filter still applies row-level (zonemaps are
+        file-grain), so the result is exact; a file with no stats for
+        ``column`` is conservatively read.  ``optimize(zorder_by=
+        [column])`` is what makes these zonemaps disjoint and the
+        skipping effective."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no table at {self.root}")
+        state = self._replay(v)
+        files = state["files"]
+        keep = []
+        for path in sorted(files):
+            entry = files[path]
+            stats = entry.get("stats", {}) if isinstance(entry, dict) else {}
+            rng = stats.get(column)
+            if rng is not None and (rng[0] > upper or rng[1] < lower):
+                continue  # provably disjoint: skip the file
+            keep.append(os.path.join(self.root, path))
+        if not keep:
+            empty = self.snapshot(v).limit(0)
+            return empty, 0, len(files)
+        df = self.spark.read.parquet(*keep).filter(
+            (F.col(column) >= F.lit(lower)) & (F.col(column) <= F.lit(upper))
+        )
+        return df, len(keep), len(files)
 
     def merge(
         self,

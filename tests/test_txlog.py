@@ -215,3 +215,53 @@ def test_streaming_txlog_cdc_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_where_skips_files_after_zorder(spark, tmp_path):
+    """Zonemap data skipping: after a range-clustered OPTIMIZE the
+    footer min/max stats are disjoint, so a narrow range reads a
+    strict subset of files -- and the result is still row-exact."""
+    t = TxTable(spark, str(tmp_path / "skip"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "k INT, val STRING"
+        ).repartition(8)  # hash-partitioned: every file spans ~[0,1000)
+    )
+    df0, read0, total0 = t.snapshot_where("k", 10, 20)
+    assert total0 == read0  # overlapping zonemaps: nothing skippable
+    t.optimize(target_files=8, zorder_by=["k"])
+    df1, read1, total1 = t.snapshot_where("k", 10, 20)
+    assert read1 < total1  # disjoint zonemaps: files skipped
+    want = {(i, f"v{i}") for i in range(10, 21)}
+    assert {tuple(r) for r in df0.collect()} == want
+    assert {tuple(r) for r in df1.collect()} == want
+
+
+def test_snapshot_where_empty_range(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "skip2"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k INT, val STRING")
+        .repartition(1)
+    )
+    df, read, total = t.snapshot_where("k", 100, 200)
+    assert read == 0 and total >= 1
+    assert df.count() == 0
+    assert df.columns == ["k", "val"]
+
+
+def test_footer_stats_string_and_missing(spark, tmp_path):
+    """String zonemaps work; a column absent from stats is read
+    conservatively (never skipped)."""
+    t = TxTable(spark, str(tmp_path / "skip3"))
+    t.create(
+        spark.createDataFrame(
+            [(i, chr(ord("a") + i % 26) * 3) for i in range(100)],
+            "k INT, val STRING",
+        ).repartition(2)
+    )
+    state = t._replay(t.latest_version())
+    entry = next(iter(state["files"].values()))
+    assert "k" in entry["stats"] and "val" in entry["stats"]
+    df, read, total = t.snapshot_where("val", "aaa", "bbb")
+    got = {r.val for r in df.collect()}
+    assert got == {"aaa", "bbb"}
