@@ -3001,3 +3001,127 @@ def q_txlog_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(tbl.snapshot(1), 1))
         .select("version", "status", "n_orders", "sum_cents")
     )
+
+
+# =========================================================================
+# wave 104: txlog DELETE (GDPR) and data-skipping verdicts
+#
+# ``txlog_gdpr_delete``: the right-to-erasure path through the ACID
+# table -- create from events, copy-on-write DELETE of every 10th
+# user's rows (only files containing them are rewritten), then
+# aggregate the survivors AND the pre-delete version via time travel.
+# The oracle replays the deletion relationally, so the external hash
+# covers the rewrite's row-exactness and the old snapshot's isolation.
+#
+# ``txlog_skipping_audit``: externally checkable verdict for the
+# zonemap reader (bernoulli_sample_ci pattern): file counts depend on
+# range-partitioner sampling (not cross-run replayable), but the
+# invariants ARE -- the range-clustered table must SKIP at least one
+# file for a narrow range (boolean pinned TRUE), and the pruned read
+# must return exactly the rows the full-scan filter returns (count
+# equality as an exact integer).
+# =========================================================================
+
+
+@_register(
+    "txlog_gdpr_delete",
+    """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+v0 AS (
+  SELECT CAST(0 AS BIGINT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY event_type
+),
+v1 AS (
+  SELECT CAST(1 AS BIGINT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base WHERE user_id % 10 <> 0 GROUP BY event_type
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v1""",
+    ref="extension: GDPR erasure through the txlog ACID table -- "
+    "copy-on-write DELETE of every 10th user, file-pruned rewrite, "
+    "both versions aggregated via time travel; oracle replays the "
+    "deletion relationally",
+)
+def q_txlog_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    tbl = TxTable(spark, tempfile.mkdtemp(prefix="sparkgraft_gdpr_"))
+    tbl.create(base.repartition(4))
+    tbl.delete_where(F.col("user_id") % 10 == 0)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return (
+        agg(tbl.snapshot(0), 0)
+        .unionByName(agg(tbl.snapshot(1), 1))
+        .select("version", "event_type", "n_events", "sum_cents")
+    )
+
+
+@_register(
+    "txlog_skipping_audit",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,
+       TRUE AS skipped_files,
+       TRUE AS pruned_read_exact
+FROM orders
+WHERE o_orderkey IS NOT NULL
+  AND o_orderkey BETWEEN 100 AND 2000""",
+    ref="extension: zonemap data-skipping verdict (bernoulli_sample_ci "
+    "pattern) -- after a range-clustered OPTIMIZE the narrow read must "
+    "skip >= 1 file and return exactly the full-scan rows; file counts "
+    "are sampler-dependent, the booleans and the exact row count are "
+    "not",
+)
+def q_txlog_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    tbl = TxTable(spark, tempfile.mkdtemp(prefix="sparkgraft_skip_"))
+    tbl.create(base.repartition(8))
+    tbl.optimize(target_files=8, zorder_by=["k"])
+    pruned, files_read, files_total = tbl.snapshot_where("k", 100, 2000)
+    n_pruned = pruned.count()  # bounded: one scalar per verdict
+    n_full = (
+        tbl.snapshot().filter(F.col("k").between(100, 2000)).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_pruned,
+                bool(files_read < files_total),
+                bool(n_pruned == n_full),
+            )
+        ],
+        "n_rows_in_range BIGINT, skipped_files BOOLEAN, "
+        "pruned_read_exact BOOLEAN",
+    )
