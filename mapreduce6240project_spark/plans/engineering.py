@@ -3083,12 +3083,16 @@ def q_txlog_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "txlog_skipping_audit",
     """
+WITH mx AS (
+  SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM orders
+  WHERE o_orderkey IS NOT NULL
+)
 SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,
        TRUE AS skipped_files,
        TRUE AS pruned_read_exact
-FROM orders
+FROM orders CROSS JOIN mx
 WHERE o_orderkey IS NOT NULL
-  AND o_orderkey BETWEEN 100 AND 2000""",
+  AND o_orderkey BETWEEN mx.m * 1 // 100 AND mx.m * 5 // 100""",
     ref="extension: zonemap data-skipping verdict (bernoulli_sample_ci "
     "pattern) -- after a range-clustered OPTIMIZE the narrow read must "
     "skip >= 1 file and return exactly the full-scan rows; file counts "
@@ -3109,11 +3113,14 @@ def q_txlog_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = TxTable(spark, tempfile.mkdtemp(prefix="sparkgraft_skip_"))
     tbl.create(base.repartition(8))
     tbl.optimize(target_files=8, zorder_by=["k"])
-    pruned, files_read, files_total = tbl.snapshot_where("k", 100, 2000)
+    # scale-relative narrow range (1%-5% of the key domain): covers a
+    # ~4% slice of the 8 range-clustered files at ANY sf, so skipping
+    # is guaranteed and the verdict cannot depend on the scale factor
+    m = tbl.snapshot().agg(F.max("k")).first()[0]  # bounded scalar
+    lo, hi = m * 1 // 100, m * 5 // 100
+    pruned, files_read, files_total = tbl.snapshot_where("k", lo, hi)
     n_pruned = pruned.count()  # bounded: one scalar per verdict
-    n_full = (
-        tbl.snapshot().filter(F.col("k").between(100, 2000)).count()
-    )
+    n_full = tbl.snapshot().filter(F.col("k").between(lo, hi)).count()
     return spark.createDataFrame(
         [
             (

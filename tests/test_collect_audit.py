@@ -47,6 +47,11 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "values, bounded by the table's data-file count (the commit "
         "log's removes list must hold them anyway)",
     ),
+    "plans/engineering.py": (
+        1,
+        "txlog_skipping_audit key-domain max: 1-row agg scalar that "
+        "derives the scale-relative prune range",
+    ),
     "operators/sampling.py": (
         2,
         "per-stratum counts: strata are enum-bounded group keys",
