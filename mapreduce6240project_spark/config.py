@@ -32,3 +32,20 @@ def adaptive_threshold(explicit: int | None, default: int) -> int:
     if explicit is not None:
         return explicit
     return 0 if force_distributed() else default
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with end-of-process cleanup: registry
+    queries that materialize side tables (the txlog round-trips) get a
+    scratch root that an ``atexit`` hook removes, so repeated
+    driver_mirror / plan_lint / pytest sessions don't accumulate
+    unbounded full-table copies in /tmp (review finding).  Lazy frames
+    returned by those queries stay readable for the whole process
+    lifetime -- cleanup only runs at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path

@@ -24,6 +24,7 @@ from __future__ import annotations
 import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mapreduce6240project_spark.config import scratch_dir
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.layout import (
     bucketed_merge_join,
@@ -2932,14 +2933,15 @@ WITH base AS (
   WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
     AND o_totalprice IS NOT NULL
 ),
+mxk AS (SELECT CAST(max(k) AS BIGINT) AS m FROM base),
 merged AS (
   SELECT k,
          CASE WHEN k % 7 = 0 THEN 'X' ELSE status END AS status,
          CASE WHEN k % 7 = 0 THEN cents + 1 ELSE cents END AS cents
   FROM base
   UNION ALL
-  SELECT k + 100000000 AS k, 'N' AS status, CAST(0 AS BIGINT) AS cents
-  FROM base WHERE k % 1000 = 0
+  SELECT k + mxk.m + 1 AS k, 'N' AS status, CAST(0 AS BIGINT) AS cents
+  FROM base CROSS JOIN mxk WHERE k % 1000 = 0
 ),
 v0 AS (
   SELECT CAST(0 AS BIGINT) AS version, status,
@@ -2976,15 +2978,23 @@ def q_txlog_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tbl = TxTable(spark, tempfile.mkdtemp(prefix="sparkgraft_txlog_"))
+    tbl = TxTable(spark, scratch_dir("sparkgraft_txlog_"))
     tbl.create(base.repartition(4))
     updates = base.filter(F.col("k") % 7 == 0).select(
         "k", F.lit("X").alias("status"), (F.col("cents") + 1).alias("cents")
     )
-    inserts = base.filter(F.col("k") % 1000 == 0).select(
-        (F.col("k") + 100000000).alias("k"),
-        F.lit("N").alias("status"),
-        F.lit(0).cast("bigint").alias("cents"),
+    # insert keys sit ABOVE the real key domain at ANY scale factor:
+    # a fixed offset collides with genuine orderkeys once sf grows past
+    # the literal (review finding), so the offset is the in-plan max + 1 (keys start at 0, so a bare max offset collides with the max row itself)
+    mx = base.agg(F.max("k").cast("bigint").alias("m"))
+    inserts = (
+        base.filter(F.col("k") % 1000 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("k") + F.col("m") + 1).alias("k"),
+            F.lit("N").alias("status"),
+            F.lit(0).cast("bigint").alias("cents"),
+        )
     )
     tbl.merge(updates.unionByName(inserts), ["k"])
 
@@ -3062,7 +3072,7 @@ def q_txlog_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
         )
     )
-    tbl = TxTable(spark, tempfile.mkdtemp(prefix="sparkgraft_gdpr_"))
+    tbl = TxTable(spark, scratch_dir("sparkgraft_gdpr_"))
     tbl.create(base.repartition(4))
     tbl.delete_where(F.col("user_id") % 10 == 0)
 
@@ -3110,7 +3120,7 @@ def q_txlog_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("status"),
         )
     )
-    tbl = TxTable(spark, tempfile.mkdtemp(prefix="sparkgraft_skip_"))
+    tbl = TxTable(spark, scratch_dir("sparkgraft_skip_"))
     tbl.create(base.repartition(8))
     tbl.optimize(target_files=8, zorder_by=["k"])
     # scale-relative narrow range (1%-5% of the key domain): covers a

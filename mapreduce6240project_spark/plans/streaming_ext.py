@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mapreduce6240project_spark.config import scratch_dir
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.tables import load_table
 from mapreduce6240project_spark.sources.tweets import SPLIT_REGEX
@@ -362,9 +363,7 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
     "as streaming_cdc over the non-null key domain",
 )
 def q_streaming_txlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from mapreduce6240project_spark.streaming.jobs import streaming_txlog_cdc
 
-    root = tempfile.mkdtemp(prefix="sparkgraft_txcdc_")
+    root = scratch_dir("sparkgraft_txcdc_")
     return streaming_txlog_cdc(spark, sf_dir, root)

@@ -245,17 +245,28 @@ class TxTable:
         os.rmdir(staging)
         return adds
 
-    def _check_schema(self, df: DataFrame, version: int) -> None:
-        state = self._replay(version)
+    def _check_schema(
+        self, df: DataFrame, version: int, state: dict | None = None
+    ) -> None:
+        """Names AND types must match (nullable may differ -- parquet
+        unions nullability harmlessly, but a type flip would commit
+        mixed-physical-type files that poison every later read)."""
+        if state is None:
+            state = self._replay(version)
         if state["schema"] is None:
             return
-        want = json.loads(state["schema"])["fields"]
-        got = json.loads(df.schema.json())["fields"]
-        if [f["name"] for f in want] != [f["name"] for f in got]:
+
+        def _sig(fields):
+            return [
+                (f["name"], json.dumps(f["type"], sort_keys=True))
+                for f in fields
+            ]
+
+        want = _sig(json.loads(state["schema"])["fields"])
+        got = _sig(json.loads(df.schema.json())["fields"])
+        if want != got:
             raise ValueError(
-                "schema mismatch: table has "
-                f"{[f['name'] for f in want]}, write has "
-                f"{[f['name'] for f in got]}"
+                f"schema mismatch: table has {want}, write has {got}"
             )
 
     # -- public API ------------------------------------------------------
@@ -309,6 +320,9 @@ class TxTable:
     def count(self, version: int | None = None) -> int:
         """Exact row count from log statistics -- no data scan."""
         v = self.latest_version() if version is None else version
+        if v < 0:  # same contract as snapshot(): a missing table is an
+            # error, not an empty one (review finding)
+            raise FileNotFoundError(f"no table at {self.root}")
         return sum(
             e["rows"] if isinstance(e, dict) else e
             for e in self._replay(v)["files"].values()
@@ -376,11 +390,14 @@ class TxTable:
         also caught."""
         for _ in range(max_retries):
             v = self.latest_version()
-            if txn is not None and v >= 0:
-                if self._replay(v)["txns"].get(txn[0], -1) >= txn[1]:
+            # one replay per attempt, shared by the txn guard and the
+            # schema check (review finding: the guard, the check, and
+            # a dead assignment each replayed the log separately)
+            state = self._replay(v) if v >= 0 else None
+            if txn is not None and state is not None:
+                if state["txns"].get(txn[0], -1) >= txn[1]:
                     return v  # already applied; idempotent skip
-            self._check_schema(source, v)
-            state = self._replay(v)
+            self._check_schema(source, v, state=state)
             cur = self.snapshot(v).withColumn("_file", F.input_file_name())
             keys = source.select(*key_cols).distinct()
             affected_rows = cur.join(F.broadcast(keys), key_cols, "left_semi")
@@ -501,18 +518,37 @@ class TxTable:
             f"optimize lost {max_retries} optimistic-concurrency races"
         )
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 600.0
+    ) -> list[str]:
         """Delete data files unreferenced by the latest
         ``retain_versions`` snapshots (orphans from lost races
-        included).  Returns the deleted file names."""
+        included).  Returns the deleted file names.
+
+        ``min_age_seconds`` is the concurrent-writer grace window
+        (review finding; Delta's retention-age analogue): a writer
+        stages its data files into the table root BEFORE its commit
+        lands, so an unreferenced-but-young file may belong to an
+        in-flight commit and must not be deleted.  Time travel to
+        versions older than the retained window stops working after a
+        vacuum -- the standard trade."""
+        import time
+
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):
             keep |= set(self._replay(v)["files"])
+        cutoff = time.time() - min_age_seconds
         deleted = []
         for f in os.listdir(self.root):
             if f.endswith(".parquet") and f not in keep:
-                os.unlink(os.path.join(self.root, f))
+                path = os.path.join(self.root, f)
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue  # possibly an in-flight writer's file
+                    os.unlink(path)
+                except FileNotFoundError:
+                    continue  # racing vacuum already removed it
                 deleted.append(f)
         return sorted(deleted)
 

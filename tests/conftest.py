@@ -26,3 +26,26 @@ def duck():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
     yield con
     con.close()
+
+
+def waterfill_reference(supplies: dict, budget: int) -> dict:
+    """Shared max-min fair (waterfilling) reference implementation used
+    by test_wave103 and test_properties_waterfill -- one copy so the
+    two suites cannot silently diverge (review finding)."""
+    alloc = {s: 0 for s in supplies}
+    live = dict(supplies)
+    b = budget
+    while live:
+        share = b // len(live)
+        served = {s: n for s, n in live.items() if n <= share}
+        if not served:
+            order = sorted(live, key=lambda s: (live[s], s))
+            rem = b - share * len(live)
+            for j, s in enumerate(order):
+                alloc[s] = share + (1 if j < rem else 0)
+            return alloc
+        for s, n in served.items():
+            alloc[s] = n
+            b -= n
+            del live[s]
+    return alloc

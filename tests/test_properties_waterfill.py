@@ -39,28 +39,6 @@ def _waterfill(supplies: dict[str, int], budget: int) -> dict[str, int]:
     return alloc
 
 
-def _iterative_reference(supplies: dict[str, int], budget: int) -> dict[str, int]:
-    """Independent max-min fair reference: repeatedly split the
-    remaining budget equally; fully-servable sources leave the pool."""
-    alloc = {s: 0 for s in supplies}
-    live = dict(supplies)
-    b = budget
-    while live:
-        share = b // len(live)
-        served = {s: n for s, n in live.items() if n <= share}
-        if not served:
-            order = sorted(live, key=lambda s: (live[s], s))
-            rem = b - share * len(live)
-            for j, s in enumerate(order):
-                alloc[s] = share + (1 if j < rem else 0)
-            return alloc
-        for s, n in served.items():
-            alloc[s] = n
-            b -= n
-            del live[s]
-    return alloc
-
-
 NAMES = st.lists(
     st.text(alphabet="abcdefgh", min_size=1, max_size=4),
     min_size=1,
@@ -83,7 +61,9 @@ def test_waterfill_invariants(names, data):
     for s in supplies:
         assert 0 <= alloc[s] <= supplies[s]
     # matches the independent iterative reference
-    assert alloc == _iterative_reference(supplies, budget)
+    from conftest import waterfill_reference
+
+    assert alloc == waterfill_reference(supplies, budget)
     # max-min fairness: an unsatisfied source never gets more than one
     # token less than ANY other source's allocation (the +1 remainder
     # spread is the only allowed gap among unsatisfied sources)

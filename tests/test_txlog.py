@@ -104,6 +104,27 @@ def test_schema_check_rejects_mismatch(spark, tbl):
     bad = spark.createDataFrame([(1, "x", 2)], "k INT, val STRING, extra INT")
     with pytest.raises(ValueError, match="schema mismatch"):
         tbl.append(bad)
+    # a TYPE flip under the same names must also be rejected (mixed
+    # physical types would poison every later snapshot read)
+    flipped = spark.createDataFrame([("1", "x")], "k STRING, val STRING")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(flipped)
+
+
+def test_count_on_missing_table_raises(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        t.count()
+
+
+def test_vacuum_age_guard_spares_young_files(spark, tbl):
+    tbl.merge(
+        spark.createDataFrame([(7, "UPD")], "k INT, val STRING"), ["k"]
+    )
+    # default grace window: the just-replaced (young) files survive,
+    # protecting an in-flight writer's staged-but-uncommitted files
+    assert tbl.vacuum(retain_versions=1) == []
+    assert tbl.vacuum(retain_versions=1, min_age_seconds=0) != []
 
 
 def test_checkpoint_bounds_replay(spark, tmp_path):
@@ -115,8 +136,18 @@ def test_checkpoint_bounds_replay(spark, tmp_path):
     assert cps  # commit 10 wrote one
     assert t.count() == 12
     assert _rows(t.snapshot()) == {(i, f"v{i}") for i in range(12)}
-    # replay from the checkpoint equals full replay
-    assert t._replay(11)["files"] == t._replay(11 if not cps else 11)["files"]
+    # checkpoint-seeded replay must equal a from-zero replay with the
+    # checkpoint disabled (review finding: comparing _replay(11) to
+    # itself was a tautology)
+    with_cp = t._replay(11)
+    orig = t._latest_checkpoint_at_most
+    t._latest_checkpoint_at_most = lambda v: None
+    try:
+        from_zero = t._replay(11)
+    finally:
+        t._latest_checkpoint_at_most = orig
+    assert with_cp["files"] == from_zero["files"]
+    assert with_cp["schema"] == from_zero["schema"]
 
 
 def test_vacuum_collects_unreferenced(spark, tbl):
@@ -125,7 +156,7 @@ def test_vacuum_collects_unreferenced(spark, tbl):
     on_disk_before = {
         f for f in os.listdir(tbl.root) if f.endswith(".parquet")
     }
-    deleted = tbl.vacuum(retain_versions=1)
+    deleted = tbl.vacuum(retain_versions=1, min_age_seconds=0)
     assert deleted  # the replaced file(s) went away
     live = set(tbl._replay(tbl.latest_version())["files"])
     assert live <= on_disk_before - set(deleted)

@@ -13,29 +13,6 @@ from mapreduce6240project_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def _waterfill_bruteforce(supplies: dict[str, int], budget: int):
-    """Reference max-min fair allocation: repeatedly split the
-    remaining budget equally over unsatisfied sources; any source whose
-    supply is below its share is served fully and removed."""
-    alloc = {s: 0 for s in supplies}
-    live = dict(supplies)
-    b = budget
-    while live:
-        share = b // len(live)
-        served = {s: n for s, n in live.items() if n <= share}
-        if not served:
-            # final level: equal split + remainder to the smallest
-            # (supply, name)-ordered sources, one token each
-            order = sorted(live, key=lambda s: (live[s], s))
-            rem = b - share * len(live)
-            for j, s in enumerate(order):
-                alloc[s] = share + (1 if j < rem else 0)
-            return alloc
-        for s, n in served.items():
-            alloc[s] = n
-            b -= n
-            del live[s]
-    return alloc
 
 
 def test_waterfill_matches_bruteforce_and_budget(spark):
@@ -60,7 +37,9 @@ def test_waterfill_matches_bruteforce_and_budget(spark):
     supplies = {r.source: r.n for r in docs}
     total = sum(supplies.values())
     budget = total * 60 // 100
-    want = _waterfill_bruteforce(supplies, budget)
+    from conftest import waterfill_reference
+
+    want = waterfill_reference(supplies, budget)
     got = {r.source: r.alloc_tok for r in rows}
     assert got == want
     # exact budget exhaustion and per-source feasibility
