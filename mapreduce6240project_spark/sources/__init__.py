@@ -8,6 +8,7 @@ from mapreduce6240project_spark.sources.tweets import (
     tweet_features_from_events,
     write_feature_store,
 )
+from mapreduce6240project_spark.sources.txlog import ConcurrentCommitError, TxTable
 
 __all__ = [
     "load_table",
@@ -17,4 +18,6 @@ __all__ = [
     "parse_tweet_lines",
     "tweet_features_from_events",
     "write_feature_store",
+    "TxTable",
+    "ConcurrentCommitError",
 ]

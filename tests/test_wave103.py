@@ -13,8 +13,6 @@ from mapreduce6240project_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-
-
 def test_waterfill_matches_bruteforce_and_budget(spark):
     rows = REGISTRY["token_budget_waterfill"].fn(spark, SF).collect()
     assert rows
