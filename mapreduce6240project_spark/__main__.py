@@ -11,6 +11,10 @@ Subcommands
 - ``run NAME [NAME ...]``      execute queries, print rows (``--limit``),
                                optionally ``--explain`` the physical plan
 - ``oracle NAME``              print the DuckDB oracle SQL for a query
+- ``sql "SELECT ..."``         ad-hoc Spark SQL over the testdata tables
+                               (region nation customer supplier part
+                               orders lineitem events documents
+                               embeddings registered as temp views)
 - ``bench``                    delegate to the repo's bench harness
 
 ``--sf`` selects the data directory (default ``$SPARK_GRAFT_SF_DIR`` or
@@ -43,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     p_orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     p_orc.add_argument("name")
 
+    p_sql = sub.add_parser("sql", help="run ad-hoc SQL over the testdata tables")
+    p_sql.add_argument("query", help="Spark SQL; tables pre-registered as views")
+    p_sql.add_argument(
+        "--sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
+    p_sql.add_argument("--limit", type=int, default=20)
+    p_sql.add_argument("--explain", action="store_true")
+
     sub.add_parser("bench", help="run the headline benchmark (one JSON line)")
 
     args = ap.parse_args(argv)
@@ -71,6 +84,28 @@ def main(argv: list[str] | None = None) -> int:
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "sql":
+        from mapreduce6240project_spark.session import get_spark
+        from mapreduce6240project_spark.sources.tables import load_table
+
+        spark = get_spark(app_name="cli-sql")
+        try:
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                try:
+                    load_table(spark, args.sf, t).createOrReplaceTempView(t)
+                except Exception:  # noqa: BLE001 - missing optional table
+                    pass
+            df = spark.sql(args.query)
+            if args.explain:
+                df.explain("formatted")
+            df.show(args.limit, truncate=False)
+        finally:
+            spark.stop()
         return 0
 
     unknown = [n for n in args.names if n not in REGISTRY]

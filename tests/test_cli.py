@@ -41,3 +41,15 @@ def test_oracle_rows_only_exits_1():
 def test_unknown_query_exits_2():
     r = _cli("oracle", "no_such_query")
     assert r.returncode == 2
+
+
+def test_sql_subcommand_runs_adhoc_query():
+    r = _cli(
+        "sql",
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL",
+        "--limit",
+        "5",
+    )
+    assert r.returncode == 0
+    assert "| n " in r.stdout or "|n " in r.stdout or "n" in r.stdout
+    assert "+--" in r.stdout  # a rendered result table
