@@ -3750,3 +3750,124 @@ def q_bh_fdr_type_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     )
+
+
+# =========================================================================
+# wave 104: Spearman rank correlation (tie-corrected)
+#
+# ``spearman_discount_qty``: the rank-based complement to the Pearson
+# ``corr_by_returnflag`` -- monotone association between discount and
+# quantity per returnflag, robust to the metric scale.  Ties get
+# AVERAGE ranks, carried as integer DOUBLE-ranks (2*rank is always an
+# integer: dr = 2*#less + #eq + 1), so every moment sum is an exact
+# integer in DECIMAL(38,0) on both engines (no float under any sum;
+# overflow-safe past int64 at large n).  The single final op per group
+# row is num / sqrt(varx*vary) on doubles converted from those exact
+# integers -- IEEE-identical cross-engine, micro-quantized half-up.
+# 100 TB: two value-domain histograms (11 discounts x 50 quantities
+# per flag), one broadcast rank join each, one hash aggregate.
+# =========================================================================
+
+
+@_register(
+    "spearman_discount_qty",
+    """
+WITH base AS (
+  SELECT l_returnflag AS rf,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(floor(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+    AND l_quantity IS NOT NULL
+),
+hd AS (
+  SELECT rf, d, count(*) AS c,
+         2 * (sum(count(*)) OVER (PARTITION BY rf ORDER BY d
+              ROWS UNBOUNDED PRECEDING) - count(*)) + count(*) + 1 AS dr
+  FROM base GROUP BY rf, d
+),
+hq AS (
+  SELECT rf, q, count(*) AS c,
+         2 * (sum(count(*)) OVER (PARTITION BY rf ORDER BY q
+              ROWS UNBOUNDED PRECEDING) - count(*)) + count(*) + 1 AS dr
+  FROM base GROUP BY rf, q
+),
+rk AS (
+  SELECT b.rf, CAST(hd.dr AS DECIMAL(38,0)) AS x,
+         CAST(hq.dr AS DECIMAL(38,0)) AS y
+  FROM base b
+  JOIN hd ON hd.rf = b.rf AND hd.d = b.d
+  JOIN hq ON hq.rf = b.rf AND hq.q = b.q
+),
+mom AS (
+  SELECT rf, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM rk GROUP BY rf
+)
+SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0
+            ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000 + 0.5) END AS BIGINT) AS spearman_micro
+FROM mom""",
+    ref="extension: tie-corrected Spearman rank correlation per "
+    "returnflag -- integer double-ranks from value-domain histograms, "
+    "DECIMAL(38,0) moment sums, one IEEE sqrt/division per group row",
+)
+def q_spearman_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias("d"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("q"),
+    )
+
+    def ranks(col: str) -> DataFrame:
+        w = (
+            Window.partitionBy("rf")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        h = base.groupBy("rf", col).agg(F.count(F.lit(1)).alias("c"))
+        return h.select(
+            "rf",
+            col,
+            (
+                2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+            ).alias(f"dr_{col}"),
+        )
+
+    rk = (
+        base.join(ranks("d"), ["rf", "d"])
+        .join(ranks("q"), ["rf", "q"])
+        .select(
+            "rf",
+            F.col("dr_d").cast("decimal(38,0)").alias("x"),
+            F.col("dr_q").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    mom = rk.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return mom.select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0"
+            " THEN 0 ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))"
+            " * 1000000 + 0.5) END AS BIGINT)"
+        ).alias("spearman_micro"),
+    )

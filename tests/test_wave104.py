@@ -1,0 +1,105 @@
+"""Semantic invariants for wave 104 (Spearman rank correlation,
+txlog GDPR delete / skipping audit round-trips)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce6240project_spark.plans.registry import REGISTRY
+from mapreduce6240project_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spearman_matches_scipy_free_bruteforce(spark):
+    """Tie-corrected Spearman = Pearson over average ranks, computed
+    in pure Python (no scipy in the container) and micro-quantized the
+    same way."""
+    import math
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .filter(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias("d"),
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("q"),
+        )
+        .collect()
+    )
+    by_rf: dict[str, list] = {}
+    for r in rows:
+        by_rf.setdefault(r.l_returnflag, []).append((r.d, r.q))
+
+    def avg_double_ranks(vals):
+        # dr = 2 * average rank; ties share the average of their span
+        order = sorted(set(vals))
+        less = {}
+        eq = {}
+        run = 0
+        from collections import Counter
+
+        cnt = Counter(vals)
+        for v in order:
+            less[v] = run
+            eq[v] = cnt[v]
+            run += cnt[v]
+        return {v: 2 * less[v] + eq[v] + 1 for v in order}
+
+    want = {}
+    for rf, pairs in by_rf.items():
+        xs = avg_double_ranks([p[0] for p in pairs])
+        ys = avg_double_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        sx = sum(xs[p[0]] for p in pairs)
+        sy = sum(ys[p[1]] for p in pairs)
+        sxy = sum(xs[p[0]] * ys[p[1]] for p in pairs)
+        sxx = sum(xs[p[0]] ** 2 for p in pairs)
+        syy = sum(ys[p[1]] ** 2 for p in pairs)
+        varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+        if varx * vary <= 0:
+            want[rf] = (n, 0)
+        else:
+            rho = (n * sxy - sx * sy) / math.sqrt(float(varx) * float(vary))
+            want[rf] = (n, math.floor(rho * 1000000 + 0.5))
+
+    got = {
+        r.l_returnflag: (r.n_rows, r.spearman_micro)
+        for r in REGISTRY["spearman_discount_qty"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # sanity: a rank correlation lives in [-1, 1] micro
+    for _, (_, s) in got.items():
+        assert -1000000 <= s <= 1000000
+
+
+def test_txlog_roundtrip_versions_disagree_only_where_expected(spark):
+    """txlog_gdpr_delete: version 1 must differ from version 0 exactly
+    by the erased users' contribution."""
+    rows = REGISTRY["txlog_gdpr_delete"].fn(spark, SF).collect()
+    v0 = {r.event_type: (r.n_events, r.sum_cents) for r in rows if r.version == 0}
+    v1 = {r.event_type: (r.n_events, r.sum_cents) for r in rows if r.version == 1}
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    erased = (
+        ev.filter(F.col("user_id") % 10 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    )
+    for r in erased:
+        n0, s0 = v0[r.event_type]
+        n1, s1 = v1.get(r.event_type, (0, 0))
+        assert n0 - n1 == r.n
+        assert s0 - s1 == r.s
