@@ -83,3 +83,73 @@ def test_waterfill_full_budget_serves_everyone(names):
     supplies = {s: (i + 1) * 7 for i, s in enumerate(names)}
     total = sum(supplies.values())
     assert _waterfill(supplies, total) == supplies
+
+
+# -- Spearman double-rank kernel properties (wave 104) ------------------
+
+import math
+
+
+def _spearman_micro(pairs):
+    """Pure-Python mirror of the spearman_discount_qty kernel."""
+    from collections import Counter
+
+    def dr(vals):
+        cnt = Counter(vals)
+        run, less = 0, {}
+        for v in sorted(cnt):
+            less[v] = run
+            run += cnt[v]
+        return {v: 2 * less[v] + cnt[v] + 1 for v in cnt}
+
+    xs, ys = dr([p[0] for p in pairs]), dr([p[1] for p in pairs])
+    n = len(pairs)
+    sx = sum(xs[a] for a, _ in pairs)
+    sy = sum(ys[b] for _, b in pairs)
+    sxy = sum(xs[a] * ys[b] for a, b in pairs)
+    sxx = sum(xs[a] ** 2 for a, _ in pairs)
+    syy = sum(ys[b] ** 2 for _, b in pairs)
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    if varx * vary <= 0:
+        return 0
+    rho = (n * sxy - sx * sy) / math.sqrt(float(varx) * float(vary))
+    return math.floor(rho * 1000000 + 0.5)
+
+
+PAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(PAIRS)
+@settings(max_examples=300, deadline=None)
+def test_spearman_bounded_and_symmetric(pairs):
+    s = _spearman_micro(pairs)
+    assert -1000000 <= s <= 1000000
+    # antisymmetry under y-negation (ranks reverse exactly)
+    assert _spearman_micro([(a, -b) for a, b in pairs]) == -s
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=2, max_size=60, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_spearman_perfect_monotone(xs):
+    # any strictly monotone transform of distinct values -> rho = 1
+    pairs = [(x, x * 3 + 7) for x in xs]
+    assert _spearman_micro(pairs) == 1000000
+    pairs_rev = [(x, -(x * 3 + 7)) for x in xs]
+    assert _spearman_micro(pairs_rev) == -1000000
+
+
+@given(PAIRS)
+@settings(max_examples=200, deadline=None)
+def test_spearman_invariant_to_monotone_transform(pairs):
+    # rank correlation must not change under strictly increasing maps
+    s1 = _spearman_micro(pairs)
+    s2 = _spearman_micro([(2 * a + 100, b * 5 - 3) for a, b in pairs])
+    assert s1 == s2
