@@ -3871,3 +3871,127 @@ def q_spearman_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) END AS BIGINT)"
         ).alias("spearman_micro"),
     )
+
+
+# =========================================================================
+# wave 104: Ljung-Box white-noise test over the daily value series
+#
+# ``ljung_box_daily``: Q = n(n+2) * sum_{k=1..10} rho_k^2 / (n-k) --
+# the standard portmanteau test that a monitoring series has NO
+# remaining autocorrelation (the residual check every forecast
+# pipeline should run after mase_seasonal_naive).  Exactness follows
+# the acf_top_period doctrine: autocovariance numerators are exact
+# bigint products of integer-centered cents; rho_k is micro-quantized
+# in ONE double division per lag row (IEEE-identical cross-engine);
+# everything after is integer algebra, so the statistic -- and the
+# chi2(10)-based rejection verdict -- hash exactly.  100 TB: one day
+# aggregate, then constant-size lag joins.
+# =========================================================================
+
+_LB_LAGS = 10
+#: chi-square 0.95 quantile, 10 dof, in micro units
+_LB_CRIT_MICRO = 18_307_038
+
+
+@_register(
+    "ljung_box_daily",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+mn AS (SELECT min(d) AS d0 FROM daily),
+idx AS (SELECT datediff('day', mn.d0, d) AS t, cents FROM daily, mn),
+mu AS (SELECT sum(cents) // count(*) AS m FROM idx),
+y AS (SELECT t, cents - mu.m AS yv FROM idx, mu),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM y),
+a0 AS (SELECT CAST(sum(yv * yv) AS BIGINT) AS acov0 FROM y),
+lags AS (SELECT unnest(generate_series(1, {_LB_LAGS})) AS lag),
+ak AS (
+  SELECT l.lag, CAST(sum(a.yv * b.yv) AS BIGINT) AS acov
+  FROM y a JOIN lags l ON TRUE JOIN y b ON b.t = a.t + l.lag
+  GROUP BY 1
+),
+rho AS (
+  SELECT ak.lag,
+         CAST(floor(CAST(ak.acov AS DOUBLE) / CAST(a0.acov0 AS DOUBLE)
+              * 1000000 + 0.5) AS BIGINT) AS rho_micro
+  FROM ak CROSS JOIN a0
+),
+s AS (
+  SELECT CAST(sum(rho_micro * rho_micro // (nn.n - rho.lag)) AS BIGINT)
+           AS s_int
+  FROM rho CROSS JOIN nn
+)
+SELECT nn.n AS n_days,
+       CAST(nn.n * (nn.n + 2) * s.s_int // 1000000 AS BIGINT) AS q_micro,
+       nn.n * (nn.n + 2) * s.s_int // 1000000 > {_LB_CRIT_MICRO}
+         AS whitenoise_rejected
+FROM nn CROSS JOIN s""",
+    ref="extension: Ljung-Box portmanteau test (lags 1..10) on the "
+    "daily value series -- integer-exact autocovariances, one "
+    "micro-quantized rho per lag, chi2(10) rejection verdict",
+)
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("t"), "cents"
+    )
+    mu = idx.agg(F.expr("sum(cents) div count(*)").alias("m"))
+    y = idx.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("cents") - F.col("m")).alias("yv")
+    )
+    nn = y.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a0 = y.agg(F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("acov0"))
+    lagged = y.select(
+        "t",
+        "yv",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _LB_LAGS + 1)])
+        ).alias("lag"),
+    ).select(
+        (F.col("t") + F.col("lag")).alias("t"), "lag", F.col("yv").alias("ya")
+    )
+    ak = (
+        lagged.join(y.select("t", F.col("yv").alias("yb")), "t")
+        .groupBy("lag")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("acov"))
+    )
+    rho = ak.crossJoin(F.broadcast(a0)).select(
+        "lag",
+        F.floor(
+            F.col("acov").cast("double") / F.col("acov0").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rho_micro"),
+    )
+    s = rho.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.expr("rho_micro * rho_micro div (n - lag)")
+        )
+        .cast("bigint")
+        .alias("s_int")
+    )
+    return (
+        nn.crossJoin(F.broadcast(s))
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr("CAST(n * (n + 2) * s_int div 1000000 AS BIGINT)").alias(
+                "q_micro"
+            ),
+            F.expr(
+                f"n * (n + 2) * s_int div 1000000 > {_LB_CRIT_MICRO}"
+            ).alias("whitenoise_rejected"),
+        )
+    )

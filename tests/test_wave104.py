@@ -103,3 +103,40 @@ def test_txlog_roundtrip_versions_disagree_only_where_expected(spark):
         n1, s1 = v1.get(r.event_type, (0, 0))
         assert n0 - n1 == r.n
         assert s0 - s1 == r.s
+
+
+def test_ljung_box_matches_bruteforce(spark):
+    """Pure-Python Ljung-Box replay over the daily cents series."""
+    import math
+    from collections import defaultdict
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.d] += r.c
+    d0 = min(daily)
+    series = {(d - d0).days: c for d, c in daily.items()}
+    n = len(series)
+    m = sum(series.values()) // n
+    y = {t: c - m for t, c in series.items()}
+    acov0 = sum(v * v for v in y.values())
+    s_int = 0
+    for k in range(1, 11):
+        acov = sum(
+            y[t] * y[t + k] for t in y if t + k in y
+        )
+        rho = math.floor(acov / acov0 * 1000000 + 0.5)
+        s_int += (rho * rho) // (n - k)
+    q_micro = n * (n + 2) * s_int // 1000000
+    row = REGISTRY["ljung_box_daily"].fn(spark, SF).first()
+    assert row.n_days == n
+    assert row.q_micro == q_micro
+    assert row.whitenoise_rejected == (q_micro > 18_307_038)
