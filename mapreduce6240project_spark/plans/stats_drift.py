@@ -3995,3 +3995,163 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("whitenoise_rejected"),
         )
     )
+
+
+# =========================================================================
+# wave 104 (cont.): Brown-Forsythe variance homogeneity
+#
+# ``brown_forsythe_types``: do event types have EQUAL value spread?
+# welch_t_value tests means and value_overdispersion tests a Poisson
+# ratio; nothing tested variance homogeneity -- the assumption ANOVA
+# and pooled tests silently make.  Brown-Forsythe = one-way ANOVA on
+# absolute deviations from the GROUP MEDIAN (robust Levene variant).
+# Group medians are exact order statistics (position
+# ceil((n+1)/2)) from the distinct-cents histogram; per-group mean deviations are quantized by INTEGER
+# division (s1 * 1e6 div n -- replayable exactly); the sums of squares
+# are exact DECIMAL(38) integers; the F ratio is the ONE float op
+# (acf/spearman convention -- Spark's integer `div` wraps through long
+# on >int64 decimals, so the final division runs in IEEE doubles
+# converted identically on both engines).  100 TB: a (type x cents)
+# histogram, two hash aggregates, |types|-row algebra.
+# =========================================================================
+
+
+@_register(
+    "brown_forsythe_types",
+    """
+WITH base AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+hist AS (SELECT g, c, count(*) AS cnt FROM base GROUP BY g, c),
+med AS (
+  SELECT g, min(c) AS med_c FROM (
+    SELECT g, c,
+           sum(cnt) OVER (PARTITION BY g ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY g) AS n
+    FROM hist
+  ) WHERE cum * 2 >= n + 1 GROUP BY g
+),
+z AS (
+  SELECT b.g, abs(b.c - med.med_c) AS z
+  FROM base b JOIN med ON med.g = b.g
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(z * z) AS DECIMAL(38,0)) AS s2,
+         CAST(sum(z) * 1000000 // count(*) AS BIGINT) AS zbar_micro
+  FROM z GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s1) * 1000000 // sum(n) AS BIGINT) AS gbar_micro
+  FROM grp
+),
+parts AS (
+  SELECT CAST(sum(CAST(n AS DECIMAL(38,0))
+                  * CAST(zbar_micro - tot.gbar_micro AS DECIMAL(38,0))
+                  * CAST(zbar_micro - tot.gbar_micro AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ssb,
+         CAST(sum(s2 * CAST(1000000000000 AS DECIMAL(38,0))
+                  - 2 * CAST(zbar_micro AS DECIMAL(38,0)) * s1 * 1000000
+                  + CAST(n AS DECIMAL(38,0))
+                    * CAST(zbar_micro AS DECIMAL(38,0))
+                    * CAST(zbar_micro AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS ssw
+  FROM grp CROSS JOIN tot
+)
+SELECT tot.nn AS n_total, tot.k AS k_groups,
+       CAST(CASE WHEN parts.ssw <= 0 OR tot.nn <= tot.k THEN 0
+            ELSE floor(CAST(tot.nn - tot.k AS DOUBLE)
+                       * CAST(parts.ssb AS DOUBLE)
+                       / (CAST(tot.k - 1 AS DOUBLE)
+                          * CAST(parts.ssw AS DOUBLE))
+                       * 1000000 + 0.5) END AS BIGINT) AS f_micro
+FROM tot CROSS JOIN parts""",
+    ref="extension: Brown-Forsythe (median-based Levene) variance-"
+    "homogeneity F across event types -- exact histogram order-"
+    "statistic medians (position ceil((n+1)/2)), "
+    "integer-division quantized means, DECIMAL(38) sums of squares, "
+    "one final IEEE ratio",
+)
+def q_brown_forsythe_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    hist = base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("g")
+    med = (
+        hist.select(
+            "g",
+            "c",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wg).alias("n"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .groupBy("g")
+        .agg(F.min("c").alias("med_c"))
+    )
+    z = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("c") - F.col("med_c")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("s2"),
+        F.expr("CAST(sum(z) * 1000000 div count(*) AS BIGINT)").alias(
+            "zbar_micro"
+        ),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr("CAST(sum(s1) * 1000000 div sum(n) AS BIGINT)").alias(
+            "gbar_micro"
+        ),
+    )
+    dec = "decimal(38,0)"
+    parts = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n").cast(dec)
+            * (F.col("zbar_micro") - F.col("gbar_micro")).cast(dec)
+            * (F.col("zbar_micro") - F.col("gbar_micro")).cast(dec)
+        )
+        .cast(dec)
+        .alias("ssb"),
+        F.sum(
+            F.col("s2") * F.lit(1000000000000).cast(dec)
+            - 2 * F.col("zbar_micro").cast(dec) * F.col("s1") * 1000000
+            + F.col("n").cast(dec)
+            * F.col("zbar_micro").cast(dec)
+            * F.col("zbar_micro").cast(dec)
+        )
+        .cast(dec)
+        .alias("ssw"),
+    )
+    # the ONE float op (acf/spearman convention): both engines convert
+    # the exact DECIMAL(38) sums to double (round-to-nearest, identical)
+    # and perform the identical multiply/divide/floor sequence.  Spark's
+    # integer `div` is NOT usable here -- on >int64 decimals it wraps
+    # through long (measured: d went negative), which is why the ratio
+    # is IEEE instead of integer-divided.
+    return tot.crossJoin(F.broadcast(parts)).select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.expr(
+            "CAST(CASE WHEN ssw <= 0 OR nn <= k THEN 0"
+            " ELSE floor(CAST(nn - k AS DOUBLE) * CAST(ssb AS DOUBLE)"
+            " / (CAST(k - 1 AS DOUBLE) * CAST(ssw AS DOUBLE))"
+            " * 1000000 + 0.5) END AS BIGINT)"
+        ).alias("f_micro"),
+    )

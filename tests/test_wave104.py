@@ -140,3 +140,46 @@ def test_ljung_box_matches_bruteforce(spark):
     assert row.n_days == n
     assert row.q_micro == q_micro
     assert row.whitenoise_rejected == (q_micro > 18_307_038)
+
+
+def test_brown_forsythe_matches_bruteforce(spark):
+    """Pure-Python Brown-Forsythe replay with the same quantization."""
+    import math
+    from collections import defaultdict
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(r.c)
+    zbars, stats = {}, {}
+    for g, vals in groups.items():
+        vals.sort()
+        # the kernel picks the first value whose cumulative count
+        # satisfies cum*2 >= n+1, i.e. position ceil((n+1)/2)
+        med = vals[(len(vals) + 2) // 2 - 1]
+        z = [abs(v - med) for v in vals]
+        n, s1, s2 = len(z), sum(z), sum(v * v for v in z)
+        stats[g] = (n, s1, s2)
+        zbars[g] = s1 * 1000000 // n
+    nn = sum(n for n, _, _ in stats.values())
+    k = len(stats)
+    gbar = sum(s1 for _, s1, _ in stats.values()) * 1000000 // nn
+    ssb = sum(n * (zbars[g] - gbar) ** 2 for g, (n, _, _) in stats.items())
+    ssw = sum(
+        s2 * 10**12 - 2 * zbars[g] * s1 * 10**6 + n * zbars[g] ** 2
+        for g, (n, s1, s2) in stats.items()
+    )
+    want = math.floor(
+        float(nn - k) * float(ssb) / (float(k - 1) * float(ssw)) * 1000000
+        + 0.5
+    )
+    row = REGISTRY["brown_forsythe_types"].fn(spark, SF).first()
+    assert (row.n_total, row.k_groups, row.f_micro) == (nn, k, want)
