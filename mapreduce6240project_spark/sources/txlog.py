@@ -287,35 +287,90 @@ class TxTable:
         )
         return 0
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append new files.  ``merge_schema=True`` permits SCHEMA
+        EVOLUTION: ``df`` may carry new columns appended after the
+        table's existing fields (which must still match by name and
+        type); the commit then records the widened schema, and every
+        read fills the new column with NULL for pre-evolution files
+        (the Delta mergeSchema behavior).  Without the flag a widened
+        frame is rejected like any other mismatch."""
         v = self.latest_version()
-        self._check_schema(df, v)
+        evolved: str | None = None
+        if merge_schema and v >= 0:
+            state = self._replay(v)
+            if state["schema"] is not None:
+                want = json.loads(state["schema"])["fields"]
+                got = json.loads(df.schema.json())["fields"]
+
+                def _sig(fields):
+                    return [
+                        (f["name"], json.dumps(f["type"], sort_keys=True))
+                        for f in fields
+                    ]
+
+                if len(got) < len(want) or _sig(got[: len(want)]) != _sig(
+                    want
+                ):
+                    raise ValueError(
+                        "schema evolution must keep every existing field "
+                        f"(name+type, in order) and only APPEND new ones: "
+                        f"table has {_sig(want)}, write has {_sig(got)}"
+                    )
+                if len(got) > len(want):
+                    evolved = df.schema.json()
+        else:
+            self._check_schema(df, v)
         adds = self._write_data_files(df)
         nv = v + 1
         self._write_commit(
             nv,
             {"version": nv, "op": "append", "adds": adds, "removes": [],
-             "schema": None},
+             "schema": evolved},
         )
         return nv
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (latest when None) -- time
-        travel is just replaying less of the log."""
+        travel is just replaying less of the log.
+
+        The read is pinned to the COMMITTED schema (not footer
+        sampling): after a schema evolution, files written before the
+        widening lack the new columns and the parquet reader fills
+        them with NULL -- no mergeSchema footer pass needed."""
         v = self.latest_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no table at {self.root}")
         state = self._replay(v)
         paths = [os.path.join(self.root, p) for p in sorted(state["files"])]
-        if not paths:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            if state["schema"] is None:
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"] is not None
+            else None
+        )
+        if not paths:
+            if schema is None:
                 raise FileNotFoundError(f"no committed schema at {self.root}")
-            return self.spark.createDataFrame(
-                [], schema=StructType.fromJson(json.loads(state["schema"]))
+            return self.spark.createDataFrame([], schema=schema)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    def _read_files(self, paths: list[str], state: dict) -> DataFrame:
+        """Read specific data files under the committed schema (same
+        NULL-fill semantics as snapshot -- a merge/delete rewrite must
+        see post-evolution width even for pre-evolution files)."""
+        from pyspark.sql.types import StructType
+
+        reader = self.spark.read
+        if state.get("schema") is not None:
+            reader = reader.schema(
+                StructType.fromJson(json.loads(state["schema"]))
             )
-        return self.spark.read.parquet(*paths)
+        return reader.parquet(*paths)
 
     def count(self, version: int | None = None) -> int:
         """Exact row count from log statistics -- no data scan."""
@@ -407,7 +462,7 @@ class TxTable:
             ]
             aff_paths = [os.path.join(self.root, p) for p in affected]
             if aff_paths:
-                old_affected = self.spark.read.parquet(*aff_paths)
+                old_affected = self._read_files(aff_paths, state)
                 survivors = old_affected.join(
                     F.broadcast(keys), key_cols, "left_anti"
                 )
@@ -441,6 +496,7 @@ class TxTable:
         matching row (the GDPR path)."""
         for _ in range(max_retries):
             v = self.latest_version()
+            state = self._replay(v) if v >= 0 else {"schema": None}
             cur = self.snapshot(v).withColumn("_file", F.input_file_name())
             affected = [
                 os.path.basename(r._file)
@@ -456,7 +512,7 @@ class TxTable:
             # NULL is NOT deleted (SQL DELETE semantics), so it must
             # survive the rewrite of its file -- a bare ~condition
             # would silently drop it
-            keep = self.spark.read.parquet(*aff_paths).filter(
+            keep = self._read_files(aff_paths, state).filter(
                 ~F.coalesce(condition, F.lit(False))
             )
             adds = self._write_data_files(keep)

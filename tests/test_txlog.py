@@ -296,3 +296,38 @@ def test_footer_stats_string_and_missing(spark, tmp_path):
     df, read, total = t.snapshot_where("val", "aaa", "bbb")
     got = {r.val for r in df.collect()}
     assert got == {"aaa", "bbb"}
+
+
+def test_schema_evolution_append(spark, tbl):
+    """merge_schema appends a new column; old files read as NULL for
+    it, new rows carry values, and the widened schema is the committed
+    read schema from then on."""
+    widened = spark.createDataFrame(
+        [(500, "v500", 9)], "k INT, val STRING, extra INT"
+    )
+    # without the flag: rejected like any mismatch
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(widened)
+    v = tbl.append(widened, merge_schema=True)
+    snap = tbl.snapshot(v)
+    assert snap.columns == ["k", "val", "extra"]
+    got = {(r.k, r.val, r.extra) for r in snap.collect()}
+    assert (500, "v500", 9) in got
+    assert (7, "v7", None) in got  # pre-evolution file: NULL-filled
+    assert tbl.count(v) == 101
+    # evolution cannot drop or retype existing fields
+    bad = spark.createDataFrame([(1, 2)], "k INT, extra INT")
+    with pytest.raises(ValueError, match="schema evolution"):
+        tbl.append(bad, merge_schema=True)
+    # time travel: the pre-evolution version keeps the narrow schema
+    assert tbl.snapshot(0).columns == ["k", "val"]
+    # a post-evolution merge writes full-width rows
+    tbl.merge(
+        spark.createDataFrame(
+            [(7, "UPD", 1)], "k INT, val STRING, extra INT"
+        ),
+        ["k"],
+    )
+    assert (7, "UPD", 1) in {
+        (r.k, r.val, r.extra) for r in tbl.snapshot().collect()
+    }
