@@ -3806,7 +3806,7 @@ mom AS (
   FROM rk GROUP BY rf
 )
 SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0
+       CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0
             ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                         * CAST(n * syy - sy * sy AS DOUBLE))
@@ -3864,7 +3864,7 @@ def q_spearman_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rf").alias("l_returnflag"),
         F.col("n").cast("bigint").alias("n_rows"),
         F.expr(
-            "CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0"
+            "CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0"
             " THEN 0 ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)"
             " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
             " * CAST(n * syy - sy * sy AS DOUBLE))"
