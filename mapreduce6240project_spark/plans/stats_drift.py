@@ -3920,9 +3920,13 @@ rho AS (
   FROM ak CROSS JOIN a0
 ),
 s AS (
-  SELECT CAST(sum(rho_micro * rho_micro // (nn.n - rho.lag)) AS BIGINT)
-           AS s_int
-  FROM rho CROSS JOIN nn
+  -- lag < n keeps the divisor provably positive: n counts DISTINCT
+  -- days while t is datediff-indexed, so a gapped series can have
+  -- lag pairs even when n - lag <= 0, where DuckDB // (floor) and
+  -- Spark div (truncate) diverge on the negative quotient
+  SELECT CAST(coalesce(sum(rho_micro * rho_micro // (nn.n - rho.lag)), 0)
+              AS BIGINT) AS s_int
+  FROM rho CROSS JOIN nn WHERE rho.lag < nn.n
 )
 SELECT nn.n AS n_days,
        CAST(nn.n * (nn.n + 2) * s.s_int // 1000000 AS BIGINT) AS q_micro,
@@ -3976,12 +3980,19 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rho_micro"),
     )
-    s = rho.crossJoin(F.broadcast(nn)).agg(
-        F.sum(
-            F.expr("rho_micro * rho_micro div (n - lag)")
+    # lag < n guards the divisor (gapped day series: lag pairs can
+    # exist at n - lag <= 0, where floor vs truncate division diverge)
+    s = (
+        rho.crossJoin(F.broadcast(nn))
+        .filter(F.col("lag") < F.col("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("rho_micro * rho_micro div (n - lag)")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("s_int")
         )
-        .cast("bigint")
-        .alias("s_int")
     )
     return (
         nn.crossJoin(F.broadcast(s))

@@ -300,30 +300,37 @@ class TxTable:
         frame is rejected like any other mismatch."""
         v = self.latest_version()
         evolved: str | None = None
-        if merge_schema and v >= 0:
-            state = self._replay(v)
-            if state["schema"] is not None:
-                want = json.loads(state["schema"])["fields"]
-                got = json.loads(df.schema.json())["fields"]
+        state = self._replay(v) if v >= 0 else None
+        if state is None or state["schema"] is None:
+            # new table (append-before-create) or a legacy log with no
+            # recorded schema: record df's schema NOW, mirroring
+            # create(), so validation is armed from this commit onward
+            # and snapshot() of a later-emptied table still has a
+            # schema to return (it would otherwise commit schema: None
+            # forever and never validate)
+            evolved = df.schema.json()
+        elif merge_schema:
+            want = json.loads(state["schema"])["fields"]
+            got = json.loads(df.schema.json())["fields"]
 
-                def _sig(fields):
-                    return [
-                        (f["name"], json.dumps(f["type"], sort_keys=True))
-                        for f in fields
-                    ]
+            def _sig(fields):
+                return [
+                    (f["name"], json.dumps(f["type"], sort_keys=True))
+                    for f in fields
+                ]
 
-                if len(got) < len(want) or _sig(got[: len(want)]) != _sig(
-                    want
-                ):
-                    raise ValueError(
-                        "schema evolution must keep every existing field "
-                        f"(name+type, in order) and only APPEND new ones: "
-                        f"table has {_sig(want)}, write has {_sig(got)}"
-                    )
-                if len(got) > len(want):
-                    evolved = df.schema.json()
+            if len(got) < len(want) or _sig(got[: len(want)]) != _sig(
+                want
+            ):
+                raise ValueError(
+                    "schema evolution must keep every existing field "
+                    f"(name+type, in order) and only APPEND new ones: "
+                    f"table has {_sig(want)}, write has {_sig(got)}"
+                )
+            if len(got) > len(want):
+                evolved = df.schema.json()
         else:
-            self._check_schema(df, v)
+            self._check_schema(df, v, state=state)
         adds = self._write_data_files(df)
         nv = v + 1
         self._write_commit(
@@ -417,7 +424,11 @@ class TxTable:
         if not keep:
             empty = self.snapshot(v).limit(0)
             return empty, 0, len(files)
-        df = self.spark.read.parquet(*keep).filter(
+        # pin the committed schema (same NULL-fill semantics as
+        # snapshot()): after append(merge_schema=True) a pruned read
+        # over pre-evolution files must still carry the evolved column
+        # rather than a footer-sampled narrower schema
+        df = self._read_files(keep, state).filter(
             (F.col(column) >= F.lit(lower)) & (F.col(column) <= F.lit(upper))
         )
         return df, len(keep), len(files)
