@@ -13,6 +13,29 @@ excluding JVM startup.  A bare ``count()`` would let Catalyst prune
 computed columns out of the plan entirely (e.g. the cluster assignment
 expression contributes nothing to a row count), under-measuring the
 engine; the noop sink executes the query as a consumer would.
+
+Measurement protocol (round-8 verdict item 1 -- separate machine from
+plan):
+
+* **>= 3 full passes over the whole headline set**, per-query time =
+  min over passes.  The old min-of-2 ran both repetitions of a query
+  back to back, so a co-tenant throttle spanning that instant poisoned
+  BOTH observations; with interleaved passes a throttled epoch costs
+  one pass and the min comes from a clean one.
+* **Calibration is sampled at every pass start, mid-pass, and after
+  the final pass** (a fixed, data-independent xxhash64+mod-sum over
+  spark.range(5e7): no shuffle, no I/O, tracks raw CPU/codegen
+  throughput only).  The samples land in the JSON as
+  ``calib_segments`` so a throttled epoch is VISIBLE IN THE ARTIFACT
+  -- the r8 driver run had 4 queries read >2x baseline purely from a
+  load spike that a single startup-time calibration could not show.
+* **Each query's reported min carries its epoch's calibration**
+  (``query_calib``: the worst bracketing calib sample of the pass the
+  min came from), so "was this number taken on a clean segment?" is
+  answerable from the artifact, not argued about later.
+* ``calib_s`` is the MIN over all samples (the least-throttled
+  observation = best estimate of unthrottled machine speed);
+  ``value_per_calib`` divides by that.
 """
 
 from __future__ import annotations
@@ -29,23 +52,72 @@ from mapreduce6240project_spark.plans import REGISTRY  # noqa: E402
 from mapreduce6240project_spark.session import get_spark  # noqa: E402
 
 
+def _timed_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _measured_block(spark, headline, sf_dir, runs, measure_calib, label=""):
+    """Run ``runs`` interleaved passes over ``headline`` at ``sf_dir``.
+
+    Returns (timings, query_calib, pass_totals, calib_segments): per-query
+    min across passes, the worst bracketing calibration sample of the
+    pass each min came from, per-pass totals, and every calibration
+    sample taken (labelled by position)."""
+    per_pass: list[dict[str, float]] = []
+    calib_segments: list[dict] = []
+    mid = len(headline) // 2
+
+    def _calib(tag: str) -> float:
+        s = measure_calib()
+        calib_segments.append({"at": tag, "s": s})
+        print(f"  [calib{label} {tag}] {s}s", file=sys.stderr, flush=True)
+        return s
+
+    brackets: list[tuple[float, float]] = []  # (first-half, second-half) worst calib
+    start = _calib("p0-start")
+    for p in range(runs):
+        pass_t: dict[str, float] = {}
+        mid_c = None
+        for i, spec in enumerate(headline):
+            if i == mid and len(headline) > 2:
+                mid_c = _calib(f"p{p}-mid")
+            dt = _timed_noop(spec.fn(spark, sf_dir))
+            pass_t[spec.name] = round(dt, 3)
+        end = _calib(f"p{p}-end" if p == runs - 1 else f"p{p + 1}-start")
+        m = mid_c if mid_c is not None else max(start, end)
+        brackets.append((max(start, m), max(m, end)))
+        per_pass.append(pass_t)
+        start = end
+
+    timings: dict[str, float] = {}
+    query_calib: dict[str, float] = {}
+    for i, spec in enumerate(headline):
+        obs = [pt[spec.name] for pt in per_pass]
+        best_pass = min(range(runs), key=lambda p: obs[p])
+        timings[spec.name] = obs[best_pass]
+        query_calib[spec.name] = brackets[best_pass][0 if i < mid else 1]
+        print(f"  {label}{spec.name}: {timings[spec.name]}s "
+              f"(epoch calib {query_calib[spec.name]}s)",
+              file=sys.stderr, flush=True)
+    pass_totals = [round(sum(pt.values()), 3) for pt in per_pass]
+    return timings, query_calib, pass_totals, calib_segments
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     spark = get_spark(app_name="bench")
     # warm up the JVM and the noop sink path with a trivial action so the
     # first measured query doesn't absorb one-time datasource/codegen init
     spark.range(1000).write.format("noop").mode("overwrite").save()
 
-    # Machine-speed calibration (round-4 verdict item 4): a fixed,
-    # data-independent, pure-Spark workload -- xxhash64 + mod-sum over
-    # spark.range(5e7) -- measured min-of-2 after its own JIT warm-up.
-    # Round-over-round wall-clock comparisons were confounded by ~18%
-    # box-speed drift between sessions (BASELINE.md drift note, r3->r4);
-    # dividing any two rounds' query times by their calib_s ratio
-    # removes the machine term.  The workload has no shuffle and no I/O,
-    # so it tracks raw CPU/codegen throughput only.
+    # Machine-speed calibration workload (round-4 verdict item 4): fixed,
+    # data-independent, pure-Spark -- xxhash64 + mod-sum over
+    # spark.range(5e7); min-of-2 per sample after a one-time JIT warm-up.
     calib_q = (
         spark.range(50_000_000)
         .selectExpr("xxhash64(id) % 1000 AS b", "id")
@@ -53,14 +125,13 @@ def main() -> None:
         .agg({"id": "sum"})
     )
     calib_q.write.format("noop").mode("overwrite").save()  # JIT warm-up
-    calib = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        calib_q.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        calib = dt if calib is None else min(calib, dt)
-    calib_s = round(calib, 3)
-    print(f"  [calib] xxhash64-range-5e7: {calib_s}s", file=sys.stderr, flush=True)
+
+    def measure_calib() -> float:
+        best = None
+        for _ in range(2):
+            dt = _timed_noop(calib_q)
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
 
     # Fill the session-scoped feature-store cache OUTSIDE the timed
     # region and report the fill as its own line: the store is derived
@@ -77,35 +148,39 @@ def main() -> None:
     print(f"  [warm] feature_store_fill: {warm['feature_store_fill']}s",
           file=sys.stderr, flush=True)
 
-    # Two runs per query, report the min: the first run of a complex
-    # plan pays one-time whole-stage-codegen JIT (measured ~5.7 s on the
-    # 64-aggregate MinHash plan alone), a fixed cost that amortizes to
-    # zero over any production-sized input.  min-of-2 measures the
-    # steady-state throughput that scale design decisions actually
-    # affect.  (Recorded in BASELINE.md; the original baseline table was
-    # single-run.)
-    runs = 2
-    timings: dict[str, float] = {}
     headline = [s for s in REGISTRY.values() if s.headline]
+    # One untimed warm-up pass: the first run of a complex plan pays
+    # one-time whole-stage-codegen JIT (measured ~5.7 s on the
+    # 64-aggregate MinHash plan alone), a fixed cost that amortizes to
+    # zero over any production-sized input; min-over-passes then
+    # measures the steady-state throughput that scale design decisions
+    # actually affect.  (Recorded in BASELINE.md; the original baseline
+    # table was single-run.)
     for spec in headline:
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[spec.name] = round(best, 3)
-        print(f"  {spec.name}: {timings[spec.name]}s", file=sys.stderr, flush=True)
+        _timed_noop(spec.fn(spark, sf_dir))
 
+    timings, query_calib, pass_totals, calib_segments = _measured_block(
+        spark, headline, sf_dir, runs, measure_calib
+    )
+
+    calib_s = min(seg["s"] for seg in calib_segments)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # the worst bracketing calibration sample of the epoch each
+        # query's min was taken in -- a reader can check any surprising
+        # number against its epoch's machine speed directly
+        "query_calib": query_calib,
         "warm": warm,
+        # least-throttled observation = unthrottled machine speed
         "calib_s": calib_s,
+        # every calibration sample, in run order: a throttled epoch is
+        # visible here as a spike (r8 verdict item 1)
+        "calib_segments": calib_segments,
+        "pass_totals": pass_totals,
         # machine-independent total: seconds expressed in units of the
         # calibration workload's seconds on the SAME box -- divide two
         # rounds' value_per_calib directly, no drift adjustment needed
@@ -119,14 +194,12 @@ def main() -> None:
     # Optional ~sf1 block (round-3 verdict item 8): replicate the sf0.1
     # fact tables 10x (tools/stress10x.py's injective-key replication --
     # constant dup density, unique keys) and run the same headline set
-    # min-of-2 each (round-5 verdict item 4: single-run sf1 charged the
-    # COLD page-cache read of each table to whichever query touched it
-    # first -- r5's apparent 41 s-vs-36 s regression was mostly that;
-    # run 1 warms the OS cache, run 2 measures steady state, same
-    # contract as the sf0.1 block).  The JIT is already warm from the
-    # sf0.1 runs.  Disable with
-    # SPARK_GRAFT_BENCH_SF1=0; any failure degrades to the sf0.1-only
-    # line rather than breaking the bench contract.
+    # under the same interleaved-pass protocol (the JIT is already warm
+    # from the sf0.1 block; the warm-up pass below warms the OS page
+    # cache so a cold read isn't charged to whichever query touches a
+    # table first -- r5's apparent 41 s-vs-36 s regression was mostly
+    # that).  Disable with SPARK_GRAFT_BENCH_SF1=0; any failure degrades
+    # to the sf0.1-only line rather than breaking the bench contract.
     if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         try:
             import importlib.util
@@ -145,29 +218,23 @@ def main() -> None:
             sf1_warm = {
                 "feature_store_fill": round(time.perf_counter() - t0, 3)
             }
-            sf1_timings: dict[str, float] = {}
-            for spec in headline:
-                best = None
-                for _ in range(runs):
-                    t0 = time.perf_counter()
-                    spec.fn(spark, sf1_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                sf1_timings[spec.name] = round(best, 3)
-                print(
-                    f"  [sf1] {spec.name}: {sf1_timings[spec.name]}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
+            for spec in headline:  # page-cache + JIT warm-up pass
+                _timed_noop(spec.fn(spark, sf1_dir))
+            (sf1_timings, sf1_qc, sf1_passes, sf1_segs) = _measured_block(
+                spark, headline, sf1_dir, runs, measure_calib, label="[sf1] "
+            )
+            sf1_calib = min(seg["s"] for seg in sf1_segs)
             sf1_total = round(sum(sf1_timings.values()), 3)
             out["sf1"] = {
                 "value": sf1_total,
                 "queries": sf1_timings,
+                "query_calib": sf1_qc,
                 "warm": sf1_warm,
+                "calib_s": sf1_calib,
+                "calib_segments": sf1_segs,
+                "pass_totals": sf1_passes,
                 "value_per_calib": (
-                    round(sf1_total / calib_s, 3) if calib_s else None
+                    round(sf1_total / sf1_calib, 3) if sf1_calib else None
                 ),
                 "runs": runs,
                 "agg": "min",

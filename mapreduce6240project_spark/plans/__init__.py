@@ -58,77 +58,79 @@ for _mod in (
 #: tests/test_registry_guard.py); cumulative external coverage is
 #: tracked in COVERAGE.md (tools/coverage_ledger.py).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- round-8 rotation: rounds 2-7 externally verified 277 distinct
-    #    queries (CORRECTNESS_r02..r07), all hash-exact.  This window
-    #    leads with the queries round 8 ADDED or whose plans/oracles
-    #    round 8 CHANGED (the two new external verdicts, the
-    #    Bradley-Terry linear-plan rewrite, the three r7-ADVICE
-    #    determinism fixes), then the gnarliest never-checked plans the
-    #    r7 verdict named, then proportional never-checked draws across
-    #    every family that still has mirror-only members.  COVERAGE.md
+    # -- round-9 rotation: rounds 2-8 externally verified 327 distinct
+    #    queries (CORRECTNESS_r02..r08), all hash-exact.  This window
+    #    leads with the eight round-8 additions the r8 verdict and
+    #    ADVICE named as committed-after-the-r8-rotation (the txlog
+    #    family first -- the flagship whose only evidence is the
+    #    mirror), then proportional never-checked draws across every
+    #    family that still has mirror-only members.  COVERAGE.md
     #    tracks the cumulative ledger; tools/coverage_ledger.py
     #    regenerates it. --
-    # -- new in round 8 / plan or oracle changed in round 8 --
-    "approx_distinct_ci",
-    "kmeans_quality_ci",
-    "bradley_terry_brands",
-    "mixture_ess_audit",
-    "source_vocab_overlap",
-    "wasserstein_value_gap",
-    "epoch_shuffle_quality",
-    "txlog_merge_roundtrip",
-    # -- tpch_analytics never-checked depth --
-    "stump_split_gain",
-    "winsorized_mean_value",
-    "ohlc_hourly_value",
-    "twap_user_value",
-    "revenue_waterfall_monthly",
-    "value_quintile_migration",
-    "asof_nearest_signup",
-    "hhi_supplier_nation",
-    # -- engineering --
-    "udtf_chunk_docs",
-    "python_datasource_range",
-    "incremental_merge_agg",
-    "fd_violation_audit",
-    "interp_linear_minute",
-    # -- curation_ext --
-    "neyman_allocation",
-    "split_leakage_audit",
-    "group_kfold_sources",
-    "feature_hashing",
-    # -- text_corpus --
-    "padding_waste_audit",
-    "js_divergence_sources",
-    "tokenizer_fertility",
-    "token_entropy",
-    # -- dedup_ext --
-    "bbit_minhash_audit",
-    "dedup_survivor_length_bias",
-    "selectivity_estimate_audit",
-    "source_overlap_matrix",
-    # -- retrieval --
-    "map_at10",
-    "minhash_recall_audit",
-    "int8_recall_audit",
-    # -- stats_drift --
-    "bh_fdr_type_gaps",
-    "mann_whitney_effect",
-    "qte_deciles",
+    # -- added in round 8 after the r8 rotation (ADVICE item 4) --
+    "txlog_gdpr_delete",
+    "txlog_skipping_audit",
+    "streaming_txlog_cdc",
+    "spearman_discount_qty",
+    "ljung_box_daily",
+    "brown_forsythe_types",
+    "wl_refinement_colors",
+    "token_budget_waterfill",
     # -- behavior --
-    "ece_calibration",
-    "f1_threshold_sweep",
-    "bot_regularity_audit",
-    # -- vectors_ext / sketch_ext / streaming_ext / extensions /
-    #    parity / graph_ext breadth --
-    "label_scatter_ratio",
-    "impute_props_k",
-    "markov_stationary_events",
-    "corpus_merkle_roots",
-    "ingest_quarantine_report",
-    "gapfill_locf",
-    "bpe_token_count",
-    "edge_triangle_support",
+    "fk_orphan_audit",
+    "dup_payment_pairs",
+    "user_active_streaks",
+    # -- curation_ext --
+    "lang_confusion_matrix",
+    "exact_split_strata",
+    "nucleus_docs_90",
+    "out_of_order_lag",
+    # -- dedup_ext --
+    "compaction_plan",
+    "doc_survivor_remap",
+    "dup_best_survivors",
+    "rolling_7d_distinct_users",
+    # -- engineering --
+    "table_checksum_orders",
+    "full_outer_recon",
+    "dynamic_partition_overwrite",
+    "event_type_corr_matrix",
+    "session_path_top10",
+    # -- extensions / parity / registry --
+    "multimodal_frames",
+    "weighted_sample_orders",
+    "lang_id_accuracy",
+    "salted_value_sums",
+    "elbow_knee_k",
+    # -- graph_ext --
+    "vocab_oov_rate",
+    # -- retrieval --
+    "charlm_quality",
+    "join_strategy_advisor",
+    "zorder_rectangle",
+    # -- sketch_ext --
+    "ams_f2_user_stream",
+    "churn_rate_weekly",
+    # -- stats_drift --
+    "seasonal_decompose_daily",
+    "theil_index_nations",
+    # -- streaming_ext --
+    "dataset_card",
+    "orderkey_gap_audit",
+    # -- text_corpus --
+    "lang_id_trigram_acc",
+    "cross_doc_repetition",
+    "span_corruption_plan",
+    "sentence_stats_source",
+    # -- tpch_analytics --
+    "asof_next_purchase",
+    "copurchase_pairs",
+    "event_anomalies",
+    "obt_export_checksum",
+    "new_vs_returning_monthly",
+    # -- vectors_ext --
+    "dedup_paragraphs",
+    "qsketch_grain_rollup",
 )
 
 _ordered: dict[str, QuerySpec] = {}

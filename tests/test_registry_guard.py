@@ -25,41 +25,42 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """Round-8 rotation: the first 50 are oracle-backed queries with no
-    hash-exact external verdict yet -- the round-8 additions/plan
-    changes first (the two new external verdicts, the Bradley-Terry
-    linear-plan rewrite, the r7-ADVICE determinism fixes), then the
-    gnarly never-checked plans the r7 verdict named, then family
-    breadth.  Guards against an import-order change silently demoting
-    them."""
+    """Round-9 rotation: the first 50 are oracle-backed queries with no
+    hash-exact external verdict yet -- the eight round-8 additions
+    committed after the r8 rotation first (txlog family leading, per
+    r8 ADVICE item 4), then family breadth across every module that
+    still has mirror-only members.  Guards against an import-order
+    change silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        # round-8 additions / changed plans or oracles head the window
-        "approx_distinct_ci",
-        "kmeans_quality_ci",
-        "bradley_terry_brands",
-        "mixture_ess_audit",
-        "source_vocab_overlap",
-        "wasserstein_value_gap",
-        # gnarliest never-checked plans (r7 verdict item 1)
-        "epoch_shuffle_quality",
+        # committed after the r8 rotation; external verdict overdue
+        "txlog_gdpr_delete",
+        "txlog_skipping_audit",
+        "streaming_txlog_cdc",
+        "spearman_discount_qty",
+        "ljung_box_daily",
+        "brown_forsythe_types",
+        "wl_refinement_colors",
+        "token_budget_waterfill",
         # family breadth
-        "stump_split_gain",
-        "udtf_chunk_docs",
-        "neyman_allocation",
-        "padding_waste_audit",
-        "bbit_minhash_audit",
-        "map_at10",
-        "bh_fdr_type_gaps",
-        "ece_calibration",
-        "label_scatter_ratio",
-        "corpus_merkle_roots",
-        "ingest_quarantine_report",
-        "bpe_token_count",
-        "edge_triangle_support",
+        "fk_orphan_audit",
+        "lang_confusion_matrix",
+        "compaction_plan",
+        "table_checksum_orders",
+        "multimodal_frames",
+        "lang_id_accuracy",
+        "elbow_knee_k",
+        "vocab_oov_rate",
+        "charlm_quality",
+        "ams_f2_user_stream",
+        "seasonal_decompose_daily",
+        "dataset_card",
+        "lang_id_trigram_acc",
+        "asof_next_purchase",
+        "dedup_paragraphs",
     ):
         assert name in first50
-    # fully disjoint from the 277 queries rounds 2-7 already verified
+    # fully disjoint from the 327 queries rounds 2-8 already verified
     for fname in (
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
@@ -67,6 +68,7 @@ def test_driver_window_spends_budget_on_unverified():
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
+        "CORRECTNESS_r08.json",
     ):
         seen = set(json.load(open(f"/root/repo/{fname}")))
         assert not (set(first50) & seen)
@@ -92,7 +94,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 395
     assert info["o"] >= 300
-    assert info["first"] == "approx_distinct_ci"
+    assert info["first"] == "txlog_gdpr_delete"
 
 
 def test_oracle_micros_sums_match_canonical_helper():
