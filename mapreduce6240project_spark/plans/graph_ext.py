@@ -506,12 +506,20 @@ FROM und e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v""",
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators.graph import simgraph_pairs
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
 
     pairs = simgraph_pairs(spark, sf_dir)
-    und = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # und feeds deg AND the edge join, deg feeds both endpoint lookups:
+    # pin both so a cold plan builds the simgraph subtree once instead
+    # of three times (r8 PLANPROFILE's worst row, 47 cold exchanges)
+    und = cache_tracked(
+        pairs.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+    )
+    deg = cache_tracked(und.groupBy("u").agg(F.count(F.lit(1)).alias("d")))
     du = deg.select(F.col("u").alias("eu"), F.col("d").alias("du"))
     dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("dv"))
     e = und.join(du, und.u == du.eu).join(dv, und.v == dv.ev)

@@ -643,6 +643,13 @@ def q_elbow_knee_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select(F.lit(k).alias("k"), "cost_micro")
         costs = row if costs is None else costs.unionByName(row)
+    # the 4-row cost curve feeds the endpoint agg, the chord scoring,
+    # and (through scored/interior) the knee pick: pin it so a cold
+    # plan runs the per-k feature-store sweep once, not per consumer
+    # (24 cold exchanges in the r8 PLANPROFILE)
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    costs = cache_tracked(costs)
     ends = costs.agg(
         F.min("k").alias("k1"),
         F.max("k").alias("kn"),

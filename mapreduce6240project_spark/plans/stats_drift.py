@@ -3951,8 +3951,15 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("d"), F.col("d0")).alias("t"), "cents"
     )
     mu = idx.agg(F.expr("sum(cents) div count(*)").alias("m"))
-    y = idx.crossJoin(F.broadcast(mu)).select(
-        "t", (F.col("cents") - F.col("m")).alias("yv")
+    # y (one row per day) feeds nn, a0, the lag explode AND the lag
+    # join: pin it so a cold plan aggregates events once, not four
+    # times (30 cold exchanges in the r8 PLANPROFILE)
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    y = cache_tracked(
+        idx.crossJoin(F.broadcast(mu)).select(
+            "t", (F.col("cents") - F.col("m")).alias("yv")
+        )
     )
     nn = y.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a0 = y.agg(F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("acov0"))

@@ -774,38 +774,16 @@ def streaming_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_txlog_cdc(
-    spark: SparkSession, sf_dir: str, root: str
-) -> DataFrame:
-    """Stream -> ACID table: last-event-wins CDC applied per
-    micro-batch into a ``sources.txlog`` table via idempotent MERGE --
-    the lakehouse streaming-sink pattern (Delta's foreachBatch +
-    txnAppId/txnVersion) running end-to-end on the in-repo commit log.
-
-    Batching-independence: each batch reduces to its per-user latest
-    row, then the MERGE source is recomputed as the latest over
-    (current matched rows UNION batch rows) under the same total order
-    (ts desc, event_id desc) -- an associative/commutative fold, so
-    the final table is identical however the stream is split.  The
-    ``txn=("cdc", epoch_id)`` guard makes a replayed micro-batch a
-    no-op instead of a double-apply.  Tombstones ('error' events)
-    stay in the table as state and are filtered at emission, exactly
-    like ``streaming_cdc_state``."""
+def txlog_cdc_batch_applier(tbl):
+    """foreachBatch callable applying last-event-wins CDC into a
+    ``sources.txlog`` table with an idempotent ``txn=("cdc", epoch)``
+    MERGE.  Factored out of :func:`streaming_txlog_cdc` so the
+    checkpoint-recovery test (tests/test_txlog.py) drives the IDENTICAL
+    batch logic through a stop/restart cycle rather than a copy that
+    could drift."""
     from pyspark.sql import Window
 
-    from mapreduce6240project_spark.sources.txlog import TxTable
-
-    ev = _stream_events(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        "event_id",
-        "event_type",
-        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-    ).filter(F.col("user_id").isNotNull())
-    tbl = TxTable(spark, root)
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("us"), F.desc("event_id")
-    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
 
     def _latest(df: DataFrame) -> DataFrame:
         return (
@@ -827,6 +805,38 @@ def streaming_txlog_cdc(
         )
         src = _latest(matched.unionByName(latest))
         tbl.merge(src, ["user_id"], txn=("cdc", epoch_id))
+
+    return apply_batch
+
+
+def streaming_txlog_cdc(
+    spark: SparkSession, sf_dir: str, root: str
+) -> DataFrame:
+    """Stream -> ACID table: last-event-wins CDC applied per
+    micro-batch into a ``sources.txlog`` table via idempotent MERGE --
+    the lakehouse streaming-sink pattern (Delta's foreachBatch +
+    txnAppId/txnVersion) running end-to-end on the in-repo commit log.
+
+    Batching-independence: each batch reduces to its per-user latest
+    row, then the MERGE source is recomputed as the latest over
+    (current matched rows UNION batch rows) under the same total order
+    (ts desc, event_id desc) -- an associative/commutative fold, so
+    the final table is identical however the stream is split.  The
+    ``txn=("cdc", epoch_id)`` guard makes a replayed micro-batch a
+    no-op instead of a double-apply.  Tombstones ('error' events)
+    stay in the table as state and are filtered at emission, exactly
+    like ``streaming_cdc_state``."""
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("user_id").isNotNull())
+    tbl = TxTable(spark, root)
+    apply_batch = txlog_cdc_batch_applier(tbl)
 
     q = ev.writeStream.outputMode("append").foreachBatch(apply_batch).start()
     try:

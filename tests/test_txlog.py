@@ -331,3 +331,316 @@ def test_schema_evolution_append(spark, tbl):
     assert (7, "UPD", 1) in {
         (r.k, r.val, r.extra) for r in tbl.snapshot().collect()
     }
+
+
+# ===========================================================================
+# Round-9 hardening: crash-safety fault injection, concurrent-writer OCC
+# stress, poisoned-commit replay, and streaming-CDC checkpoint recovery
+# (r8 verdict items 3, 4, 7, 8).
+# ===========================================================================
+
+
+class TestCrashSafety:
+    """Kill-between-steps fault injection.  A writer's steps are
+    (1) write data files into the table root, (2) write the fsynced
+    temp commit, (3) os.link it onto the version slot, (4) maybe write
+    a checkpoint.  A crash after any prefix must leave every existing
+    snapshot exact, and vacuum must never collect a file referenced by
+    a surviving commit."""
+
+    def test_crash_after_data_files_before_commit(self, spark, tbl):
+        # step 1 completed, then the writer died: staged orphans exist,
+        # no commit references them
+        orphans = tbl._write_data_files(
+            spark.createDataFrame([(999, "ORPHAN")], "k INT, val STRING")
+        )
+        assert tbl.latest_version() == 0  # commit never landed
+        assert tbl.count() == 100
+        assert (999, "ORPHAN") not in _rows(tbl.snapshot())
+        # vacuum: collects the orphans (past the age guard) but never a
+        # file a surviving commit references
+        live_before = set(tbl._replay(0)["files"])
+        deleted = set(tbl.vacuum(retain_versions=1, min_age_seconds=0))
+        assert {a["path"] for a in orphans} <= deleted
+        assert not (deleted & live_before)
+        assert tbl.count() == 100  # still fully readable post-vacuum
+
+    def test_crash_after_temp_commit_before_link(self, spark, tbl):
+        import uuid as _uuid
+
+        # steps 1+2 completed: data staged AND a temp commit written,
+        # but the link (publication) never happened
+        adds = tbl._write_data_files(
+            spark.createDataFrame([(999, "GHOST")], "k INT, val STRING")
+        )
+        tmp = os.path.join(tbl.log_dir, f".tmp-{_uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": 1, "op": "append", "adds": adds,
+                 "removes": [], "schema": None},
+                f,
+            )
+        assert tbl.latest_version() == 0  # tmp files are not commits
+        assert tbl.count() == 100
+        # a later writer is unaffected and takes version 1 normally
+        v = tbl.append(
+            spark.createDataFrame([(100, "v100")], "k INT, val STRING")
+        )
+        assert v == 1 and tbl.count() == 101
+        assert (999, "GHOST") not in _rows(tbl.snapshot())
+
+    def test_crash_between_link_and_checkpoint(self, spark, tmp_path,
+                                               monkeypatch):
+        from mapreduce6240project_spark.sources import txlog as txmod
+
+        t = TxTable(spark, str(tmp_path / "cpcrash"))
+        t.create(spark.createDataFrame([(0, "v0")], "k INT, val STRING"))
+        for i in range(1, 10):
+            t.append(
+                spark.createDataFrame([(i, f"v{i}")], "k INT, val STRING")
+            )
+        # version 10 triggers a checkpoint; the writer dies inside it
+        monkeypatch.setattr(
+            TxTable,
+            "_write_checkpoint",
+            lambda self, v: (_ for _ in ()).throw(OSError("killed")),
+        )
+        with pytest.raises(OSError, match="killed"):
+            t.append(
+                spark.createDataFrame([(10, "v10")], "k INT, val STRING")
+            )
+        monkeypatch.undo()
+        # the COMMIT is durable (linked before the checkpoint step):
+        # readers see the full version-10 state with no checkpoint file
+        assert t.latest_version() == 10
+        assert t.count() == 11
+        assert (10, "v10") in _rows(t.snapshot())
+        assert not [
+            f for f in os.listdir(t.log_dir) if f.startswith("checkpoint-")
+        ]
+        # the table keeps working; the NEXT checkpoint boundary writes one
+        for i in range(11, 21):
+            t.append(
+                spark.createDataFrame([(i, f"v{i}")], "k INT, val STRING")
+            )
+        assert any(
+            f.startswith("checkpoint-") for f in os.listdir(t.log_dir)
+        )
+        assert _rows(t.snapshot()) == {(i, f"v{i}") for i in range(21)}
+
+    def test_crash_mid_staging_write(self, spark, tbl):
+        # a dead writer's half-written staging directory is inert: it
+        # never matches the *.parquet vacuum scan, and snapshots read
+        # explicit committed paths only
+        staging = os.path.join(tbl.root, ".staging-deadbeef")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "part-0.parquet"), "wb") as f:
+            f.write(b"\x00partial")
+        assert tbl.count() == 100
+        assert len(_rows(tbl.snapshot())) == 100
+        tbl.vacuum(retain_versions=1, min_age_seconds=0)
+        v = tbl.append(
+            spark.createDataFrame([(100, "v100")], "k INT, val STRING")
+        )
+        assert tbl.count(v) == 101
+
+
+class TestConcurrentWriters:
+    """Two real threads racing merges through the OCC retry loop: no
+    lost update, and the version history is linear (every version slot
+    0..latest exists exactly once)."""
+
+    def test_disjoint_key_merges_no_lost_update(self, spark, tbl):
+        import threading
+
+        n_each = 4
+        errors: list[Exception] = []
+
+        def writer(key: int, tag: str):
+            try:
+                for i in range(n_each):
+                    src = spark.createDataFrame(
+                        [(key, f"{tag}{i}")], "k INT, val STRING"
+                    )
+                    tbl.merge(src, ["k"], max_retries=40)
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+
+        ta = threading.Thread(target=writer, args=(1, "a"))
+        tb = threading.Thread(target=writer, args=(2, "b"))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert not errors
+        rows = _rows(tbl.snapshot())
+        # last write per key won; nothing else was disturbed
+        assert (1, f"a{n_each - 1}") in rows
+        assert (2, f"b{n_each - 1}") in rows
+        assert len(rows) == 100
+        # linear history: create + 2*n_each merges, every slot present
+        latest = tbl.latest_version()
+        assert latest == 2 * n_each
+        for v in range(latest + 1):
+            assert os.path.exists(tbl._commit_path(v))
+        ops = [h["op"] for h in tbl.history()]
+        assert ops == ["create"] + ["merge"] * (2 * n_each)
+
+    def test_same_key_merges_serialize(self, spark, tbl):
+        import threading
+
+        results: dict[str, int] = {}
+
+        def writer(tag: str):
+            src = spark.createDataFrame(
+                [(7, f"UPD-{tag}")], "k INT, val STRING"
+            )
+            results[tag] = tbl.merge(src, ["k"], max_retries=40)
+
+        ts = [threading.Thread(target=writer, args=(t,)) for t in "xy"]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # both landed, at distinct versions, and the final value is the
+        # one committed last (serializable outcome)
+        assert sorted(results.values()) == [1, 2]
+        last_tag = max(results, key=results.get)
+        assert (7, f"UPD-{last_tag}") in _rows(tbl.snapshot())
+
+
+class TestPoisonedCommits:
+    """Dirty-input replay: a corrupted commit fails LOUDLY and leaves
+    the table readable at the prior version -- never silent wrong
+    data."""
+
+    def test_truncated_commit_json(self, spark, tbl):
+        v = tbl.append(
+            spark.createDataFrame([(100, "v100")], "k INT, val STRING")
+        )
+        # a torn write lands garbage in the NEXT version slot
+        with open(tbl._commit_path(v + 1), "w") as f:
+            f.write('{"version": 2, "op": "append", "adds": [{')
+        with pytest.raises(json.JSONDecodeError):
+            tbl.snapshot()
+        with pytest.raises(json.JSONDecodeError):
+            tbl.count()
+        # time travel to every intact version still works
+        assert tbl.count(v) == 101
+        assert tbl.count(0) == 100
+        assert (100, "v100") in _rows(tbl.snapshot(v))
+
+    def test_missing_data_file(self, spark, tbl):
+        v = tbl.append(
+            spark.createDataFrame([(100, "v100")], "k INT, val STRING")
+        )
+        with open(tbl._commit_path(v)) as f:
+            rec = json.load(f)
+        lost = rec["adds"][0]["path"]
+        os.unlink(os.path.join(tbl.root, lost))
+        # reading the damaged version fails loudly at plan/scan time
+        with pytest.raises(Exception, match="(?i)path|exist|found"):
+            tbl.snapshot(v).collect()
+        # the prior version never referenced the lost file: exact
+        assert _rows(tbl.snapshot(v - 1)) == {
+            (i, f"v{i}") for i in range(100)
+        }
+
+    def test_rejected_schema_drift_leaves_table_intact(self, spark, tbl):
+        drifted = spark.createDataFrame(
+            [(1, "x", 1.5)], "k INT, val STRING, extra DOUBLE"
+        )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            tbl.append(drifted)
+        # nothing committed; the staged files are orphans vacuum collects
+        assert tbl.latest_version() == 0
+        assert tbl.count() == 100
+        tbl.vacuum(retain_versions=1, min_age_seconds=0)
+        assert _rows(tbl.snapshot()) == {(i, f"v{i}") for i in range(100)}
+
+
+def test_streaming_cdc_checkpoint_recovery(spark, tmp_path):
+    """Stop-mid-stream/restart over the txlog CDC sink: generation 2
+    resumes from the WAL checkpoint against the SAME table, the
+    txn=("cdc", epoch) guard absorbs any replayed epoch, and the final
+    table equals the batch answer exactly (r8 verdict item 7)."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from mapreduce6240project_spark.sources.tables import load_table
+    from mapreduce6240project_spark.streaming.jobs import (
+        txlog_cdc_batch_applier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "cdc_tbl")
+    base = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("user_id").isNotNull())
+    )
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    tbl = TxTable(spark, root)
+    apply_batch = txlog_cdc_batch_applier(tbl)
+
+    def build_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(apply_batch)
+        )
+
+    # generation 1: let at least one micro-batch commit, then kill it
+    q1 = build_query().start()
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= 1:
+                break
+            _time.sleep(0.2)
+        else:  # pragma: no cover - diagnostic guard
+            raise AssertionError("generation 1 never processed a batch")
+    finally:
+        q1.stop()
+    gen1_version = tbl.latest_version()
+    assert gen1_version >= 0  # at least the create landed
+
+    # generation 2: same checkpoint, same table -- resume, not redo
+    q2 = build_query().start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r.user_id, r.cents)
+        for r in tbl.snapshot()
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "cents")
+        .collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    want = {
+        (r.user_id, r.cents)
+        for r in base.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "cents")
+        .collect()
+    }
+    assert got == want
+    # exactly-once accounting: 4 source files -> at most 4 applied
+    # epochs (create + <=3 merges); a from-scratch replay would overshoot
+    assert tbl.latest_version() <= 3
