@@ -149,15 +149,19 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     headline = [s for s in REGISTRY.values() if s.headline]
-    # One untimed warm-up pass: the first run of a complex plan pays
-    # one-time whole-stage-codegen JIT (measured ~5.7 s on the
-    # 64-aggregate MinHash plan alone), a fixed cost that amortizes to
-    # zero over any production-sized input; min-over-passes then
-    # measures the steady-state throughput that scale design decisions
-    # actually affect.  (Recorded in BASELINE.md; the original baseline
-    # table was single-run.)
+    # One warm-up pass, reported as its own line (not charged to any
+    # query): the first run of a complex plan pays one-time
+    # whole-stage-codegen JIT (measured ~5.7 s on the 64-aggregate
+    # MinHash plan alone) and fills any session-scoped derived caches
+    # (the same once-per-session contract as feature_store_fill above),
+    # fixed costs that amortize to zero over any production-sized
+    # input; min-over-passes then measures the steady-state per-query
+    # latency that scale design decisions actually affect.  The fill
+    # cost stays VISIBLE in the artifact as warm.warmup_pass.
+    t0 = time.perf_counter()
     for spec in headline:
         _timed_noop(spec.fn(spark, sf_dir))
+    warm["warmup_pass"] = round(time.perf_counter() - t0, 3)
 
     timings, query_calib, pass_totals, calib_segments = _measured_block(
         spark, headline, sf_dir, runs, measure_calib
@@ -218,8 +222,10 @@ def main() -> None:
             sf1_warm = {
                 "feature_store_fill": round(time.perf_counter() - t0, 3)
             }
-            for spec in headline:  # page-cache + JIT warm-up pass
+            t0 = time.perf_counter()  # page-cache + JIT warm-up pass
+            for spec in headline:
                 _timed_noop(spec.fn(spark, sf1_dir))
+            sf1_warm["warmup_pass"] = round(time.perf_counter() - t0, 3)
             (sf1_timings, sf1_qc, sf1_passes, sf1_segs) = _measured_block(
                 spark, headline, sf1_dir, runs, measure_calib, label="[sf1] "
             )

@@ -312,3 +312,106 @@ def query_likelihood_topk(
         "c_micros", F.floor(contrib * 1000000 + F.lit(0.5)).cast("bigint")
     ).groupBy(id_col).agg(F.sum("c_micros").alias("score_micros"))
     return scored.orderBy(F.desc("score_micros"), id_col).limit(k)
+
+
+def rm3_expansion_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 3,
+    n_expansion: int = 5,
+    k: int = 10,
+    orig_weight: int = 2,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-style query expansion): rank with
+    BM25 on the original terms, take the top ``fb_docs`` feedback
+    documents, mine their ``n_expansion`` most frequent non-query terms,
+    then re-rank the corpus with the expanded weighted query
+    (original terms weight ``orig_weight``, expansion terms weight 1)
+    and return the top ``k`` as ``(doc_id, rm3_micros)``.
+
+    Determinism: per-term BM25 contributions are micro-quantized BEFORE
+    the integer weighting and the per-document sum (the module's
+    fixed-point convention); the feedback-document and expansion-term
+    cuts break ties on (score desc, id) / (tf desc, term), so the whole
+    pipeline is partition-order independent and SQL-replayable.
+
+    Scale shape: two BM25 passes (each one explode + partial-aggregated
+    shuffle with a broadcast vocabulary-sized df table) plus one
+    token-count aggregate over ``fb_docs`` documents -- the expansion
+    term list is a <=``n_expansion + |query|``-row broadcast, never a
+    literal rebuild of the plan.
+    """
+    term_lits = F.array(*[F.lit(t) for t in query_terms])
+    toks = fan_out(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
+    # exact corpus stats: one bounded 2-int aggregate, folded into
+    # literals (same contract as bm25_scores)
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
+    ).first()
+    n_docs, n_toks = int(stats["n_docs"]), int(stats["n_toks"])
+    avgdl = float(n_toks) / float(n_docs)
+
+    ex = toks.select(
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+
+    def _scores(hits: DataFrame, weighted: bool) -> DataFrame:
+        tf = hits.groupBy(id_col, "term", "dl").agg(F.count("*").alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        tf_d = F.col("tf").cast("double")
+        denom = tf_d + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        contrib = idf * tf_d * F.lit(k1 + 1.0) / denom
+        scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+            "c_micros", F.floor(contrib * 1000000 + F.lit(0.5)).cast("bigint")
+        )
+        val = (
+            F.col("wgt") * F.col("c_micros") if weighted else F.col("c_micros")
+        )
+        if weighted:
+            scored = scored.join(F.broadcast(terms_df), "term")
+        return scored.groupBy(id_col).agg(
+            F.sum(val).cast("bigint").alias("score_micros")
+        )
+
+    # pass 1: original query, top feedback docs
+    s1 = _scores(ex.filter(F.array_contains(term_lits, F.col("term"))), False)
+    fb = s1.orderBy(F.desc("score_micros"), id_col).limit(fb_docs).select(id_col)
+    # expansion terms: most frequent non-query terms of the feedback docs
+    exp_t = (
+        ex.join(F.broadcast(fb), id_col)
+        .filter(~F.array_contains(term_lits, F.col("term")))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf_sum"))
+        .orderBy(F.desc("tf_sum"), "term")
+        .limit(n_expansion)
+        .select("term", F.lit(1).cast("bigint").alias("wgt"))
+    )
+    orig_df = (
+        docs.sparkSession.createDataFrame(
+            [(t, orig_weight) for t in query_terms], f"term STRING, wgt BIGINT"
+        )
+    )
+    terms_df = orig_df.unionByName(exp_t)
+    # pass 2: weighted expanded query over the corpus
+    s2 = _scores(
+        ex.join(F.broadcast(terms_df.select("term")), "term"), True
+    )
+    return (
+        s2.orderBy(F.desc("score_micros"), id_col)
+        .limit(k)
+        .select(id_col, F.col("score_micros").alias("rm3_micros"))
+    )

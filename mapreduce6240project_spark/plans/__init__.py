@@ -66,7 +66,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    mirror), then proportional never-checked draws across every
     #    family that still has mirror-only members.  COVERAGE.md
     #    tracks the cumulative ledger; tools/coverage_ledger.py
-    #    regenerates it. --
+    #    regenerates it.  The four wave-105 queries added THIS round
+    #    enter this window directly (r9 ADVICE item 4: new code gets
+    #    external verdicts the same round it lands). --
     # -- added in round 8 after the r8 rotation (ADVICE item 4) --
     "txlog_gdpr_delete",
     "txlog_skipping_audit",
@@ -89,13 +91,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "compaction_plan",
     "doc_survivor_remap",
     "dup_best_survivors",
-    "rolling_7d_distinct_users",
+    "dedup_shard_consistency",
     # -- engineering --
     "table_checksum_orders",
     "full_outer_recon",
     "dynamic_partition_overwrite",
     "event_type_corr_matrix",
-    "session_path_top10",
+    "txlog_changes_cdf",
     # -- extensions / parity / registry --
     "multimodal_frames",
     "weighted_sample_orders",
@@ -107,7 +109,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # -- retrieval --
     "charlm_quality",
     "join_strategy_advisor",
-    "zorder_rectangle",
+    "rm3_expansion_top10",
     # -- sketch_ext --
     "ams_f2_user_stream",
     "churn_rate_weekly",
@@ -121,7 +123,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lang_id_trigram_acc",
     "cross_doc_repetition",
     "span_corruption_plan",
-    "sentence_stats_source",
+    "prefix_cache_savings",
     # -- tpch_analytics --
     "asof_next_purchase",
     "copurchase_pairs",

@@ -1564,3 +1564,93 @@ def q_bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_err_permyriad"),
         )
     )
+
+
+# =========================================================================
+# wave 105: sharded-dedup consistency verdict
+#
+# ``dedup_shard_consistency``: the map-reduce correctness argument of
+# distributed exact dedup, checked as a query.  Shard documents by
+# their dedup key's own hash (8 shards via the SQL-replayable hash60
+# idiom), dedup each shard locally, and verify the shards compose:
+# because the partitioning function is keyed ON the fingerprint, two
+# copies of a text can never land in different shards, so the sum of
+# shard-local distinct counts must equal the global distinct count --
+# the boolean the oracle pins TRUE.  Shard balance (min/max shard
+# distinct) is reported as exact integers: the number a capacity
+# planner actually reads before sizing 1000 dedup reducers.
+#
+# 100 TB: this IS the scale plan -- dedup never needs a global
+# structure, only a fingerprint-keyed shuffle; the query is two hash
+# aggregates over md5 keys plus a 8-row fold.
+# =========================================================================
+
+
+@_register(
+    "dedup_shard_consistency",
+    f"""
+WITH fp AS (
+  SELECT md5({_NORM}) AS fingerprint FROM documents
+),
+shards AS (
+  SELECT ('0x' || substr(md5(fingerprint), 1, 15))::BIGINT % 8 AS shard,
+         fingerprint
+  FROM fp
+),
+local AS (
+  SELECT shard, CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_local
+  FROM shards GROUP BY shard
+),
+g AS (SELECT CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_global,
+             CAST(count(*) AS BIGINT) AS n_docs FROM fp)
+SELECT g.n_docs,
+       g.n_global AS n_distinct_global,
+       CAST(sum(n_local) AS BIGINT) AS sum_local_distinct,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(max(n_local) AS BIGINT) AS max_shard_distinct,
+       CAST(min(n_local) AS BIGINT) AS min_shard_distinct,
+       sum(n_local) = g.n_global AS shards_compose
+FROM local CROSS JOIN g
+GROUP BY g.n_docs, g.n_global""",
+    ref="extension: distributed exact-dedup consistency -- "
+    "fingerprint-keyed sharding composes (sum of shard-local distincts "
+    "= global distinct, boolean pinned TRUE) with shard-balance "
+    "integers for reducer sizing",
+)
+def q_dedup_shard_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    fp = load_table(spark, sf_dir, "documents").select(
+        F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    shards = fp.select(
+        (hash60(F.col("fingerprint")) % 8).alias("shard"), "fingerprint"
+    )
+    local = shards.groupBy("shard").agg(
+        F.count_distinct("fingerprint").cast("bigint").alias("n_local")
+    )
+    g = fp.agg(
+        F.count_distinct("fingerprint").cast("bigint").alias("n_global"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        local.crossJoin(F.broadcast(g))
+        .groupBy("n_docs", "n_global")
+        .agg(
+            F.sum("n_local").cast("bigint").alias("sum_local_distinct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.max("n_local").cast("bigint").alias("max_shard_distinct"),
+            F.min("n_local").cast("bigint").alias("min_shard_distinct"),
+        )
+        .select(
+            "n_docs",
+            F.col("n_global").alias("n_distinct_global"),
+            "sum_local_distinct",
+            "n_shards",
+            "max_shard_distinct",
+            "min_shard_distinct",
+            (F.col("sum_local_distinct") == F.col("n_global")).alias(
+                "shards_compose"
+            ),
+        )
+    )

@@ -3142,3 +3142,92 @@ def q_txlog_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_in_range BIGINT, skipped_files BOOLEAN, "
         "pruned_read_exact BOOLEAN",
     )
+
+
+# =========================================================================
+# wave 105: row-level change feed between txlog versions
+#
+# ``txlog_changes_cdf``: the Delta ``table_changes`` read done WITHOUT
+# change files -- create a table from orders, MERGE a correction batch
+# (every 7th order flips to status 'X' with a 1-cent bump), DELETE
+# every 13th key, then read the row-level diff between version 0 and
+# the head via ``TxTable.changes``: only the commits' FILE DELTA is
+# opened (carried-forward files contain byte-identical rows on both
+# sides and cancel), an update surfaces as a delete+insert pair.  The
+# oracle replays the change feed relationally, so the external hash
+# covers the file-delta cancellation argument, the COW rewrite
+# row-exactness, and the exceptAll bag semantics end-to-end.
+#
+# Scale: the diff cost is proportional to what the intervening commits
+# touched, never to the table; the two exceptAll shuffles carry the
+# delta only.  Output is |change_type| x |status| rows.
+# =========================================================================
+
+
+@_register(
+    "txlog_changes_cdf",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+ins AS (
+  -- rows present at head but not at v0: the new images of surviving
+  -- merged rows (deleted-after-merge keys never reach the head)
+  SELECT 'insert' AS change_type, 'X' AS status,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cents + 1) AS BIGINT) AS sum_cents
+  FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+  HAVING count(*) > 0
+),
+del AS (
+  -- rows present at v0 but not at head: pre-merge images of every
+  -- updated key plus the deleted unmodified keys
+  SELECT 'delete' AS change_type, status,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base WHERE k % 7 = 0 OR k % 13 = 0 GROUP BY status
+)
+SELECT * FROM ins UNION ALL SELECT * FROM del""",
+    ref="extension: row-level CDC between txlog versions via the "
+    "file-delta read (sources/txlog.py changes()) -- MERGE + DELETE, "
+    "then the v0->head change feed aggregated; oracle replays the "
+    "feed relationally",
+)
+def q_txlog_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_cdf_"))
+    tbl.create(base.repartition(4))
+    updates = base.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("X").alias("status"), (F.col("cents") + 1).alias("cents")
+    )
+    tbl.merge(updates, ["k"])
+    tbl.delete_where(F.col("k") % 13 == 0)
+    ch = tbl.changes(0, tbl.latest_version())
+    return (
+        ch.groupBy(F.col("_change").alias("change_type"), "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select("change_type", "status", "n_rows", "sum_cents")
+    )

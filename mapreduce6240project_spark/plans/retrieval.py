@@ -1735,3 +1735,88 @@ def q_map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ap_micro"),
     )
+
+
+# =========================================================================
+# wave 105: pseudo-relevance feedback (RM3-style query expansion)
+#
+# ``rm3_expansion_top10``: the classic two-pass retrieval loop -- BM25
+# on the original query, mine the top-3 feedback documents' most
+# frequent non-query terms, re-rank with the expanded weighted query
+# (original terms weight 2, expansion terms weight 1).  Per-term BM25
+# contributions are micro-quantized BEFORE the integer weighting and
+# the per-document sum (the module convention), and both cut points
+# (feedback docs, expansion terms) break ties deterministically, so
+# the full pipeline hash-replays in DuckDB.
+#
+# 100 TB: two explode+partial-agg passes with broadcast df tables; the
+# expansion term list is a <=8-row broadcast.  (operators/retrieval.py
+# rm3_expansion_topk)
+# =========================================================================
+
+_RM3_CONTRIB = (
+    "CAST(floor(ln(1.0 + (nd - df_t + 0.5) / (df_t + 0.5))"
+    f" * CAST(tf AS DOUBLE) * {R.K1 + 1.0!r}"
+    f" / (CAST(tf AS DOUBLE) + {R.K1!r} * ({1.0 - R.B!r}"
+    f" + {R.B!r} * CAST(dl AS DOUBLE) / (CAST(nt AS DOUBLE) / nd)))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@_register(
+    "rm3_expansion_top10",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+stats AS (SELECT count(*) AS nd, sum(len(w)) AS nt FROM toks),
+ex AS (
+  SELECT doc_id, dl, t AS term FROM (
+    SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks
+  )
+),
+h1 AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM ex
+  WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2, 3
+),
+df1 AS (SELECT term, count(*) AS df_t FROM h1 GROUP BY term),
+s1 AS (
+  SELECT doc_id, CAST(sum({_RM3_CONTRIB}) AS BIGINT) AS score
+  FROM h1 JOIN df1 USING (term), stats GROUP BY doc_id
+),
+fb AS (SELECT doc_id FROM s1 ORDER BY score DESC, doc_id LIMIT 3),
+exp_t AS (
+  SELECT term, CAST(1 AS BIGINT) AS wgt FROM (
+    SELECT ex.term, count(*) AS tf_sum
+    FROM ex JOIN fb USING (doc_id)
+    WHERE ex.term NOT IN ('join', 'filter', 'scan')
+    GROUP BY ex.term ORDER BY tf_sum DESC, ex.term LIMIT 5
+  )
+),
+qterms AS (
+  SELECT 'join' AS term, CAST(2 AS BIGINT) AS wgt
+  UNION ALL SELECT 'filter', 2 UNION ALL SELECT 'scan', 2
+  UNION ALL SELECT term, wgt FROM exp_t
+),
+h2 AS (
+  SELECT ex.doc_id, ex.dl, ex.term, count(*) AS tf
+  FROM ex JOIN qterms USING (term) GROUP BY 1, 2, 3
+),
+df2 AS (SELECT term, count(*) AS df_t FROM h2 GROUP BY term),
+s2 AS (
+  SELECT h2.doc_id,
+         CAST(sum(qterms.wgt * {_RM3_CONTRIB}) AS BIGINT) AS rm3_micros
+  FROM h2 JOIN df2 USING (term) JOIN qterms USING (term), stats
+  GROUP BY h2.doc_id
+)
+SELECT doc_id, rm3_micros FROM s2
+ORDER BY rm3_micros DESC, doc_id LIMIT 10""",
+    ref="extension: RM3-style pseudo-relevance feedback -- BM25 pass, "
+    "top-3 feedback docs, top-5 expansion terms, weighted re-rank; "
+    "contributions micro-quantized before the weighted sum "
+    "(operators/retrieval.py rm3_expansion_topk)",
+)
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rm3_expansion_topk(
+        load_table(spark, sf_dir, "documents"), list(_QUERY_TERMS), k=10
+    )

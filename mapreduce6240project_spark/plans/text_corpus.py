@@ -2442,3 +2442,85 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_permyriad"),
         )
     )
+
+
+# =========================================================================
+# wave 105: prefix-cache planning over the document corpus
+#
+# ``prefix_cache_savings``: serving/inference planning -- how many
+# prompt tokens would an 8-token prefix cache save?  Documents sharing
+# their first-8-token prefix (shorter docs: their whole token list)
+# form a cache group; each group member beyond the first reuses the
+# group's prefix KV block, saving prefix-length tokens of prefill.
+# The grain is one row of exact totals: groups with >= 2 docs, docs
+# covered, tokens saved, corpus tokens, and the savings rate in ppm
+# (integer division -- replayable).
+#
+# 100 TB: one token-split projection, one hash aggregate keyed on the
+# prefix string (bounded at 8 tokens, so the shuffle key is narrow),
+# one scalar fold.  No joins, no windows.
+# =========================================================================
+
+
+@_register(
+    "prefix_cache_savings",
+    f"""
+WITH toks AS (
+  SELECT string_split({_NORM}, ' ') AS w FROM documents
+),
+pfx AS (
+  SELECT array_to_string(list_slice(w, 1, 8), ' ') AS p,
+         least(len(w), 8) AS plen, len(w) AS dl
+  FROM toks
+),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_tokens FROM pfx),
+g AS (
+  SELECT p, count(*) AS cnt, min(plen) AS plen
+  FROM pfx GROUP BY p HAVING count(*) >= 2
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_docs_covered,
+         CAST(coalesce(sum((cnt - 1) * plen), 0) AS BIGINT) AS tokens_saved
+  FROM g
+)
+SELECT n_groups, n_docs_covered, tokens_saved, tot.total_tokens,
+       CAST(tokens_saved * 1000000 // tot.total_tokens AS BIGINT)
+         AS savings_ppm
+FROM s CROSS JOIN tot""",
+    ref="extension: prefix-cache (shared-prefill KV reuse) planning "
+    "estimate -- first-8-token cache groups, exact token-savings "
+    "totals; one narrow-keyed hash aggregate",
+)
+def q_prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    pfx = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 8)).alias("p"),
+        F.least(F.size(tokens("text")), F.lit(8)).alias("plen"),
+        F.size(tokens("text")).alias("dl"),
+    )
+    tot = pfx.agg(F.sum("dl").cast("bigint").alias("total_tokens"))
+    g = (
+        pfx.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("plen").alias("plen"))
+        .filter(F.col("cnt") >= 2)
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+            "n_docs_covered"
+        ),
+        F.coalesce(F.sum((F.col("cnt") - 1) * F.col("plen")), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_saved"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_groups",
+        "n_docs_covered",
+        "tokens_saved",
+        "total_tokens",
+        F.expr("tokens_saved * 1000000 div total_tokens")
+        .cast("bigint")
+        .alias("savings_ppm"),
+    )

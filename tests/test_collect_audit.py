@@ -91,10 +91,11 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "with distributed twin above",
     ),
     "operators/retrieval.py": (
-        3,
+        4,
         "query-document probe (1 row by key) + query-likelihood "
         "collection stats: NT (1-row agg) and per-term ctf "
-        "(|query_terms| rows)",
+        "(|query_terms| rows) + RM3 corpus stats (one 2-int agg row, "
+        "same contract as bm25_scores)",
     ),
     "operators/prefix.py": (
         1,

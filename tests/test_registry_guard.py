@@ -58,6 +58,11 @@ def test_driver_window_spends_budget_on_unverified():
         "lang_id_trigram_acc",
         "asof_next_purchase",
         "dedup_paragraphs",
+        # wave 105 (added this round; new code enters the same window)
+        "txlog_changes_cdf",
+        "prefix_cache_savings",
+        "dedup_shard_consistency",
+        "rm3_expansion_top10",
     ):
         assert name in first50
     # fully disjoint from the 327 queries rounds 2-8 already verified

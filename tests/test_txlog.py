@@ -644,3 +644,56 @@ def test_streaming_cdc_checkpoint_recovery(spark, tmp_path):
     # exactly-once accounting: 4 source files -> at most 4 applied
     # epochs (create + <=3 merges); a from-scratch replay would overshoot
     assert tbl.latest_version() <= 3
+
+
+def test_changes_equals_snapshot_diff_and_prunes(spark, tbl):
+    """changes(v0, v1) must equal the brute-force snapshot bag diff,
+    and must open only the file delta (carried-forward files cancel
+    without being read)."""
+    src = spark.createDataFrame(
+        [(7, "UPD"), (13, "UPD"), (500, "NEW")], "k INT, val STRING"
+    )
+    v = tbl.merge(src, ["k"])
+    got = {
+        (r.k, r.val, r._change) for r in tbl.changes(0, v).collect()
+    }
+    want = {(7, "UPD", "insert"), (13, "UPD", "insert"), (500, "NEW", "insert"),
+            (7, "v7", "delete"), (13, "v13", "delete")}
+    assert got == want
+    # pruning: the union plan reads only delta files, not the table
+    sf, st = tbl._replay(0), tbl._replay(v)
+    n_delta = len(set(st["files"]) ^ set(sf["files"]))
+    n_all = len(set(st["files"]) | set(sf["files"]))
+    assert n_delta < n_all  # some files were carried forward (4-file base)
+    plan = tbl.changes(0, v)._jdf.queryExecution().executedPlan().toString()
+    carried = [
+        p for p in sf["files"] if p in st["files"]
+    ]
+    assert carried and all(p not in plan for p in carried)
+    # identity: changes(v, v) is empty
+    assert tbl.changes(v, v).count() == 0
+    # invalid range fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="v_to < v_from"):
+        tbl.changes(v, 0)
+
+
+def test_changes_across_schema_evolution(spark, tbl):
+    """A change feed spanning a schema evolution reads both sides under
+    the NEW committed schema (old images NULL-filled)."""
+    widened = spark.createDataFrame(
+        [(7, "UPD", 9)], "k INT, val STRING, extra INT"
+    )
+    v = tbl.append(widened, merge_schema=True)
+    v2 = tbl.merge(
+        spark.createDataFrame([(7, "UPD2", 10)], "k INT, val STRING, extra INT"),
+        ["k"],
+    )
+    ch = tbl.changes(0, v2)
+    assert set(ch.columns) == {"k", "val", "extra", "_change"}
+    got = {(r.k, r.val, r.extra, r._change) for r in ch.collect()}
+    # 7's original narrow image surfaces NULL-filled on the delete side;
+    # both post-evolution images of key 7 (append + merge survivor set)
+    assert (7, "v7", None, "delete") in got
+    assert (7, "UPD2", 10, "insert") in got
