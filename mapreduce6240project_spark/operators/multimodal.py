@@ -485,3 +485,75 @@ def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=_AUDIO_OUT_SCHEMA)
+
+
+_SILENCE_OUT_SCHEMA = (
+    "media_id long, n_samples int, n_silence_spans int, "
+    "silent_samples int, longest_span int"
+)
+
+
+def audio_silence_spans(
+    media: DataFrame, threshold: int = 3277, batch_size: int = 256
+) -> DataFrame:
+    """VAD-lite through the REAL PCM-16 path: parse each WAV blob with
+    :func:`parse_wav` and report its SILENCE RUNS -- maximal spans of
+    consecutive samples with ``abs(v) < threshold`` (default 10% of
+    full scale) -- as ``(n_silence_spans, silent_samples,
+    longest_span)``.  The classic pre-ASR trim/segment statistic; all
+    three outputs are exact integers of the decoded stream, so an
+    oracle replaying the sample formula (plus gaps-and-islands) pins
+    the decode AND the span logic bit-exactly.  Unparseable blobs
+    yield NULL features (drop-not-abort, like ``audio_features``).
+
+    100 TB posture: Arrow-batched ``mapInPandas`` after metadata
+    pruning; the span scan is linear per blob with O(1) state."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_s: list[int | None] = []
+            ns: list[int | None] = []
+            ss: list[int | None] = []
+            ls: list[int | None] = []
+            for b in pdf["payload"]:
+                try:
+                    _ch, _rate, samples = parse_wav(bytes(b))
+                    if not samples:
+                        raise ValueError("empty PCM data")
+                except (ValueError, struct.error, TypeError):
+                    n_s.append(None)
+                    ns.append(None)
+                    ss.append(None)
+                    ls.append(None)
+                    continue
+                spans = 0
+                silent = 0
+                longest = 0
+                run_len = 0
+                for v in samples:
+                    if -threshold < v < threshold:
+                        run_len += 1
+                    elif run_len:
+                        spans += 1
+                        silent += run_len
+                        longest = max(longest, run_len)
+                        run_len = 0
+                if run_len:
+                    spans += 1
+                    silent += run_len
+                    longest = max(longest, run_len)
+                n_s.append(len(samples))
+                ns.append(spans)
+                ss.append(silent)
+                ls.append(longest)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(n_s, dtype="Int32"),
+                    "n_silence_spans": pd.array(ns, dtype="Int32"),
+                    "silent_samples": pd.array(ss, dtype="Int32"),
+                    "longest_span": pd.array(ls, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=_SILENCE_OUT_SCHEMA)

@@ -66,7 +66,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    mirror), then proportional never-checked draws across every
     #    family that still has mirror-only members.  COVERAGE.md
     #    tracks the cumulative ledger; tools/coverage_ledger.py
-    #    regenerates it.  The four wave-105 queries added THIS round
+    #    regenerates it.  The wave-105/106 queries added THIS round
     #    enter this window directly (r9 ADVICE item 4: new code gets
     #    external verdicts the same round it lands). --
     # -- added in round 8 after the r8 rotation (ADVICE item 4) --
@@ -90,7 +90,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # -- dedup_ext --
     "compaction_plan",
     "doc_survivor_remap",
-    "dup_best_survivors",
+    "rare_term_cosine_pairs",
     "dedup_shard_consistency",
     # -- engineering --
     "table_checksum_orders",
@@ -100,7 +100,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "txlog_changes_cdf",
     # -- extensions / parity / registry --
     "multimodal_frames",
-    "weighted_sample_orders",
+    "wav_silence_spans",
     "lang_id_accuracy",
     "salted_value_sums",
     "elbow_knee_k",
@@ -115,7 +115,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "churn_rate_weekly",
     # -- stats_drift --
     "seasonal_decompose_daily",
-    "theil_index_nations",
+    "kruskal_wallis_types",
     # -- streaming_ext --
     "dataset_card",
     "orderkey_gap_audit",

@@ -1654,3 +1654,121 @@ def q_dedup_shard_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =========================================================================
+# wave 106: tf-idf cosine similarity join on the rare-term subspace
+#
+# ``rare_term_cosine_pairs``: the weighted complement of the Jaccard
+# SSJoin family -- document pairs scored by tf-idf COSINE computed over
+# the subspace of DISCRIMINATIVE terms (document frequency <= 20).
+# Restricting both the candidate join and the vectors to rare terms is
+# what makes the all-pairs-by-shared-term join scale-safe: a stopword's
+# posting list at 100 TB is billions of rows and would quadratically
+# dominate the pair expansion, while a df-capped posting list is
+# bounded by construction (the inverted_index posting_cap argument).
+# Weights are centi-quantized integers (w = floor(tf*idf*100 + 0.5)),
+# so dot products and squared norms are exact BIGINTs; the cosine is
+# one fixed-shape IEEE expression per PAIR row.  Top-20 by
+# (cos desc, id_a, id_b).
+# =========================================================================
+
+_RTC_COS = (
+    "CAST(floor(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@_register(
+    "rare_term_cosine_pairs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+nn AS (SELECT count(*) AS nd FROM toks),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(w) AS t FROM toks
+  ) GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY term HAVING count(*) <= 20
+),
+vec AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(CAST(tf.tf AS DOUBLE)
+              * ln(CAST(nn.nd AS DOUBLE) / df_t) * 100 + 0.5) AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (term), nn
+),
+norms AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM vec GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, {_RTC_COS} AS cos_micro
+FROM dots
+JOIN (SELECT doc_id, n2 AS na2 FROM norms) na ON na.doc_id = id_a
+JOIN (SELECT doc_id, n2 AS nb2 FROM norms) nb ON nb.doc_id = id_b
+ORDER BY cos_micro DESC, id_a, id_b LIMIT 20""",
+    ref="extension: tf-idf cosine similarity join on the df<=20 rare-"
+    "term subspace -- bounded posting lists make the pair expansion "
+    "scale-safe; centi-quantized integer weights, exact dot/norms, one "
+    "IEEE cosine per pair",
+)
+def q_rare_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    nd = toks.count()  # exact scalar, folded into the idf literal
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter(F.col("df_t") <= 20)
+    )
+    vec = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.floor(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(nd)) / F.col("df_t"))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    norms = vec.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    a = vec.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = vec.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2")),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.expr(_RTC_COS).alias("cos_micro"))
+        .orderBy(F.desc("cos_micro"), "id_a", "id_b")
+        .limit(20)
+    )

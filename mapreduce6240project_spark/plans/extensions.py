@@ -1008,3 +1008,49 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.streaming import streaming_sessions
 
     return streaming_sessions(spark, sf_dir)
+
+
+@_register(
+    "wav_silence_spans",
+    # VAD-lite over the REAL PCM-16 decode: silence runs (|v| < 3277,
+    # 10% of full scale) of the formula-defined golden WAV stream,
+    # counted via gaps-and-islands; zero-silence media keep a row with
+    # zeroed counters.  Any decode defect (chunk walk, endianness,
+    # alignment) shifts samples and flips the span counts.
+    """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 32 AND doc_id % 2 = 1),
+s AS (
+  SELECT i.doc_id AS media_id, t.j,
+         (i.doc_id*13 + t.j*17) % 65536 - 32768 AS v
+  FROM ids i, range(96) t(j)),
+sil AS (
+  SELECT media_id, j,
+         j - row_number() OVER (PARTITION BY media_id ORDER BY j) AS grp
+  FROM s WHERE abs(v) < 3277),
+spans AS (
+  SELECT media_id, grp, count(*) AS len FROM sil GROUP BY 1, 2),
+agg AS (
+  SELECT media_id, CAST(count(*) AS INT) AS n_silence_spans,
+         CAST(sum(len) AS INT) AS silent_samples,
+         CAST(max(len) AS INT) AS longest_span
+  FROM spans GROUP BY media_id)
+SELECT CAST(i.doc_id AS BIGINT) AS media_id, CAST(96 AS INT) AS n_samples,
+       coalesce(a.n_silence_spans, 0) AS n_silence_spans,
+       coalesce(a.silent_samples, 0) AS silent_samples,
+       coalesce(a.longest_span, 0) AS longest_span
+FROM ids i LEFT JOIN agg a ON a.media_id = i.doc_id""",
+    ref="extension: real-codec silence-span detection (VAD-lite trim/"
+    "segment statistic) -- integer-exact span counts of the parsed "
+    "PCM-16 stream, Arrow-batched mapInPandas "
+    "(operators/multimodal.audio_silence_spans)",
+)
+def q_wav_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") < 32) & (F.col("doc_id") % 2 == 1))
+    )
+    # NULL-feature rows would mean a golden blob failed to parse --
+    # surfaced as-is, so the oracle fails loudly on any decode defect
+    return M.audio_silence_spans(M.synth_golden_media(ids))

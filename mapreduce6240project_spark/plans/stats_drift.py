@@ -4173,3 +4173,162 @@ def q_brown_forsythe_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) END AS BIGINT)"
         ).alias("f_micro"),
     )
+
+
+# =========================================================================
+# wave 106: Kruskal-Wallis k-group rank test
+#
+# ``kruskal_wallis_types``: do event types share one value
+# DISTRIBUTION?  mann_whitney_effect covers two groups and
+# brown_forsythe_types covers variances; Kruskal-Wallis is the k-group
+# rank ANOVA both of them defer to.  Exactness: ranks come from the
+# distinct-cents histogram as DOUBLED average ranks (2*cum + m + 1 --
+# integers even for ties, the established doubled-rank idiom), group
+# rank sums and deviations d_g = S2_g - n_g(N+1) are exact BIGINTs, and
+# each group's H contribution 3*d_g^2/(n_g N (N+1)) is ONE fixed-shape
+# IEEE expression micro-quantized per GROUP row before the integer sum
+# (d_g <= 2N^2 < 2^53 at any realistic N, so the bigint->double cast is
+# exact).  The tie correction divides two exact DECIMAL(38) terms in
+# one double ratio; the rejection verdict compares against frozen
+# chi-square 0.95 quantiles (df 1..12, micro units -- df 10 matches
+# ljung_box's _LB_CRIT_MICRO).
+#
+# 100 TB: one (type x cents) histogram aggregate, one small window
+# over distinct cents, |types|-row algebra.
+# =========================================================================
+
+#: chi-square 0.95 quantiles, df 1..12, micro units
+_KW_CRIT_MICRO = (
+    3841459, 5991465, 7814728, 9487729, 11070498, 12591587,
+    14067140, 15507313, 16918978, 18307038, 19675138, 21026070,
+)
+_KW_CRIT_CASE = (
+    "CASE least(n_groups - 1, 12) "
+    + " ".join(
+        f"WHEN {df} THEN {c}" for df, c in enumerate(_KW_CRIT_MICRO, start=1)
+    )
+    + " ELSE 21026070 END"
+)
+#: one fixed-shape IEEE expression per group row (identical text on
+#: both engines so the double arithmetic order cannot differ)
+_KW_HG = (
+    "CAST(floor(3.0 * CAST(s2 - n_g * (n + 1) AS DOUBLE)"
+    " * CAST(s2 - n_g * (n + 1) AS DOUBLE)"
+    " / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+_KW_HADJ = (
+    "CASE WHEN t3 >= n3 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor(CAST(h_micro AS DOUBLE)"
+    " / (1.0 - CAST(t3 AS DOUBLE) / CAST(n3 AS DOUBLE)) + 0.5) AS BIGINT)"
+    " END"
+)
+
+
+@_register(
+    "kruskal_wallis_types",
+    f"""
+WITH base AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+gh AS (SELECT g, c, count(*) AS cnt FROM base GROUP BY 1, 2),
+vh AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS m FROM gh GROUP BY c),
+vr AS (
+  SELECT c, m,
+         2 * (sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m)
+           + m + 1 AS r2
+  FROM vh
+),
+nn AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM vh),
+tt AS (
+  SELECT CAST(sum(CAST(m AS DECIMAL(38, 0)) * m * m - m)
+              AS DECIMAL(38, 0)) AS t3
+  FROM vh
+),
+n3t AS (
+  SELECT CAST(CAST(n AS DECIMAL(38, 0)) * n * n - n AS DECIMAL(38, 0)) AS n3
+  FROM nn
+),
+gs AS (
+  SELECT gh.g, CAST(sum(gh.cnt) AS BIGINT) AS n_g,
+         CAST(sum(gh.cnt * vr.r2) AS BIGINT) AS s2
+  FROM gh JOIN vr USING (c) GROUP BY gh.g
+),
+hg AS (SELECT n_g, {_KW_HG} AS h_micro_g FROM gs CROSS JOIN nn),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(h_micro_g) AS BIGINT) AS h_micro
+  FROM hg
+)
+SELECT nn.n AS n_total, agg.n_groups, agg.h_micro,
+       {_KW_HADJ} AS h_adj_micro,
+       {_KW_HADJ} > {_KW_CRIT_CASE} AS homogeneity_rejected
+FROM agg CROSS JOIN nn CROSS JOIN tt CROSS JOIN n3t""",
+    ref="extension: Kruskal-Wallis rank ANOVA across event types -- "
+    "doubled average ranks from the distinct-cents histogram, exact "
+    "integer rank sums, per-group fixed-shape IEEE H contributions "
+    "micro-quantized before the sum, DECIMAL(38) tie correction, "
+    "frozen chi-square(df) 0.95 verdict",
+)
+def q_kruskal_wallis_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    gh = base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    vh = gh.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    vr = vh.select(
+        "c",
+        "m",
+        (
+            F.lit(2) * (F.sum("m").over(w) - F.col("m"))
+            + F.col("m")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    nn = vh.agg(F.sum("m").cast("bigint").alias("n"))
+    tt = vh.agg(
+        F.expr(
+            "CAST(sum(CAST(m AS DECIMAL(38, 0)) * m * m - m)"
+            " AS DECIMAL(38, 0))"
+        ).alias("t3")
+    )
+    n3t = nn.select(
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38, 0)) * n * n - n AS DECIMAL(38, 0))"
+        ).alias("n3")
+    )
+    gs = (
+        gh.join(vr.select("c", "r2"), "c")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("r2")).cast("bigint").alias("s2"),
+        )
+    )
+    hg = gs.crossJoin(F.broadcast(nn)).select(
+        "n_g", F.expr(_KW_HG).alias("h_micro_g")
+    )
+    agg = hg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("h_micro_g").cast("bigint").alias("h_micro"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(n3t))
+        .select(
+            F.col("n").alias("n_total"),
+            "n_groups",
+            "h_micro",
+            F.expr(_KW_HADJ).alias("h_adj_micro"),
+            F.expr(f"{_KW_HADJ} > {_KW_CRIT_CASE}").alias(
+                "homogeneity_rejected"
+            ),
+        )
+    )

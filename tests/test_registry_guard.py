@@ -58,8 +58,11 @@ def test_driver_window_spends_budget_on_unverified():
         "lang_id_trigram_acc",
         "asof_next_purchase",
         "dedup_paragraphs",
-        # wave 105 (added this round; new code enters the same window)
+        # waves 105/106 (added this round; new code enters the window)
         "txlog_changes_cdf",
+        "kruskal_wallis_types",
+        "wav_silence_spans",
+        "rare_term_cosine_pairs",
         "prefix_cache_savings",
         "dedup_shard_consistency",
         "rm3_expansion_top10",

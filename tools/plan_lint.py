@@ -104,6 +104,9 @@ WHITELIST: dict[tuple[str, str], str] = {
         "marginals over the (event_type x value-bin) contingency table",
     ("winsorized_mean_value", "global_window_unbounded"):
         "rank over the distinct-cent value histogram (domain-quantized)",
+    ("kruskal_wallis_types", "global_window_unbounded"):
+        "doubled-rank cumulative over the distinct-cent value histogram "
+        "(domain-quantized)",
     ("join_key_skew_profile", "global_window_unbounded"):
         "share-of-total over the multiplicity histogram (one row per "
         "distinct multiplicity)",
