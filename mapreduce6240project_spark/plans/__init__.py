@@ -127,7 +127,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # -- tpch_analytics --
     "asof_next_purchase",
     "copurchase_pairs",
-    "event_anomalies",
+    "txlog_zorder_2d_audit",
     "obt_export_checksum",
     "new_vs_returning_monthly",
     # -- vectors_ext --

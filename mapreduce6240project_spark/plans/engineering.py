@@ -3231,3 +3231,91 @@ def q_txlog_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("change_type", "status", "n_rows", "sum_cents")
     )
+
+
+# =========================================================================
+# wave 106 (cont.): two-dimensional Z-order skipping audit
+#
+# ``txlog_zorder_2d_audit``: the Morton-interleave payoff as an
+# externally checkable verdict (skipping_audit pattern).  The events
+# table lands in a txlog table keyed by (user bucket, epoch day),
+# OPTIMIZE with zorder_by=[ub, d] clusters on the true 2-D interleave
+# (sources/layout.zorder_key via sources/txlog.optimize), and the
+# audit asserts that narrow ranges on EITHER column skip files while
+# staying row-exact -- a lexicographic sort serves only its leading
+# column (pinned by tests/test_txlog.py's contrast test).  File counts
+# depend on the range partitioner's sampling, so the booleans and the
+# exact range row-counts are the oracle surface.
+# =========================================================================
+
+
+@_register(
+    "txlog_zorder_2d_audit",
+    """
+WITH base AS (
+  SELECT user_id % 1000 AS ub,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+dr AS (SELECT min(d) AS dmin, max(d) AS dmax FROM base)
+SELECT CAST(count(*) FILTER (WHERE ub BETWEEN 100 AND 150) AS BIGINT)
+         AS n_ub_rows,
+       TRUE AS skipped_ub,
+       TRUE AS ub_read_exact,
+       CAST(count(*) FILTER (
+         WHERE d BETWEEN dr.dmin + (dr.dmax - dr.dmin) // 4
+                     AND dr.dmin + (dr.dmax - dr.dmin) // 2) AS BIGINT)
+         AS n_d_rows,
+       TRUE AS skipped_d,
+       TRUE AS d_read_exact
+FROM base CROSS JOIN dr
+GROUP BY dr.dmin, dr.dmax""",
+    ref="extension: 2-D Morton/Z-order data skipping through the txlog "
+    "OPTIMIZE path -- narrow ranges on EITHER clustered column skip "
+    "files and stay row-exact (booleans pinned TRUE; file counts are "
+    "sampler-dependent, the row counts are not)",
+)
+def q_txlog_zorder_2d_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            (F.col("user_id") % 1000).alias("ub"),
+            F.expr(
+                "CAST(floor(CAST(unix_timestamp(ts) AS DOUBLE) / 86400)"
+                " AS BIGINT)"
+            ).alias("d"),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_z2d_"))
+    tbl.create(base.repartition(8))
+    tbl.optimize(target_files=16, zorder_by=["ub", "d"])
+    # scale-relative ranges; dmin/dmax are bounded scalars (the
+    # skipping_audit contract)
+    snap = tbl.snapshot()
+    row = snap.agg(F.min("d").alias("a"), F.max("d").alias("b")).first()
+    dmin, dmax = int(row["a"]), int(row["b"])
+    lo_d = dmin + (dmax - dmin) // 4
+    hi_d = dmin + (dmax - dmin) // 2
+    ub_df, ub_read, n_files = tbl.snapshot_where("ub", 100, 150)
+    d_df, d_read, _ = tbl.snapshot_where("d", lo_d, hi_d)
+    n_ub = ub_df.count()
+    n_d = d_df.count()
+    full_ub = snap.filter(F.col("ub").between(100, 150)).count()
+    full_d = snap.filter(F.col("d").between(lo_d, hi_d)).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_ub,
+                bool(ub_read < n_files),
+                bool(n_ub == full_ub),
+                n_d,
+                bool(d_read < n_files),
+                bool(n_d == full_d),
+            )
+        ],
+        "n_ub_rows BIGINT, skipped_ub BOOLEAN, ub_read_exact BOOLEAN, "
+        "n_d_rows BIGINT, skipped_d BOOLEAN, d_read_exact BOOLEAN",
+    )

@@ -552,12 +552,15 @@ class TxTable:
     ) -> int:
         """Compaction (OPTIMIZE): rewrite the current snapshot into
         ``target_files`` files -- the small-file answer for a table
-        that has accrued many tiny commits.  ``zorder_by`` range-sorts
-        the rewrite on those columns so min/max file statistics prune
-        scans (the poor-man's Z-ORDER: a single-dimension range
-        cluster; true multi-column interleaving lives in
-        ``sources.layout``).  Logically a no-op: the commit swaps the
-        full file set for the compacted one, and any concurrent
+        that has accrued many tiny commits.  ``zorder_by`` clusters the
+        rewrite so min/max file statistics prune scans: one column (or
+        three-plus) range-sorts lexicographically (prunes the leading
+        column); EXACTLY TWO columns use the true Morton/Z-order
+        interleave from ``sources.layout`` (the Delta OPTIMIZE ZORDER
+        layout) so a narrow range on EITHER column skips files -- the
+        two columns must be non-negative integers (low 16 bits
+        interleaved).  Logically a no-op: the commit swaps the full
+        file set for the compacted one, and any concurrent
         append/merge wins the race cleanly (we retry on the new
         snapshot)."""
         for _ in range(max_retries):
@@ -567,7 +570,23 @@ class TxTable:
             if len(olds) <= target_files and zorder_by is None:
                 return v  # nothing to compact; no empty commit
             cur = self.snapshot(v)
-            if zorder_by:
+            if zorder_by and len(zorder_by) == 2:
+                from mapreduce6240project_spark.sources.layout import (
+                    zorder_key,
+                )
+
+                cur = (
+                    cur.withColumn(
+                        "_zkey",
+                        zorder_key(
+                            F.col(zorder_by[0]), F.col(zorder_by[1])
+                        ),
+                    )
+                    .repartitionByRange(target_files, "_zkey")
+                    .sortWithinPartitions("_zkey")
+                    .drop("_zkey")
+                )
+            elif zorder_by:
                 cur = cur.repartitionByRange(
                     target_files, *[F.col(c) for c in zorder_by]
                 ).sortWithinPartitions(*zorder_by)

@@ -48,9 +48,10 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "log's removes list must hold them anyway)",
     ),
     "plans/engineering.py": (
-        1,
-        "txlog_skipping_audit key-domain max: 1-row agg scalar that "
-        "derives the scale-relative prune range",
+        2,
+        "txlog_skipping_audit key-domain max + txlog_zorder_2d_audit "
+        "day-domain min/max: 1-row agg scalars that derive the "
+        "scale-relative prune ranges",
     ),
     "operators/sampling.py": (
         2,

@@ -66,6 +66,7 @@ def test_driver_window_spends_budget_on_unverified():
         "prefix_cache_savings",
         "dedup_shard_consistency",
         "rm3_expansion_top10",
+        "txlog_zorder_2d_audit",
     ):
         assert name in first50
     # fully disjoint from the 327 queries rounds 2-8 already verified

@@ -697,3 +697,32 @@ def test_changes_across_schema_evolution(spark, tbl):
     # both post-evolution images of key 7 (append + merge survivor set)
     assert (7, "v7", None, "delete") in got
     assert (7, "UPD2", 10, "insert") in got
+
+
+def test_optimize_two_column_zorder_prunes_both_dims(spark, tmp_path):
+    """EXACTLY-TWO-column optimize uses the Morton interleave: a
+    narrow range on EITHER column must skip files, where the
+    lexicographic layout serves only its leading column.  (The
+    measured contrast: lexicographic reads all files for the second
+    dim; z-order prunes both.)"""
+    df = spark.range(20000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    lex = TxTable(spark, str(tmp_path / "lex"))
+    lex.create(
+        df.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+    )
+    z = TxTable(spark, str(tmp_path / "z"))
+    z.create(df.repartition(8))
+    z.optimize(target_files=16, zorder_by=["x", "y"])
+    _, lex_y, lex_tot = lex.snapshot_where("y", 100, 150)
+    assert lex_y == lex_tot  # leading-column sort: y never prunes
+    dx, zx, z_tot = z.snapshot_where("x", 100, 150)
+    dy, zy, _ = z.snapshot_where("y", 100, 150)
+    assert zx < z_tot and zy < z_tot  # z-order: BOTH dims prune
+    # and the pruned reads stay row-exact
+    full = z.snapshot()
+    assert dx.count() == full.filter(F.col("x").between(100, 150)).count()
+    assert dy.count() == full.filter(F.col("y").between(100, 150)).count()
