@@ -345,6 +345,10 @@ def rm3_expansion_topk(
     term list is a <=``n_expansion + |query|``-row broadcast, never a
     literal rebuild of the plan.
     """
+    # dedup while preserving order: a duplicated query term would fan
+    # out BOTH pass-2 joins (tf inflation + double-counted weighted
+    # contributions), silently corrupting scores (review finding)
+    query_terms = list(dict.fromkeys(query_terms))
     term_lits = F.array(*[F.lit(t) for t in query_terms])
     toks = fan_out(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
     # exact corpus stats: one bounded 2-int aggregate, folded into
@@ -400,10 +404,8 @@ def rm3_expansion_topk(
         .limit(n_expansion)
         .select("term", F.lit(1).cast("bigint").alias("wgt"))
     )
-    orig_df = (
-        docs.sparkSession.createDataFrame(
-            [(t, orig_weight) for t in query_terms], f"term STRING, wgt BIGINT"
-        )
+    orig_df = docs.sparkSession.createDataFrame(
+        [(t, orig_weight) for t in query_terms], "term STRING, wgt BIGINT"
     )
     terms_df = orig_df.unionByName(exp_t)
     # pass 2: weighted expanded query over the corpus

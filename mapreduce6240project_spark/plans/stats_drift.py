@@ -3922,8 +3922,9 @@ rho AS (
 s AS (
   -- lag < n keeps the divisor provably positive: n counts DISTINCT
   -- days while t is datediff-indexed, so a gapped series can have
-  -- lag pairs even when n - lag <= 0, where DuckDB // (floor) and
-  -- Spark div (truncate) diverge on the negative quotient
+  -- lag pairs even when n - lag <= 0 -- a zero divisor NULLs the
+  -- whole sum (silent NULL output) and a negative one flips the
+  -- term's sign; both are statistically meaningless for the Q sum
   SELECT CAST(coalesce(sum(rho_micro * rho_micro // (nn.n - rho.lag)), 0)
               AS BIGINT) AS s_int
   FROM rho CROSS JOIN nn WHERE rho.lag < nn.n
@@ -3988,7 +3989,8 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rho_micro"),
     )
     # lag < n guards the divisor (gapped day series: lag pairs can
-    # exist at n - lag <= 0, where floor vs truncate division diverge)
+    # exist at n - lag <= 0 -- a zero divisor NULLs the sum, a
+    # negative one flips the term's sign; see the oracle CTE comment)
     s = (
         rho.crossJoin(F.broadcast(nn))
         .filter(F.col("lag") < F.col("n"))
@@ -4279,8 +4281,18 @@ def q_kruskal_wallis_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
     )
-    gh = base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
-    vh = gh.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("m"))
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    # gh feeds the value histogram AND the per-group rank-sum join;
+    # vh feeds the rank window, n, and the tie term: pin both (they
+    # are (type x distinct-cents) / distinct-cents sized -- tiny) so a
+    # cold plan aggregates events once
+    gh = cache_tracked(
+        base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vh = cache_tracked(
+        gh.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("m"))
+    )
     w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     vr = vh.select(
         "c",

@@ -75,6 +75,15 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _schema_sig(fields: list[dict]) -> list[tuple[str, str]]:
+    """(name, canonical-type-json) signature of a field list -- the ONE
+    definition of "same field" shared by the exact-match check and the
+    evolution prefix check, so the two can never drift apart."""
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields
+    ]
+
+
 def _footer_stats(path: str) -> tuple[int, dict]:
     """(row_count, {col: [min, max]}) from the parquet footer -- no
     data scan.  Only JSON-representable primitive stats are kept
@@ -258,15 +267,8 @@ class TxTable:
             state = self._replay(version)
         if state["schema"] is None:
             return
-
-        def _sig(fields):
-            return [
-                (f["name"], json.dumps(f["type"], sort_keys=True))
-                for f in fields
-            ]
-
-        want = _sig(json.loads(state["schema"])["fields"])
-        got = _sig(json.loads(df.schema.json())["fields"])
+        want = _schema_sig(json.loads(state["schema"])["fields"])
+        got = _schema_sig(json.loads(df.schema.json())["fields"])
         if want != got:
             raise ValueError(
                 f"schema mismatch: table has {want}, write has {got}"
@@ -312,20 +314,14 @@ class TxTable:
         elif merge_schema:
             want = json.loads(state["schema"])["fields"]
             got = json.loads(df.schema.json())["fields"]
-
-            def _sig(fields):
-                return [
-                    (f["name"], json.dumps(f["type"], sort_keys=True))
-                    for f in fields
-                ]
-
-            if len(got) < len(want) or _sig(got[: len(want)]) != _sig(
-                want
-            ):
+            if len(got) < len(want) or _schema_sig(
+                got[: len(want)]
+            ) != _schema_sig(want):
                 raise ValueError(
                     "schema evolution must keep every existing field "
                     f"(name+type, in order) and only APPEND new ones: "
-                    f"table has {_sig(want)}, write has {_sig(got)}"
+                    f"table has {_schema_sig(want)}, write has "
+                    f"{_schema_sig(got)}"
                 )
             if len(got) > len(want):
                 evolved = df.schema.json()

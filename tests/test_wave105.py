@@ -164,3 +164,27 @@ def test_rm3_matches_bruteforce(spark):
         for r in REGISTRY["rm3_expansion_top10"].fn(spark, SF).collect()
     ]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_rm3_duplicate_query_terms_are_deduped(spark):
+    """A duplicated query term must not fan out the pass-2 joins
+    (review finding): scores with ['join','join','filter','scan']
+    equal scores with the deduped list."""
+    from mapreduce6240project_spark.operators.retrieval import (
+        rm3_expansion_topk,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    a = {
+        (r.doc_id, r.rm3_micros)
+        for r in rm3_expansion_topk(
+            docs, ["join", "join", "filter", "scan"], k=10
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.rm3_micros)
+        for r in rm3_expansion_topk(
+            docs, ["join", "filter", "scan"], k=10
+        ).collect()
+    }
+    assert a == b
