@@ -4283,16 +4283,16 @@ def q_kruskal_wallis_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapreduce6240project_spark.operators.prefix import cache_tracked
 
-    # gh feeds the value histogram AND the per-group rank-sum join;
-    # vh feeds the rank window, n, and the tie term: pin both (they
-    # are (type x distinct-cents) / distinct-cents sized -- tiny) so a
-    # cold plan aggregates events once
+    # gh feeds the value histogram AND the per-group rank-sum join:
+    # pin it ((type x distinct-cents) sized -- tiny) so a cold plan
+    # aggregates events once.  vh stays UNCACHED on purpose: the
+    # global-window waiver's substantiation walk must find vh's
+    # grain aggregate below the window node, and an InMemoryRelation
+    # would hide it (vh rebuilds from the cached gh -- cheap)
     gh = cache_tracked(
         base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vh = cache_tracked(
-        gh.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("m"))
-    )
+    vh = gh.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("m"))
     w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     vr = vh.select(
         "c",
