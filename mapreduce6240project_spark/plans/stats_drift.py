@@ -4344,3 +4344,161 @@ def q_kruskal_wallis_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =========================================================================
+# wave 107: cluster (user-level) Poisson bootstrap CI
+#
+# ``cluster_bootstrap_ratio_ci``: a percentile CI for revenue-per-event
+# that resamples USERS, not rows -- events of one user are correlated,
+# so the row bootstrap (bootstrap_mean_value) understates variance;
+# the cluster bootstrap is the standard correction (and the online
+# A/B-testing workhorse, cf. the Poisson bootstrap of Chamandy et al.).
+# Replicate weights are DETERMINISTIC: w(user, rep) ~ Poisson(1) via
+# inverse-CDF on the SQL-replayable hash60 uniform (frozen cumulative
+# constants embedded via repr, the bm25-literal convention), so all 32
+# replicate estimates -- and the rank-based 2nd/31st percentile bounds
+# -- hash exactly.  Per-replicate ratio is the ONE double division
+# over exact integer weighted sums.
+#
+# 100 TB: one user-grain aggregate, a 32x explode of that (small)
+# table, 32 weighted sums, a 32-row rank.  No row-level resampling.
+# =========================================================================
+
+import math as _math
+
+#: cumulative Poisson(1) CDF at k = 0..5, frozen as Python doubles and
+#: embedded via repr on BOTH engines (fixed summation order)
+_PB_CDF = []
+_acc = 0.0
+for _k in range(6):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _PB_CDF.append(_acc)
+_PB_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_PB_CDF)
+    )
+    + " ELSE 6 END"
+)
+_PB_DENOM = float(1 << 60)
+
+
+@_register(
+    "cluster_bootstrap_ratio_ci",
+    f"""
+WITH ue AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS tc,
+         CAST(sum(n) AS BIGINT) AS tn
+  FROM ue
+),
+reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+wts AS (
+  SELECT rep, cents, n, {_PB_CASE} AS w
+  FROM (
+    SELECT r.rep, ue.cents, ue.n,
+           CAST(('0x' || substr(md5(ue.user_id::VARCHAR || ':'
+                                    || r.rep::VARCHAR), 1, 15))::BIGINT
+                AS DOUBLE) / {_PB_DENOM!r} AS u
+    FROM ue CROSS JOIN reps r
+  )
+),
+ests AS (
+  SELECT rep,
+         CAST(floor(CAST(sum(w * cents) AS DOUBLE)
+              / CAST(sum(w * n) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS est
+  FROM wts GROUP BY rep HAVING sum(w * n) > 0
+),
+rk AS (SELECT est, row_number() OVER (ORDER BY est, rep) AS r FROM ests)
+SELECT tot.n_users,
+       CAST(32 AS BIGINT) AS n_reps,
+       CAST(floor(CAST(tot.tc AS DOUBLE) / CAST(tot.tn AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS point_micro,
+       (SELECT est FROM rk WHERE r = 2) AS ci_lo_micro,
+       (SELECT est FROM rk WHERE r = 31) AS ci_hi_micro
+FROM tot""",
+    ref="extension: user-level (cluster) Poisson bootstrap percentile "
+    "CI for revenue-per-event -- deterministic hash-inverse-CDF "
+    "Poisson(1) weights, 32 replicates, rank-based 2nd/31st bounds; "
+    "one IEEE division per replicate over exact integer weighted sums",
+)
+def q_cluster_bootstrap_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.functions.hashing import hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    ue = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = ue.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("tc"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    u = (
+        hash60(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(_PB_DENOM)
+    )
+    wts = (
+        ue.select(
+            "user_id",
+            "cents",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+        )
+        .withColumn("u", u)
+        .select("rep", "cents", "n", F.expr(_PB_CASE).alias("w"))
+    )
+    ests = (
+        wts.groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum(F.col("w") * F.col("n")).alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            "rep",
+            F.expr(
+                "CAST(floor(CAST(wc AS DOUBLE) / CAST(wn AS DOUBLE)"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("est"),
+        )
+    )
+    w = Window.orderBy("est", "rep")
+    rk = ests.select("est", F.row_number().over(w).alias("r"))
+    lo = rk.filter(F.col("r") == 2).select(F.col("est").alias("ci_lo_micro"))
+    hi = rk.filter(F.col("r") == 31).select(F.col("est").alias("ci_hi_micro"))
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_users",
+            F.lit(32).cast("bigint").alias("n_reps"),
+            F.expr(
+                "CAST(floor(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("point_micro"),
+            "ci_lo_micro",
+            "ci_hi_micro",
+        )
+    )

@@ -67,6 +67,8 @@ def test_driver_window_spends_budget_on_unverified():
         "dedup_shard_consistency",
         "rm3_expansion_top10",
         "txlog_zorder_2d_audit",
+        "blocking_quality_audit",
+        "cluster_bootstrap_ratio_ci",
     ):
         assert name in first50
     # fully disjoint from the 327 queries rounds 2-8 already verified
