@@ -407,7 +407,12 @@ def rm3_expansion_topk(
     orig_df = docs.sparkSession.createDataFrame(
         [(t, orig_weight) for t in query_terms], "term STRING, wgt BIGINT"
     )
-    terms_df = orig_df.unionByName(exp_t)
+    # pin the <=|query|+n_expansion-row term table: it feeds BOTH
+    # pass-2 joins (hit filter + weighting), and uncached each
+    # reference would rebuild the whole pass-1 subtree in a cold plan
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    terms_df = cache_tracked(orig_df.unionByName(exp_t))
     # pass 2: weighted expanded query over the corpus
     s2 = _scores(
         ex.join(F.broadcast(terms_df.select("term")), "term"), True

@@ -66,7 +66,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    mirror), then proportional never-checked draws across every
     #    family that still has mirror-only members.  COVERAGE.md
     #    tracks the cumulative ledger; tools/coverage_ledger.py
-    #    regenerates it.  The wave-105/106/107 queries added THIS round
+    #    regenerates it.  The wave-105/106/107/108 queries added THIS round
     #    enter this window directly (r9 ADVICE item 4: new code gets
     #    external verdicts the same round it lands). --
     # -- added in round 8 after the r8 rotation (ADVICE item 4) --
@@ -129,7 +129,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "blocking_quality_audit",
     "txlog_zorder_2d_audit",
     "cluster_bootstrap_ratio_ci",
-    "new_vs_returning_monthly",
+    "txlog_restore_roundtrip",
     # -- vectors_ext --
     "dedup_paragraphs",
     "qsketch_grain_rollup",

@@ -3319,3 +3319,83 @@ def q_txlog_zorder_2d_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ub_rows BIGINT, skipped_ub BOOLEAN, ub_read_exact BOOLEAN, "
         "n_d_rows BIGINT, skipped_d BOOLEAN, d_read_exact BOOLEAN",
     )
+
+
+# =========================================================================
+# wave 108: RESTORE TABLE through the txlog commit log
+#
+# ``txlog_restore_roundtrip``: the rollback path -- create from
+# orders, DELETE every 5th key (a bad job), RESTORE to version 0 as a
+# NEW commit (history stays linear and append-only, no data files
+# copied -- the commit re-adds the old version's log entries, cost
+# O(file count) JSON regardless of table size), then aggregate the
+# damaged version AND the restored head via time travel.  The oracle
+# replays both states relationally, so the external hash pins that the
+# restore returned the table EXACTLY to its pre-delete content while
+# the damaged intermediate version remains readable.
+# =========================================================================
+
+
+@_register(
+    "txlog_restore_roundtrip",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+damaged AS (
+  SELECT CAST(1 AS BIGINT) AS version, status,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base WHERE k % 5 <> 0 GROUP BY status
+),
+restored AS (
+  SELECT CAST(2 AS BIGINT) AS version, status,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY status
+)
+SELECT * FROM damaged UNION ALL SELECT * FROM restored""",
+    ref="extension: RESTORE TABLE ... TO VERSION through the txlog "
+    "commit log (sources/txlog.py restore()) -- rollback as a new "
+    "linear commit, no file copies; oracle replays the damaged and "
+    "restored states relationally",
+)
+def q_txlog_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_restore_"))
+    tbl.create(base.repartition(4))
+    tbl.delete_where(F.col("k") % 5 == 0)  # the bad job
+    v = tbl.restore(0)  # the rollback
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return (
+        agg(tbl.snapshot(1), 1)  # damaged version stays readable
+        .unionByName(agg(tbl.snapshot(v), 2))
+        .select("version", "status", "n_orders", "sum_cents")
+    )

@@ -11,7 +11,8 @@ travel, file-pruned MERGE/DELETE, OPTIMIZE compaction with range
 clustering (true two-column Morton Z-ORDER interleave for 2-D
 predicates), footer-statistics zonemaps with data-skipping reads,
 a file-delta row-level change feed (``changes()`` -- table_changes
-without change files), idempotent writer transactions, schema
+without change files), RESTORE-to-version rollback as a linear
+commit, idempotent writer transactions, schema
 evolution, checkpoints, and an age-guarded vacuum -- so the engine's
 CDC/upsert story runs end-to-end in this container instead of ending
 at a capability probe (round-7 verdict gap 2).
@@ -638,6 +639,55 @@ class TxTable:
                     continue  # racing vacuum already removed it
                 deleted.append(f)
         return sorted(deleted)
+
+    def restore(self, version: int, max_retries: int = 3) -> int:
+        """RESTORE TABLE ... TO VERSION: make ``version``'s file set
+        the new head as a NEW commit (the Delta restore semantics --
+        history stays linear and append-only, nothing is rewritten or
+        deleted, and the restore itself can be time-traveled past or
+        restored again).  No data files are copied: the commit re-adds
+        the old version's entries and removes the current extras, so
+        the cost is O(file count) JSON, independent of table size.
+        The restored version's schema is re-committed with it (a
+        restore across a schema evolution returns to the narrow
+        schema).  Fails loudly if ``version`` does not exist."""
+        if version < 0 or not os.path.exists(self._commit_path(version)):
+            raise FileNotFoundError(
+                f"no version {version} at {self.root}"
+            )
+        for _ in range(max_retries):
+            v = self.latest_version()
+            old = self._replay(version)
+            cur = self._replay(v)
+            adds = []
+            for p, e in old["files"].items():
+                if p in cur["files"]:
+                    continue
+                if not os.path.exists(os.path.join(self.root, p)):
+                    # a vacuum past the retention window collected the
+                    # old version's file: fail loudly BEFORE committing
+                    # (Delta's RESTORE ... missing-file error)
+                    raise FileNotFoundError(
+                        f"cannot restore to version {version}: data "
+                        f"file {p} was vacuumed"
+                    )
+                entry = dict(e) if isinstance(e, dict) else {"rows": e}
+                entry.setdefault("path", p)
+                adds.append(entry)
+            removes = [p for p in cur["files"] if p not in old["files"]]
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "restore", "adds": adds,
+                     "removes": removes, "schema": old["schema"]},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"restore lost {max_retries} optimistic-concurrency races"
+        )
 
     def changes(self, v_from: int, v_to: int) -> DataFrame:
         """Row-level change feed between two versions (the Delta

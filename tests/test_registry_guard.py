@@ -69,6 +69,7 @@ def test_driver_window_spends_budget_on_unverified():
         "txlog_zorder_2d_audit",
         "blocking_quality_audit",
         "cluster_bootstrap_ratio_ci",
+        "txlog_restore_roundtrip",
     ):
         assert name in first50
     # fully disjoint from the 327 queries rounds 2-8 already verified

@@ -726,3 +726,48 @@ def test_optimize_two_column_zorder_prunes_both_dims(spark, tmp_path):
     full = z.snapshot()
     assert dx.count() == full.filter(F.col("x").between(100, 150)).count()
     assert dy.count() == full.filter(F.col("y").between(100, 150)).count()
+
+
+def test_restore_to_version(spark, tbl):
+    """RESTORE makes an old version the head as a NEW commit: history
+    stays linear, no data files are copied, a restore across a schema
+    evolution returns to the narrow schema, and restoring to a
+    vacuumed version fails loudly before committing."""
+    tbl.append(spark.createDataFrame([(100, "v100")], "k INT, val STRING"))
+    tbl.delete_where(F.col("k") < 50)
+    v_restore = tbl.restore(0)
+    assert v_restore == 3  # create, append, delete, restore
+    assert _rows(tbl.snapshot()) == {(i, f"v{i}") for i in range(100)}
+    assert tbl.count() == 100
+    # nothing was rewritten: the restore commit re-adds log entries only
+    with open(tbl._commit_path(v_restore)) as f:
+        rec = json.load(f)
+    assert rec["op"] == "restore"
+    assert {a["path"] for a in rec["adds"]} <= set(
+        tbl._replay(0)["files"]
+    )
+    # time travel still sees every pre-restore version
+    assert tbl.count(2) == 51
+    # restore across a schema evolution returns the narrow schema
+    tbl.append(
+        spark.createDataFrame([(500, "x", 1)], "k INT, val STRING, extra INT"),
+        merge_schema=True,
+    )
+    assert tbl.snapshot().columns == ["k", "val", "extra"]
+    tbl.restore(v_restore)
+    assert tbl.snapshot().columns == ["k", "val"]
+    # restoring to a nonexistent version fails loudly
+    with pytest.raises(FileNotFoundError, match="no version"):
+        tbl.restore(99)
+
+
+def test_restore_to_vacuumed_version_fails_loudly(spark, tbl):
+    tbl.merge(
+        spark.createDataFrame([(7, "UPD")], "k INT, val STRING"), ["k"]
+    )
+    tbl.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tbl.restore(0)
+    # the failed restore committed nothing; the head is intact
+    assert tbl.latest_version() == 1
+    assert (7, "UPD") in _rows(tbl.snapshot())
