@@ -2,7 +2,7 @@
 
 Replaces Analysis.java (histogram over cluster output hydrated from the
 feature store) and test.java (global count with in-mapper combining --
-which is exactly Spark's partial aggregation, so ``df.count()``).
+which is exactly Spark's partial aggregation, so a bare row count).
 
 All of these are single-shuffle groupBy plans: Catalyst emits
 HashAggregate(partial) -> Exchange -> HashAggregate(final); the partial

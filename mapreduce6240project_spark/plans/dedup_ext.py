@@ -1679,6 +1679,13 @@ _RTC_COS = (
     " * 1000000 + 0.5) AS BIGINT)"
 )
 
+# Zero-norm guard (r9 ADVICE): on a degenerate corpus (nd close to
+# df_t) every centi-quantized weight can round to 0, making n2 = 0 and
+# the cosine 0/0 -- Spark floors the NaN to NULL while DuckDB's
+# CAST(NaN AS BIGINT) aborts, so the pair must be excluded identically
+# on BOTH engines before the division.
+_RTC_GUARD = "na2 > 0 AND nb2 > 0"
+
 
 @_register(
     "rare_term_cosine_pairs",
@@ -1714,6 +1721,7 @@ SELECT id_a, id_b, {_RTC_COS} AS cos_micro
 FROM dots
 JOIN (SELECT doc_id, n2 AS na2 FROM norms) na ON na.doc_id = id_a
 JOIN (SELECT doc_id, n2 AS nb2 FROM norms) nb ON nb.doc_id = id_b
+WHERE {_RTC_GUARD}
 ORDER BY cos_micro DESC, id_a, id_b LIMIT 20""",
     ref="extension: tf-idf cosine similarity join on the df<=20 rare-"
     "term subspace -- bounded posting lists make the pair expansion "
@@ -1725,7 +1733,11 @@ def q_rare_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("w"))
-    nd = toks.count()  # exact scalar, folded into the idf literal
+    # corpus size enters as a broadcast 1-row aggregate, NOT an eager
+    # .count() -- at 100 TB an eager scalar is a redundant full pass
+    # over documents per invocation (r9 verdict item 3); the IEEE shape
+    # CAST(nd AS DOUBLE) / df_t is identical to the oracle's.
+    nn = toks.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     tf = (
         toks.select("doc_id", F.explode("w").alias("term"))
         .groupBy("doc_id", "term")
@@ -1736,17 +1748,21 @@ def q_rare_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df_t"))
         .filter(F.col("df_t") <= 20)
     )
-    vec = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.floor(
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(nd)) / F.col("df_t"))
-            * 100
-            + F.lit(0.5)
+    vec = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf").cast("double")
+                * F.log(F.col("nd").cast("double") / F.col("df_t"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("w"),
         )
-        .cast("bigint")
-        .alias("w"),
     )
     norms = vec.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
@@ -1768,6 +1784,7 @@ def q_rare_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2")),
             "id_b",
         )
+        .filter(F.expr(_RTC_GUARD))
         .select("id_a", "id_b", F.expr(_RTC_COS).alias("cos_micro"))
         .orderBy(F.desc("cos_micro"), "id_a", "id_b")
         .limit(20)
@@ -1841,7 +1858,13 @@ def q_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true").alias("n_true_pairs"),
             F.col("n_cand").alias("n_candidate_pairs"),
             "n_captured",
-            F.expr("n_captured * 1000000 div n_true")
+            # n_true = 0 (no simgraph pair clears the threshold) makes
+            # completeness vacuously total: pin 1000000 rather than
+            # emitting NULL (r9 ADVICE) -- identically in the oracle.
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE n_captured * 1000000 div n_true END"
+            )
             .cast("bigint")
             .alias("completeness_ppm"),
             F.expr(
@@ -1892,7 +1915,8 @@ SELECT nn.n_docs,
        truth.n_true AS n_true_pairs,
        cand.n_cand AS n_candidate_pairs,
        truth.n_captured,
-       CAST(truth.n_captured * 1000000 // truth.n_true AS BIGINT)
+       CAST(CASE WHEN truth.n_true = 0 THEN 1000000
+            ELSE truth.n_captured * 1000000 // truth.n_true END AS BIGINT)
          AS completeness_ppm,
        CAST((nn.n_docs * (nn.n_docs - 1) // 2 - cand.n_cand) * 1000000
             // (nn.n_docs * (nn.n_docs - 1) // 2) AS BIGINT)

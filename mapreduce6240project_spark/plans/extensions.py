@@ -239,7 +239,7 @@ def _ivf_cells_sql(iters: int = 2) -> str:
     ``iv``/``vecs`` carry the filter, and the seed draw ``sr`` reads
     from the filtered ``iv`` exactly like Spark's ``valid`` frame.
     ``nc`` keeps counting the FULL table (Spark sizes n_cells from
-    ``embeddings.count()`` before filtering)."""
+    the eager embeddings row count before filtering)."""
     ctes = [
         """
 WITH iv AS (

@@ -560,20 +560,24 @@ FROM fixed f JOIN documents d ON d.doc_id = f.neg_id""",
 )
 def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    nd = docs.count()  # one scalar aggregate, folded into literals
+    # corpus size as a broadcast 1-row aggregate, not an eager .count():
+    # the eager scalar cost an extra full documents pass per invocation
+    # (r9 verdict item 3); modular arithmetic works identically on the
+    # joined-in column.
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     slots = F.array(*[F.lit(j) for j in range(N_NEGATIVES)])
     anchors = docs.select(
         F.col("doc_id").alias("anchor_id"), F.explode(slots).alias("slot")
-    )
+    ).crossJoin(F.broadcast(n))
     raw = (
         (F.col("anchor_id") % _MOD) * _MULT
         + _INC
         + F.col("slot").cast("bigint") * NEG_STEP
-    ) % _MOD % nd
+    ) % _MOD % F.col("nd")
     negs = anchors.select(
         "anchor_id",
         "slot",
-        F.when(raw == F.col("anchor_id"), (raw + 1) % nd)
+        F.when(raw == F.col("anchor_id"), (raw + 1) % F.col("nd"))
         .otherwise(raw)
         .alias("neg_id"),
     )

@@ -640,7 +640,12 @@ class TxTable:
                 deleted.append(f)
         return sorted(deleted)
 
-    def restore(self, version: int, max_retries: int = 3) -> int:
+    def restore(
+        self,
+        version: int,
+        max_retries: int = 3,
+        _verify: bool = True,
+    ) -> int:
         """RESTORE TABLE ... TO VERSION: make ``version``'s file set
         the new head as a NEW commit (the Delta restore semantics --
         history stays linear and append-only, nothing is rewritten or
@@ -650,7 +655,24 @@ class TxTable:
         the cost is O(file count) JSON, independent of table size.
         The restored version's schema is re-committed with it (a
         restore across a schema evolution returns to the narrow
-        schema).  Fails loudly if ``version`` does not exist."""
+        schema).  Fails loudly if ``version`` does not exist.
+
+        Vacuum race (r9 ADVICE): the pre-commit existence check is
+        TOCTOU -- a concurrent ``vacuum`` can collect a re-added file
+        between the check and the ``os.link`` publish.  So after
+        WINNING the commit slot the file set is re-verified; if any
+        re-added file vanished, a compensating restore-back commit
+        (to the pre-restore head's file set, which was live one
+        version ago) is published and ``FileNotFoundError`` raised --
+        readers never see a head with missing files for longer than
+        the re-check window.  Residual window: the compensation
+        itself assumes the pre-restore head's files survive, which
+        ``vacuum(retain_versions >= 2)`` guarantees (they are in the
+        newest-but-one version); a concurrent ``retain_versions=1``
+        vacuum interleaved between the two commits could still strand
+        the head -- the same razor-thin double-race every
+        directory-listing-based log (public Delta pre-VACUUM-
+        protocol) accepts."""
         if version < 0 or not os.path.exists(self._commit_path(version)):
             raise FileNotFoundError(
                 f"no version {version} at {self.root}"
@@ -682,9 +704,36 @@ class TxTable:
                     {"version": nv, "op": "restore", "adds": adds,
                      "removes": removes, "schema": old["schema"]},
                 )
-                return nv
             except ConcurrentCommitError:
                 continue
+            # post-commit re-verify (TOCTOU close, r9 ADVICE): a vacuum
+            # racing between the pre-commit check and the link can have
+            # collected a re-added file; restore BACK and fail loudly
+            # rather than leave a head that errors at scan time.
+            missing = (
+                [
+                    e["path"]
+                    for e in adds
+                    if not os.path.exists(
+                        os.path.join(self.root, e["path"])
+                    )
+                ]
+                if _verify
+                else []
+            )
+            if missing:
+                # compensate: RESTORE back to the pre-restore head (its
+                # files were live one version ago; retain_versions >= 2
+                # vacuums keep them), then fail loudly.  _verify=False
+                # stops a pathological all-files-vacuumed scenario from
+                # recursing through compensations of compensations.
+                self.restore(v, _verify=False)
+                raise FileNotFoundError(
+                    f"cannot restore to version {version}: data files "
+                    f"{sorted(missing)} were vacuumed concurrently; "
+                    f"table restored back to the version-{v} file set"
+                )
+            return nv
         raise ConcurrentCommitError(
             f"restore lost {max_retries} optimistic-concurrency races"
         )

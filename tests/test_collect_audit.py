@@ -1,15 +1,23 @@
 """Driver-materialization audit guard.
 
-Every ``.collect()`` / ``.first()`` / ``.toPandas()`` in non-test
-source is a driver round-trip: bounded ones are how this engine keeps
+Every ``.collect()`` / ``.first()`` / ``.toPandas()`` / ``.count()``
+in non-test source is a driver round-trip (or, for ``.count()``, an
+eager full-input action): bounded ones are how this engine keeps
 iterative state exact (k-row medoid tables, d-bounded centroids,
 enum-bounded transition matrices -- each with a documented cap), but an
-UNbounded one is the classic "it's not distributed" failure, invisible
-at test scale.  This guard pins the per-file inventory with a written
-boundedness argument; adding a driver round-trip anywhere forces an
-edit HERE (stating the new site's cap), and removing one forces the
-stale entry to be cleaned up.  The same mechanism class as
+UNbounded collect is the classic "it's not distributed" failure, and an
+eager ``.count()`` inside a plan body is a redundant full scan per
+invocation (r9 verdict item 3: two idf scalars each re-read the whole
+documents table; the fix is a broadcast 1-row aggregate joined into the
+plan).  This guard pins the per-file inventory with a written
+boundedness/necessity argument; adding a driver round-trip anywhere
+forces an edit HERE (stating the new site's cap), and removing one
+forces the stale entry to be cleaned up.  The same mechanism class as
 tools/plan_lint.py's justification-required whitelist.
+
+``.count()`` caveat: ``GroupedData.count()`` is a lazy transformation,
+not an action -- the scan cannot distinguish it textually, so lazy
+sites are inventoried too, with the justification saying so.
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / (
     "mapreduce6240project_spark"
 )
 
-PATTERN = re.compile(r"\.collect\(\)|\.first\(\)|\.toPandas\(\)")
+PATTERN = re.compile(r"\.collect\(\)|\.first\(\)|\.toPandas\(\)|\.count\(\)")
 
 #: relative path -> (expected site count, boundedness argument)
 INVENTORY: dict[str, tuple[int, str]] = {
@@ -38,7 +46,9 @@ INVENTORY: dict[str, tuple[int, str]] = {
     "plans/retrieval.py": (
         4,
         "query-vector/label probes: 1 row by key each (4th site: "
-        "map_at10's qlabel first(), same vec_id=0 point lookup)",
+        "map_at10's qlabel first(), same vec_id=0 point lookup); the "
+        "contrastive_negatives corpus-size .count() was folded into a "
+        "broadcast 1-row aggregate (r9 verdict item 3)",
     ),
     "streaming/jobs.py": (1, "watermark cutoff scalar (1-row agg)"),
     "sources/txlog.py": (
@@ -48,48 +58,77 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "log's removes list must hold them anyway)",
     ),
     "plans/engineering.py": (
-        2,
+        8,
         "txlog_skipping_audit key-domain max + txlog_zorder_2d_audit "
         "day-domain min/max: 1-row agg scalars that derive the "
-        "scale-relative prune ranges",
+        "scale-relative prune ranges; plus 6 .count() sites in the SAME "
+        "two audits counting files-read under pruned vs full scans -- "
+        "the counted frames are metadata-pruned txlog snapshots whose "
+        "size IS the audit verdict (can't be folded: the pruned scan "
+        "must execute to observe the skip)",
+    ),
+    "plans/sketch_ext.py": (
+        1,
+        "markov stationary: k = distinct event types (enum-bounded "
+        "domain, sizes the uniform start vector literal)",
+    ),
+    "plans/relational.py": (
+        1,
+        "LAZY: GroupedData.pivot().count() is a transformation, not an "
+        "action -- no driver round-trip",
     ),
     "operators/sampling.py": (
         2,
         "per-stratum counts: strata are enum-bounded group keys",
     ),
     "operators/textstats.py": (
-        2,
+        3,
         "pack_chunks per-partition sums (#partitions rows) + BPE merge "
-        "argmax (1 row per learned merge, vocab-bounded rounds)",
+        "argmax (1 row per learned merge, vocab-bounded rounds) + tfidf "
+        "n_docs scalar (one 1-row agg; feeds a python-float idf literal "
+        "baked into many downstream expressions, so a joined-in column "
+        "would change the shared expression shape all callers pin)",
     ),
     "operators/dedup.py": (
-        3,
+        6,
         "adaptive pre-probe max group size + candidate-text byte probe "
         "for the broadcast gate + hot-bucket sample-probe max bucket "
-        "count (1-row aggs each)",
+        "count (1-row aggs each); 3 .count() sites: eager cache "
+        "materialization (deliberate, scan happens once into the "
+        "cache), hot-bucket count n_hot (on the already-cached banded "
+        "frame), candidate-id cache materialization",
     ),
     "operators/clustering.py": (
-        4,
+        5,
         "k-medoids driver state: k seeds, C-row exact combo table "
-        "(cap-guarded), k updated medoids per round",
+        "(cap-guarded), k updated medoids per round; 1 .count(): combo "
+        "cache materialization (iterations re-read the cache)",
     ),
     "operators/vectors.py": (
-        8,
+        9,
         "k-means/PCA/k-center driver state: d-bounded centroids and "
         "covariance (d^2), 1-row counts/probes, limit-1 argmax picks; "
-        "adaptive paths switch to distributed twins above the cap",
+        "adaptive paths switch to distributed twins above the cap; "
+        "1 .count(): iteration-cache materialization",
     ),
     "operators/graph.py": (
-        4,
+        10,
         "CC edge list below the documented driver cap (distributed "
-        "label propagation above it) + 1-row triangle/wedge counts",
+        "label propagation above it) + 1-row triangle/wedge counts; "
+        "6 .count() sites: cached-edge/degree materializations, "
+        "per-iteration convergence counts (n_changed, frontier sizes) "
+        "-- the loop-exit predicate of iterative fixpoint algorithms, "
+        "one scalar per round on cached frames",
     ),
     "operators/sketch.py": (1, "m-row sketch fold (log-bucket bounded)"),
     "operators/similarity.py": (
-        7,
+        11,
         "ANN driver state: k centroids, query signature/vector probes "
         "(keyed 1-row), brute-force fallback below the adaptive cap "
-        "with distributed twin above",
+        "with distributed twin above; 4 .count() sites: corpus-size "
+        "scalars sizing IVF cell counts and the bruteforce-vs-IVF "
+        "adaptive gate (one 1-row agg over the session-cached "
+        "embeddings frame each)",
     ),
     "operators/retrieval.py": (
         4,

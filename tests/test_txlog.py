@@ -771,3 +771,42 @@ def test_restore_to_vacuumed_version_fails_loudly(spark, tbl):
     # the failed restore committed nothing; the head is intact
     assert tbl.latest_version() == 1
     assert (7, "UPD") in _rows(tbl.snapshot())
+
+
+def test_restore_vacuum_race_compensates(spark, tbl, monkeypatch):
+    """TOCTOU close (r9 ADVICE): a vacuum racing between restore()'s
+    pre-commit existence check and the commit publish must not leave a
+    committed head referencing missing files -- the post-commit
+    re-verify publishes a compensating restore-back commit (head
+    returns to the pre-restore file set) and raises loudly."""
+    tbl.delete_where(F.col("k") < 50)  # v1 rewrites the affected files
+    v_head = tbl.latest_version()
+    head_rows = _rows(tbl.snapshot())
+    # the files only version 0 references = exactly what restore(0)
+    # re-adds = what a racing vacuum would collect
+    target = sorted(
+        set(tbl._replay(0)["files"]) - set(tbl._replay(v_head)["files"])
+    )
+    assert target, "delete_where should have rewritten at least one file"
+    real_write = TxTable._write_commit
+    fired = {"done": False}
+
+    def racing_write(self, version, record):
+        real_write(self, version, record)
+        if record.get("op") == "restore" and not fired["done"]:
+            # simulate the vacuum landing just after the link publish
+            fired["done"] = True
+            for p in target:
+                os.unlink(os.path.join(self.root, p))
+
+    monkeypatch.setattr(TxTable, "_write_commit", racing_write)
+    with pytest.raises(FileNotFoundError, match="vacuumed concurrently"):
+        tbl.restore(0)
+    # compensating commit: history stays linear, head = pre-restore set
+    assert tbl.latest_version() == v_head + 2
+    with open(tbl._commit_path(v_head + 2)) as f:
+        assert json.load(f)["op"] == "restore"
+    assert _rows(tbl.snapshot()) == head_rows
+    # and every file the compensated head references exists on disk
+    for p in tbl._replay(v_head + 2)["files"]:
+        assert os.path.exists(os.path.join(tbl.root, p))
