@@ -261,7 +261,56 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - environment-dependent
             print(f"  [sf1] skipped: {exc!r}", file=sys.stderr, flush=True)
 
-    print(json.dumps(out))
+    # ------------------------------------------------------------------
+    # Emit protocol (r9 verdict item 2): the external driver records
+    # only a ~2,000-char TAIL of stdout and parses the last line -- the
+    # r9 single giant line (sf1 block + per-query calibs) blew that
+    # budget, so the official artifact carried parsed=null and a
+    # mid-JSON fragment.  Full detail goes to BENCH_detail_local.json;
+    # stdout's FINAL line is a compact, self-contained record (sf0.1
+    # totals + per-query + segment calibs + sf1 summary) kept under
+    # 1,900 chars so it survives the tail capture whole.  If the sf1
+    # block would overflow the budget, its per-query map is shed first
+    # -- the sf0.1 record is the gate and must always arrive intact.
+    # ------------------------------------------------------------------
+    detail_path = Path(__file__).resolve().parent / "BENCH_detail_local.json"
+    try:
+        detail_path.write_text(json.dumps(out) + "\n")
+        print(f"  [detail] full record -> {detail_path}",
+              file=sys.stderr, flush=True)
+    except OSError as exc:  # pragma: no cover - read-only checkout
+        print(f"  [detail] not written: {exc!r}",
+              file=sys.stderr, flush=True)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "calib_s": out["calib_s"],
+        "value_per_calib": out["value_per_calib"],
+        "calib_segments": [round(seg["s"], 3) for seg in out["calib_segments"]],
+        "runs": out["runs"],
+        "agg": out["agg"],
+    }
+    if "sf1" in out:
+        compact["sf1"] = {
+            "value": out["sf1"]["value"],
+            "calib_s": out["sf1"]["calib_s"],
+            "value_per_calib": out["sf1"]["value_per_calib"],
+            "queries": out["sf1"]["queries"],
+            "calib_segments": [
+                round(seg["s"], 3) for seg in out["sf1"]["calib_segments"]
+            ],
+        }
+        for drop in ("queries", "calib_segments"):
+            if len(json.dumps(compact)) <= 1900:
+                break
+            compact["sf1"].pop(drop, None)
+    line = json.dumps(compact)
+    assert len(line) <= 1900, f"bench stdout line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 
