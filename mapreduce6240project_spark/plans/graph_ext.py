@@ -607,6 +607,15 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _norm(df: DataFrame, col: str, out: str) -> DataFrame:
+        # _norm references its input TWICE (directly + under the max
+        # aggregate), so an unpinned chain of three normalizations
+        # multiplies the edge lineage 2^3-fold -- the 3-round-worst
+        # cold-profile row (28 exchanges, r9 verdict item 4).  Pinning
+        # each pre-normalization score table (|parts|- or |customers|-
+        # row aggregates, dimension-sized at any sf) makes both
+        # references read one cached build, the same discipline as
+        # rm3's term table and the clustering combo cache.
+        df = cache_tracked(df)
         mx = df.agg(F.max(col).alias("_mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             *[x for x in df.columns if x != col],

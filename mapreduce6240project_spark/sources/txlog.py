@@ -295,49 +295,75 @@ class TxTable:
         )
         return 0
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        max_retries: int = 20,
+    ) -> int:
         """Append new files.  ``merge_schema=True`` permits SCHEMA
         EVOLUTION: ``df`` may carry new columns appended after the
         table's existing fields (which must still match by name and
         type); the commit then records the widened schema, and every
         read fills the new column with NULL for pre-evolution files
         (the Delta mergeSchema behavior).  Without the flag a widened
-        frame is rejected like any other mismatch."""
-        v = self.latest_version()
-        evolved: str | None = None
-        state = self._replay(v) if v >= 0 else None
-        if state is None or state["schema"] is None:
-            # new table (append-before-create) or a legacy log with no
-            # recorded schema: record df's schema NOW, mirroring
-            # create(), so validation is armed from this commit onward
-            # and snapshot() of a later-emptied table still has a
-            # schema to return (it would otherwise commit schema: None
-            # forever and never validate)
-            evolved = df.schema.json()
-        elif merge_schema:
-            want = json.loads(state["schema"])["fields"]
-            got = json.loads(df.schema.json())["fields"]
-            if len(got) < len(want) or _schema_sig(
-                got[: len(want)]
-            ) != _schema_sig(want):
-                raise ValueError(
-                    "schema evolution must keep every existing field "
-                    f"(name+type, in order) and only APPEND new ones: "
-                    f"table has {_schema_sig(want)}, write has "
-                    f"{_schema_sig(got)}"
-                )
-            if len(got) > len(want):
+        frame is rejected like any other mismatch.
+
+        OCC: a blind append reads nothing, so losing a version-slot
+        race to a concurrent writer conflicts with NOTHING semantically
+        (Delta auto-resolves append/append and append/rewrite races) --
+        the staged data files are simply re-committed at the next slot
+        without any rewrite.  Schema validation re-runs against the new
+        head each retry: if the winner evolved the schema out from
+        under us, the append fails loudly and vacuum collects the
+        staged files.  The retry budget is higher than merge's because
+        retries here are JSON-only, never a data rewrite.  (Found by
+        the optimize-vs-append race test: the un-retried append
+        surfaced ConcurrentCommitError at the caller.)"""
+        adds: list | None = None
+        for _ in range(max_retries):
+            v = self.latest_version()
+            evolved: str | None = None
+            state = self._replay(v) if v >= 0 else None
+            if state is None or state["schema"] is None:
+                # new table (append-before-create) or a legacy log with
+                # no recorded schema: record df's schema NOW, mirroring
+                # create(), so validation is armed from this commit
+                # onward and snapshot() of a later-emptied table still
+                # has a schema to return (it would otherwise commit
+                # schema: None forever and never validate)
                 evolved = df.schema.json()
-        else:
-            self._check_schema(df, v, state=state)
-        adds = self._write_data_files(df)
-        nv = v + 1
-        self._write_commit(
-            nv,
-            {"version": nv, "op": "append", "adds": adds, "removes": [],
-             "schema": evolved},
+            elif merge_schema:
+                want = json.loads(state["schema"])["fields"]
+                got = json.loads(df.schema.json())["fields"]
+                if len(got) < len(want) or _schema_sig(
+                    got[: len(want)]
+                ) != _schema_sig(want):
+                    raise ValueError(
+                        "schema evolution must keep every existing field "
+                        f"(name+type, in order) and only APPEND new ones: "
+                        f"table has {_schema_sig(want)}, write has "
+                        f"{_schema_sig(got)}"
+                    )
+                if len(got) > len(want):
+                    evolved = df.schema.json()
+            else:
+                self._check_schema(df, v, state=state)
+            if adds is None:  # stage the data files exactly once
+                adds = self._write_data_files(df)
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "append", "adds": adds,
+                     "removes": [], "schema": evolved},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"append lost {max_retries} optimistic-concurrency races"
         )
-        return nv
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (latest when None) -- time

@@ -506,6 +506,91 @@ class TestConcurrentWriters:
         assert (7, f"UPD-{last_tag}") in _rows(tbl.snapshot())
 
 
+
+    def test_optimize_retries_on_concurrent_append(
+        self, spark, tbl, monkeypatch
+    ):
+        """Deterministic witness for the optimize docstring's claim
+        (r9 verdict item 5): a concurrent append landing between
+        OPTIMIZE's snapshot read and its commit makes the compaction
+        commit LOSE the OCC race cleanly and retry against the new
+        snapshot -- the landed optimize removes exactly its
+        predecessor version's file set (appended rows included), and
+        no row is lost to the file-set swap."""
+        real_write = TxTable._write_commit
+        injected = {"done": False}
+
+        def racing_write(self, version, record):
+            if record.get("op") == "optimize" and not injected["done"]:
+                injected["done"] = True
+                # a real append steals the version slot first
+                tbl.append(
+                    spark.createDataFrame(
+                        [(777, "stolen")], "k INT, val STRING"
+                    )
+                )
+            real_write(self, version, record)
+
+        monkeypatch.setattr(TxTable, "_write_commit", racing_write)
+        v_opt = tbl.optimize(target_files=2, max_retries=5)
+        assert injected["done"]
+        # the append won slot 1; the retried optimize landed after it
+        assert v_opt == 2
+        ops = [h["op"] for h in tbl.history()]
+        assert ops == ["create", "append", "optimize"]
+        # retried against the NEW snapshot: removes == the full file
+        # set of the version it compacted, appended file included
+        with open(tbl._commit_path(v_opt)) as f:
+            rec = json.load(f)
+        assert sorted(rec["removes"]) == sorted(tbl._replay(v_opt - 1)["files"])
+        assert len(tbl._replay(v_opt)["files"]) == 2
+        rows = _rows(tbl.snapshot())
+        assert rows == {(i, f"v{i}") for i in range(100)} | {(777, "stolen")}
+
+    def test_optimize_races_live_appends(self, spark, tbl):
+        """Real-thread OPTIMIZE vs a stream of appends: whatever the
+        interleave, no appended row is lost, history is linear with
+        every version slot filled exactly once, and exactly one
+        optimize commit lands."""
+        import threading
+
+        errors: list[Exception] = []
+
+        def appender():
+            try:
+                for i in range(5):
+                    tbl.append(
+                        spark.createDataFrame(
+                            [(1000 + i, f"late{i}")], "k INT, val STRING"
+                        )
+                    )
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+
+        def compactor():
+            try:
+                tbl.optimize(target_files=2, max_retries=40)
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+
+        ta = threading.Thread(target=appender)
+        tc = threading.Thread(target=compactor)
+        ta.start(); tc.start(); ta.join(); tc.join()
+        assert not errors
+        rows = _rows(tbl.snapshot())
+        want = {(i, f"v{i}") for i in range(100)}
+        want |= {(1000 + i, f"late{i}") for i in range(5)}
+        assert rows == want
+        latest = tbl.latest_version()
+        for v in range(latest + 1):
+            assert os.path.exists(tbl._commit_path(v))
+        ops = [h["op"] for h in tbl.history()]
+        assert ops[0] == "create"
+        assert ops.count("append") == 5
+        assert ops.count("optimize") == 1
+        assert len(ops) == 7
+
+
 class TestPoisonedCommits:
     """Dirty-input replay: a corrupted commit fails LOUDLY and leaves
     the table readable at the prior version -- never silent wrong
