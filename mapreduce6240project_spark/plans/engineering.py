@@ -3402,3 +3402,246 @@ def q_txlog_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(tbl.snapshot(v), 2))
         .select("version", "status", "n_orders", "sum_cents")
     )
+
+
+# =========================================================================
+# wave 109: merge-on-read DELETE via deletion vectors
+#
+# The txlog table format's round-10 step (r9 verdict item 8): DELETE
+# can now mark rows dead in sidecar deletion vectors instead of
+# rewriting their files (sources/txlog.py delete_where(mode="mor") --
+# the public Delta DV design), with OPTIMIZE as the materializer.
+# Three externally hash-checkable verdicts:
+#
+# ``txlog_dv_delete``: the write-amplification claim itself.  A mor
+# delete of every 10th user re-adds vectors only -- the data-file set
+# is provably IDENTICAL before and after (``no_files_rewritten``,
+# exact set equality from the log, sampler-independent), the vectors'
+# total cardinality equals the relational deleted-row count, the
+# log-only net row count equals the relational survivor count, and
+# both versions' aggregates hash against the relational replay (the
+# DV-netting scan path and time travel across a DV commit).
+#
+# ``txlog_dv_purge``: OPTIMIZE materializes.  After the same delete,
+# a compaction rewrite must leave zero vectors (physical == net rows
+# in the log) while the version-1 (vectored) and version-2
+# (materialized) snapshots aggregate IDENTICALLY -- the two read
+# paths bracket the rewrite and both hash against the one relational
+# truth.
+#
+# ``txlog_dv_changes``: the change feed sees through vectors.  A mor
+# delete removes no files and adds none, so the naive path-set diff
+# would read NOTHING; the entry-level (path, dv) comparison must
+# surface exactly the newly-dead rows as deletes.  The oracle is the
+# predicate's rows tagged 'delete' -- any resurrection, loss, or
+# spurious insert breaks the hash.
+#
+# Scale: a mor delete writes O(matched rows) against cow's
+# O(affected file bytes) -- at 100 TB with point deletes that is the
+# difference between kilobytes and terabytes of write amplification;
+# the per-scan cost is a broadcast anti-join bounded by DV
+# cardinality, which OPTIMIZE keeps small.  All protocol facts below
+# come from describe_detail (log-only JSON, no data scan).
+# =========================================================================
+
+
+@_register(
+    "txlog_dv_delete",
+    """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+scal AS (
+  SELECT CAST(sum(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dv_dead_rows,
+         CAST(sum(CASE WHEN user_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS log_net_rows
+  FROM base
+),
+v0 AS (
+  SELECT CAST(0 AS BIGINT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY event_type
+),
+v1 AS (
+  SELECT CAST(1 AS BIGINT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base WHERE user_id % 10 <> 0 GROUP BY event_type
+)
+SELECT v.version, v.event_type, v.n_events, v.sum_cents,
+       TRUE AS no_files_rewritten, s.dv_dead_rows, s.log_net_rows
+FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1) v CROSS JOIN scal s""",
+    ref="extension: merge-on-read DELETE via deletion vectors "
+    "(sources/txlog.py delete_where(mode='mor'), the public Delta DV "
+    "design) -- no data file rewritten (exact log file-set equality), "
+    "vector cardinality and net row count pinned to their relational "
+    "values, both versions aggregated through the DV-netting scan",
+)
+def q_txlog_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_dv_"))
+    tbl.create(base.repartition(4))
+    tbl.delete_where(F.col("user_id") % 10 == 0, mode="mor")
+    # protocol facts from the log only (describe_detail: O(log) JSON,
+    # no data scan) -- exact set equality, not a sampler-dependent
+    # file count, so the pinned boolean cannot flake (r9 ADVICE 3)
+    d0, d1 = tbl.describe_detail(0), tbl.describe_detail(1)
+    no_rewrite = bool(d1["files"] == d0["files"])
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return (
+        agg(tbl.snapshot(0), 0)
+        .unionByName(agg(tbl.snapshot(1), 1))
+        .select(
+            "version",
+            "event_type",
+            "n_events",
+            "sum_cents",
+            F.lit(no_rewrite).alias("no_files_rewritten"),
+            F.lit(d1["dv_rows"]).cast("bigint").alias("dv_dead_rows"),
+            F.lit(d1["n_rows"]).cast("bigint").alias("log_net_rows"),
+        )
+    )
+
+
+@_register(
+    "txlog_dv_purge",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+surv AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base WHERE k % 9 <> 0 GROUP BY status
+)
+SELECT CAST(1 AS BIGINT) AS version, status, n_orders, sum_cents,
+       TRUE AS purged, TRUE AS log_rows_stable FROM surv
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version, status, n_orders, sum_cents,
+       TRUE AS purged, TRUE AS log_rows_stable FROM surv""",
+    ref="extension: OPTIMIZE materializes deletion vectors "
+    "(sources/txlog.py optimize on a DV table, the Delta purge) -- "
+    "the vectored (v1) and materialized (v2) snapshots must aggregate "
+    "identically against the one relational truth, with the log "
+    "pinning zero vectors and physical == net rows after the rewrite",
+)
+def q_txlog_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_dvpurge_"))
+    tbl.create(base.repartition(4))
+    tbl.delete_where(F.col("k") % 9 == 0, mode="mor")
+    tbl.optimize(target_files=2)
+    d1, d2 = tbl.describe_detail(1), tbl.describe_detail(2)
+    purged = bool(
+        d1["n_dvs"] > 0
+        and d2["n_dvs"] == 0
+        and d2["physical_rows"] == d2["n_rows"]
+    )
+    stable = bool(d1["n_rows"] == d2["n_rows"])
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return (
+        agg(tbl.snapshot(1), 1)  # the DV-netting read path
+        .unionByName(agg(tbl.snapshot(2), 2))  # the materialized files
+        .select(
+            "version",
+            "status",
+            "n_orders",
+            "sum_cents",
+            F.lit(purged).alias("purged"),
+            F.lit(stable).alias("log_rows_stable"),
+        )
+    )
+
+
+@_register(
+    "txlog_dv_changes",
+    """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT 'delete' AS change_type, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM base WHERE user_id % 7 = 0 GROUP BY event_type""",
+    ref="extension: change feed across a deletion-vector commit "
+    "(sources/txlog.py changes() under entry-level (path, dv) "
+    "comparison) -- a mor delete moves no files, so only the DV-aware "
+    "diff surfaces its dead rows; oracle is the predicate's rows "
+    "tagged delete",
+)
+def q_txlog_dv_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_dvcdf_"))
+    tbl.create(base.repartition(4))
+    tbl.delete_where(F.col("user_id") % 7 == 0, mode="mor")
+    ch = tbl.changes(0, 1)
+    return (
+        ch.groupBy(F.col("_change").alias("change_type"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select("change_type", "event_type", "n_rows", "sum_cents")
+    )

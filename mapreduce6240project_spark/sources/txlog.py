@@ -12,7 +12,10 @@ clustering (true two-column Morton Z-ORDER interleave for 2-D
 predicates), footer-statistics zonemaps with data-skipping reads,
 a file-delta row-level change feed (``changes()`` -- table_changes
 without change files), RESTORE-to-version rollback as a linear
-commit, idempotent writer transactions, schema
+commit, merge-on-read DELETE via deletion vectors
+(``delete_where(mode="mor")`` -- the public Delta deletion-vector
+design: mark rows dead instead of rewriting their files; OPTIMIZE
+materializes), idempotent writer transactions, schema
 evolution, checkpoints, and an age-guarded vacuum -- so the engine's
 CDC/upsert story runs end-to-end in this container instead of ending
 at a capability probe (round-7 verdict gap 2).
@@ -27,9 +30,20 @@ Commit record (one JSON object per file)::
 
     {"version": 3, "op": "merge",
      "adds":    [{"path": "part-...parquet", "rows": 123,
-                  "stats": {"k": [0, 17], "val": ["a", "zz"]}}, ...],
+                  "stats": {"k": [0, 17], "val": ["a", "zz"]},
+                  "dv": {"path": "dv-...json", "cardinality": 7}}, ...],
      "removes": ["part-...parquet", ...],
      "schema":  "<json StructType>"}
+
+An add entry's optional ``dv`` references a DELETION VECTOR: a
+sidecar file holding the physical row indices of that data file's
+dead rows.  A merge-on-read DELETE re-adds the SAME data file with a
+new (unioned) DV instead of rewriting it -- O(matched rows) instead
+of O(file bytes) write amplification -- and every reader anti-joins
+the DV'd files' rows against the dead (file, row_index) pairs via
+the parquet ``_metadata.row_index`` column.  Copy-on-write rewrites
+(merge/delete(mode="cow")/OPTIMIZE) materialize: the rewritten files
+carry no DV and the orphaned vectors age out through vacuum.
 
 ACID properties and how they are obtained:
 
@@ -260,6 +274,105 @@ class TxTable:
         os.rmdir(staging)
         return adds
 
+    def _write_dv(self, indices: list[int]) -> dict:
+        """Persist a deletion vector (sorted physical row indices of
+        one data file's dead rows) and return its add-entry descriptor.
+        JSON here; the public Delta format is a roaring bitmap -- same
+        role, and the cardinality bound is identical (a DV never
+        exceeds its file's row count, and OPTIMIZE materializes long
+        before that).  Written fully (fsync) BEFORE the commit that
+        references it; a loser of the commit race orphans the file and
+        vacuum collects it."""
+        name = f"dv-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"indices": indices}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, name))
+        return {"path": name, "cardinality": len(indices)}
+
+    def _load_dv(self, entry) -> list[int]:
+        """Dead row indices for an add entry ([] when it has no DV)."""
+        dv = entry.get("dv") if isinstance(entry, dict) else None
+        if not dv:
+            return []
+        with open(os.path.join(self.root, dv["path"])) as f:
+            return json.load(f)["indices"]
+
+    @staticmethod
+    def _dv_sig(entry) -> str | None:
+        """DV identity of an add entry -- (path, dv) is the unit of
+        file-delta comparison once merge-on-read exists: the same data
+        file under a different DV holds DIFFERENT live rows."""
+        dv = entry.get("dv") if isinstance(entry, dict) else None
+        return dv["path"] if dv else None
+
+    def _scan(
+        self,
+        state: dict,
+        paths: list[str] | None = None,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """The one DV-aware reader every snapshot/rewrite path goes
+        through.  Reads ``paths`` (default: all of ``state``'s files)
+        under the COMMITTED schema (NULL-filling pre-evolution files),
+        then drops deletion-vector'd rows by anti-joining the
+        broadcast dead (file, row_index) pairs against the parquet
+        ``_metadata.row_index`` hidden column -- physical row order in
+        an immutable file is stable, so the index IS the row identity
+        (the Delta DV read).  Driver/broadcast state is bounded by the
+        total DV cardinality, which OPTIMIZE keeps small by
+        materializing.  ``with_meta=True`` keeps the ``_file``
+        (basename) and ``_row_idx`` columns for rewrite paths that
+        need per-file row identity; metadata-derived columns survive
+        joins, unlike ``input_file_name()`` whose thread-local is only
+        valid inside the scan stage."""
+        from pyspark.sql.types import StructType
+
+        files = state["files"]
+        if paths is None:
+            paths = [os.path.join(self.root, p) for p in sorted(files)]
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state.get("schema") is not None
+            else None
+        )
+        if not paths:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"no committed schema at {self.root}"
+                )
+            empty = self.spark.createDataFrame([], schema=schema)
+            if with_meta:
+                empty = empty.withColumn(
+                    "_file", F.lit(None).cast("string")
+                ).withColumn("_row_idx", F.lit(None).cast("bigint"))
+            return empty
+        dead_pairs: list[tuple[str, int]] = []
+        for p in paths:
+            b = os.path.basename(p)
+            for i in self._load_dv(files.get(b)):
+                dead_pairs.append((b, i))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if not dead_pairs and not with_meta:
+            return reader.parquet(*paths)
+        df = reader.parquet(*paths).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_file"),
+            F.col("_metadata.row_index").alias("_row_idx"),
+        )
+        if dead_pairs:
+            dead = self.spark.createDataFrame(
+                dead_pairs, "_file STRING, _row_idx BIGINT"
+            )
+            df = df.join(F.broadcast(dead), ["_file", "_row_idx"], "left_anti")
+        return df if with_meta else df.drop("_file", "_row_idx")
+
     def _check_schema(
         self, df: DataFrame, version: int, state: dict | None = None
     ) -> None:
@@ -372,51 +485,72 @@ class TxTable:
         The read is pinned to the COMMITTED schema (not footer
         sampling): after a schema evolution, files written before the
         widening lack the new columns and the parquet reader fills
-        them with NULL -- no mergeSchema footer pass needed."""
+        them with NULL -- no mergeSchema footer pass needed.  Files
+        with a deletion vector have their dead rows dropped (the
+        merge-on-read scan); a table with no DVs reads as a plain
+        multi-path parquet scan with zero overhead."""
         v = self.latest_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no table at {self.root}")
-        state = self._replay(v)
-        paths = [os.path.join(self.root, p) for p in sorted(state["files"])]
-        from pyspark.sql.types import StructType
-
-        schema = (
-            StructType.fromJson(json.loads(state["schema"]))
-            if state["schema"] is not None
-            else None
-        )
-        if not paths:
-            if schema is None:
-                raise FileNotFoundError(f"no committed schema at {self.root}")
-            return self.spark.createDataFrame([], schema=schema)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*paths)
+        return self._scan(self._replay(v))
 
     def _read_files(self, paths: list[str], state: dict) -> DataFrame:
         """Read specific data files under the committed schema (same
-        NULL-fill semantics as snapshot -- a merge/delete rewrite must
-        see post-evolution width even for pre-evolution files)."""
-        from pyspark.sql.types import StructType
-
-        reader = self.spark.read
-        if state.get("schema") is not None:
-            reader = reader.schema(
-                StructType.fromJson(json.loads(state["schema"]))
-            )
-        return reader.parquet(*paths)
+        NULL-fill and DV semantics as snapshot -- a merge/delete
+        rewrite must see post-evolution width and post-DV liveness
+        even for pre-evolution files)."""
+        return self._scan(state, paths=paths)
 
     def count(self, version: int | None = None) -> int:
-        """Exact row count from log statistics -- no data scan."""
+        """Exact row count from log statistics -- no data scan.
+        A deletion vector's cardinality is netted off its file's
+        physical rows (indices are unique within a DV by
+        construction, so the subtraction is exact)."""
         v = self.latest_version() if version is None else version
         if v < 0:  # same contract as snapshot(): a missing table is an
             # error, not an empty one (review finding)
             raise FileNotFoundError(f"no table at {self.root}")
-        return sum(
-            e["rows"] if isinstance(e, dict) else e
-            for e in self._replay(v)["files"].values()
-        )
+        total = 0
+        for e in self._replay(v)["files"].values():
+            if isinstance(e, dict):
+                total += e["rows"] - (e.get("dv") or {}).get("cardinality", 0)
+            else:
+                total += e
+        return total
+
+    def describe_detail(self, version: int | None = None) -> dict:
+        """Log-only table facts (the DESCRIBE DETAIL analogue): file
+        list, physical vs net row counts, deletion-vector count and
+        total dead-row cardinality.  O(log) JSON, no data scan --
+        this is how protocol assertions ("the DV delete rewrote no
+        data file") are checked without reading the table."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no table at {self.root}")
+        state = self._replay(v)
+        files = sorted(state["files"])
+        phys = net = n_dvs = dv_rows = 0
+        for e in state["files"].values():
+            rows = e["rows"] if isinstance(e, dict) else e
+            card = (
+                (e.get("dv") or {}).get("cardinality", 0)
+                if isinstance(e, dict)
+                else 0
+            )
+            phys += rows
+            net += rows - card
+            if card or (isinstance(e, dict) and e.get("dv")):
+                n_dvs += 1
+            dv_rows += card
+        return {
+            "version": v,
+            "n_files": len(files),
+            "files": files,
+            "physical_rows": phys,
+            "n_rows": net,
+            "n_dvs": n_dvs,
+            "dv_rows": dv_rows,
+        }
 
     def snapshot_where(
         self,
@@ -491,12 +625,18 @@ class TxTable:
             if txn is not None and state is not None:
                 if state["txns"].get(txn[0], -1) >= txn[1]:
                     return v  # already applied; idempotent skip
+            if state is None:
+                raise FileNotFoundError(f"no table at {self.root}")
             self._check_schema(source, v, state=state)
-            cur = self.snapshot(v).withColumn("_file", F.input_file_name())
+            # _scan(with_meta) derives _file from _metadata.file_path,
+            # which stays valid through the semi-join (and through the
+            # DV anti-join) -- input_file_name()'s thread-local does
+            # not survive leaving the scan stage
+            cur = self._scan(state, with_meta=True)
             keys = source.select(*key_cols).distinct()
             affected_rows = cur.join(F.broadcast(keys), key_cols, "left_semi")
             affected = [
-                os.path.basename(r._file)
+                r._file
                 for r in affected_rows.select("_file").distinct().collect()
             ]
             aff_paths = [os.path.join(self.root, p) for p in affected]
@@ -530,15 +670,40 @@ class TxTable:
             f"merge lost {max_retries} optimistic-concurrency races"
         )
 
-    def delete_where(self, condition, max_retries: int = 3) -> int:
-        """Copy-on-write DELETE: rewrite only the files containing a
-        matching row (the GDPR path)."""
+    def delete_where(
+        self, condition, max_retries: int = 3, mode: str = "cow"
+    ) -> int:
+        """DELETE rows matching ``condition`` (NULL predicate rows
+        survive, per SQL DELETE semantics).
+
+        ``mode="cow"`` (default): copy-on-write -- rewrite only the
+        files containing a matching row (the GDPR path: the bytes are
+        physically gone at commit time).
+
+        ``mode="mor"``: merge-on-read via DELETION VECTORS (the
+        public Delta DV design) -- each affected file is re-added
+        with a sidecar vector of its dead physical row indices;
+        NO data file is rewritten, so the write cost is O(matched
+        rows), not O(affected file bytes).  Readers drop dead rows at
+        scan time; a later rewrite of the file (merge / cow-delete /
+        OPTIMIZE) materializes the vector away.  A second mor-delete
+        on an already-vectored file UNIONS the indices (row indices
+        are physical, so they stay valid under any earlier DV).
+        Trade: cheap deletes, a small per-scan anti-join -- wrong for
+        GDPR (bytes remain until OPTIMIZE + vacuum), right for
+        high-churn CDC tables."""
+        if mode == "mor":
+            return self._delete_where_mor(condition, max_retries)
+        if mode != "cow":
+            raise ValueError(f"delete_where mode must be cow|mor: {mode}")
         for _ in range(max_retries):
             v = self.latest_version()
-            state = self._replay(v) if v >= 0 else {"schema": None}
-            cur = self.snapshot(v).withColumn("_file", F.input_file_name())
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            state = self._replay(v)
+            cur = self._scan(state, with_meta=True)
             affected = [
-                os.path.basename(r._file)
+                r._file
                 for r in cur.filter(condition)
                 .select("_file")
                 .distinct()
@@ -569,6 +734,59 @@ class TxTable:
             f"delete lost {max_retries} optimistic-concurrency races"
         )
 
+    def _delete_where_mor(self, condition, max_retries: int) -> int:
+        """Deletion-vector DELETE body (see ``delete_where``): one
+        DV-applied scan finds the matching (file, row_index) pairs,
+        aggregated per file and collected -- driver state is bounded
+        by the matched-row count, the same bound the DV files
+        themselves carry (at warehouse scale the per-file bitmap
+        encode would run in executors and ship opaque blobs; the
+        commit shape is identical).  The commit re-adds each affected
+        file's entry (stats and all) under its new unioned vector and
+        removes nothing, so replay overwrites in place and every
+        untouched file is simply never mentioned."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            state = self._replay(v)
+            if not state["files"]:
+                return v  # empty table; nothing to delete
+            scan = self._scan(state, with_meta=True)
+            hits = (
+                scan.filter(condition)
+                .groupBy("_file")
+                .agg(F.sort_array(F.collect_list("_row_idx")).alias("dead"))
+                .collect()
+            )
+            if not hits:
+                return v  # no matches; no empty commit
+            adds = []
+            for r in sorted(hits, key=lambda r: r._file):
+                e = state["files"][r._file]
+                entry = dict(e) if isinstance(e, dict) else {"rows": e}
+                entry["path"] = r._file
+                merged = sorted(set(self._load_dv(entry)) | set(r.dead))
+                entry["dv"] = self._write_dv(merged)
+                adds.append(entry)
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "delete", "adds": adds,
+                     "removes": [], "schema": None},
+                )
+                return nv
+            except ConcurrentCommitError:
+                # lost the race: the staged dv-* files are orphans
+                # (vacuum collects them); re-derive on the new head --
+                # the matched set and the union base both may have
+                # changed
+                continue
+        raise ConcurrentCommitError(
+            f"delete lost {max_retries} optimistic-concurrency races"
+        )
+
     def optimize(
         self,
         target_files: int = 1,
@@ -577,7 +795,12 @@ class TxTable:
     ) -> int:
         """Compaction (OPTIMIZE): rewrite the current snapshot into
         ``target_files`` files -- the small-file answer for a table
-        that has accrued many tiny commits.  ``zorder_by`` clusters the
+        that has accrued many tiny commits.  A table carrying deletion
+        vectors is always compacted (even at the file-count target):
+        the DV-applied snapshot rewrite MATERIALIZES the vectors --
+        the new files hold live rows only and the orphaned dv sidecars
+        age out via vacuum (the Delta "purge" behavior of OPTIMIZE on
+        DV tables).  ``zorder_by`` clusters the
         rewrite so min/max file statistics prune scans: one column (or
         three-plus) range-sorts lexicographically (prunes the leading
         column); EXACTLY TWO columns use the true Morton/Z-order
@@ -592,8 +815,16 @@ class TxTable:
             v = self.latest_version()
             state = self._replay(v)
             olds = sorted(state["files"])
-            if len(olds) <= target_files and zorder_by is None:
-                return v  # nothing to compact; no empty commit
+            has_dv = any(
+                isinstance(e, dict) and e.get("dv")
+                for e in state["files"].values()
+            )
+            if (
+                len(olds) <= target_files
+                and zorder_by is None
+                and not has_dv
+            ):
+                return v  # nothing to compact/purge; no empty commit
             cur = self.snapshot(v)
             if zorder_by and len(zorder_by) == 2:
                 from mapreduce6240project_spark.sources.layout import (
@@ -651,11 +882,20 @@ class TxTable:
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):
-            keep |= set(self._replay(v)["files"])
+            st = self._replay(v)
+            keep |= set(st["files"])
+            # a retained version's deletion vectors are part of its
+            # read path -- collecting one would silently resurrect
+            # its file's dead rows
+            for e in st["files"].values():
+                if isinstance(e, dict) and e.get("dv"):
+                    keep.add(e["dv"]["path"])
         cutoff = time.time() - min_age_seconds
         deleted = []
         for f in os.listdir(self.root):
-            if f.endswith(".parquet") and f not in keep:
+            is_data = f.endswith(".parquet")
+            is_dv = f.startswith("dv-") and f.endswith(".json")
+            if (is_data or is_dv) and f not in keep:
                 path = os.path.join(self.root, f)
                 try:
                     if os.path.getmtime(path) > cutoff:
@@ -709,18 +949,27 @@ class TxTable:
             cur = self._replay(v)
             adds = []
             for p, e in old["files"].items():
-                if p in cur["files"]:
+                # an entry equal in the current head needs no re-add;
+                # SAME path under a DIFFERENT deletion vector (or a
+                # changed entry generally) must be re-added -- the
+                # liveness set, not the file name, is the identity
+                if cur["files"].get(p) == e:
                     continue
-                if not os.path.exists(os.path.join(self.root, p)):
-                    # a vacuum past the retention window collected the
-                    # old version's file: fail loudly BEFORE committing
-                    # (Delta's RESTORE ... missing-file error)
-                    raise FileNotFoundError(
-                        f"cannot restore to version {version}: data "
-                        f"file {p} was vacuumed"
-                    )
                 entry = dict(e) if isinstance(e, dict) else {"rows": e}
                 entry.setdefault("path", p)
+                needed = [p] + (
+                    [entry["dv"]["path"]] if entry.get("dv") else []
+                )
+                for fname in needed:
+                    if not os.path.exists(os.path.join(self.root, fname)):
+                        # a vacuum past the retention window collected
+                        # the old version's file (data or deletion
+                        # vector): fail loudly BEFORE committing
+                        # (Delta's RESTORE ... missing-file error)
+                        raise FileNotFoundError(
+                            f"cannot restore to version {version}: "
+                            f"file {fname} was vacuumed"
+                        )
                 adds.append(entry)
             removes = [p for p in cur["files"] if p not in old["files"]]
             nv = v + 1
@@ -738,11 +987,13 @@ class TxTable:
             # rather than leave a head that errors at scan time.
             missing = (
                 [
-                    e["path"]
+                    fname
                     for e in adds
-                    if not os.path.exists(
-                        os.path.join(self.root, e["path"])
+                    for fname in (
+                        [e["path"]]
+                        + ([e["dv"]["path"]] if e.get("dv") else [])
                     )
+                    if not os.path.exists(os.path.join(self.root, fname))
                 ]
                 if _verify
                 else []
@@ -783,17 +1034,31 @@ class TxTable:
             raise ValueError(f"changes({v_from}, {v_to}): v_to < v_from")
         sf = self._replay(v_from)
         st = self._replay(v_to)
-        added = sorted(set(st["files"]) - set(sf["files"]))
-        removed = sorted(set(sf["files"]) - set(st["files"]))
+        # the unit of file-delta comparison is (path, deletion-vector):
+        # the same data file under a different DV holds different LIVE
+        # rows, so a mor-delete (which removes nothing, re-adds under a
+        # new vector) surfaces on both sides and the row diff yields
+        # exactly its dead rows
+        changed = {
+            p
+            for p in set(sf["files"]) & set(st["files"])
+            if self._dv_sig(sf["files"][p]) != self._dv_sig(st["files"][p])
+        }
+        added = sorted((set(st["files"]) - set(sf["files"])) | changed)
+        removed = sorted((set(sf["files"]) - set(st["files"])) | changed)
 
-        def _read(paths: list[str]) -> DataFrame:
+        def _read(paths: list[str], side: dict) -> DataFrame:
+            # each side's own DVs, v_to's committed schema (hybrid
+            # state): the old side must show its THEN-live rows,
+            # NULL-filled to the evolved width like snapshot()
             if not paths:
                 return self.snapshot(v_to).limit(0)
             return self._read_files(
-                [os.path.join(self.root, p) for p in paths], st
+                [os.path.join(self.root, p) for p in paths],
+                {"files": side["files"], "schema": st["schema"]},
             )
 
-        new_rows, old_rows = _read(added), _read(removed)
+        new_rows, old_rows = _read(added, st), _read(removed, sf)
         inserts = new_rows.exceptAll(old_rows).withColumn(
             "_change", F.lit("insert")
         )

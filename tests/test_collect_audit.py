@@ -52,10 +52,14 @@ INVENTORY: dict[str, tuple[int, str]] = {
     ),
     "streaming/jobs.py": (1, "watermark cutoff scalar (1-row agg)"),
     "sources/txlog.py": (
-        2,
-        "MERGE/DELETE affected-file lists: distinct input_file_name "
-        "values, bounded by the table's data-file count (the commit "
-        "log's removes list must hold them anyway)",
+        3,
+        "MERGE/DELETE affected-file lists: distinct _metadata-derived "
+        "file names, bounded by the table's data-file count (the "
+        "commit log's removes list must hold them anyway); 3rd site: "
+        "mor-delete's per-file dead row indices, bounded by the "
+        "matched-row count -- the same bound the deletion-vector "
+        "sidecars themselves carry, and OPTIMIZE keeps it small by "
+        "materializing",
     ),
     "plans/engineering.py": (
         8,

@@ -25,54 +25,33 @@ def test_driver_order_is_prefix_of_registry():
 
 
 def test_driver_window_spends_budget_on_unverified():
-    """Round-9 rotation: the first 50 are oracle-backed queries with no
-    hash-exact external verdict yet -- the eight round-8 additions
-    committed after the r8 rotation first (txlog family leading, per
-    r8 ADVICE item 4), then family breadth across every module that
-    still has mirror-only members.  Guards against an import-order
-    change silently demoting them."""
+    """Round-10 rotation: the first 50 are oracle-backed queries with
+    no hash-exact external verdict yet -- the three wave-109
+    deletion-vector queries added this round first (standing
+    same-round policy), then 47 draws that exhaust the mirror-only
+    backlog of every family except stats_drift / tpch_analytics /
+    vectors_ext (those 32 + the 3 written-exemption queries form the
+    round-11 endgame window).  Guards against an import-order change
+    silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
-        # committed after the r8 rotation; external verdict overdue
-        "txlog_gdpr_delete",
-        "txlog_skipping_audit",
-        "streaming_txlog_cdc",
-        "spearman_discount_qty",
-        "ljung_box_daily",
-        "brown_forsythe_types",
-        "wl_refinement_colors",
-        "token_budget_waterfill",
-        # family breadth
-        "fk_orphan_audit",
-        "lang_confusion_matrix",
-        "compaction_plan",
-        "table_checksum_orders",
-        "multimodal_frames",
-        "lang_id_accuracy",
-        "elbow_knee_k",
-        "vocab_oov_rate",
-        "charlm_quality",
-        "ams_f2_user_stream",
-        "seasonal_decompose_daily",
-        "dataset_card",
-        "lang_id_trigram_acc",
-        "asof_next_purchase",
-        "dedup_paragraphs",
-        # waves 105/106 (added this round; new code enters the window)
-        "txlog_changes_cdf",
-        "kruskal_wallis_types",
-        "wav_silence_spans",
-        "rare_term_cosine_pairs",
-        "prefix_cache_savings",
-        "dedup_shard_consistency",
-        "rm3_expansion_top10",
-        "txlog_zorder_2d_audit",
-        "blocking_quality_audit",
-        "cluster_bootstrap_ratio_ci",
-        "txlog_restore_roundtrip",
+        # wave 109, added this round: deletion vectors
+        "txlog_dv_delete",
+        "txlog_dv_purge",
+        "txlog_dv_changes",
+        # family-backlog spot checks (one per exhausted family)
+        "burst_users_10min",
+        "active_learning_margin",
+        "curriculum_buckets",
+        "boilerplate_chunks",
+        "weighted_sample_orders",
+        "contrastive_negatives",
+        "streaming_tws_peaks",
+        "bigram_coverage_score",
+        "balanced_downsample_labels",
     ):
         assert name in first50
-    # fully disjoint from the 327 queries rounds 2-8 already verified
+    # fully disjoint from the 377 queries rounds 2-9 already verified
     for fname in (
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
@@ -81,6 +60,7 @@ def test_driver_window_spends_budget_on_unverified():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     ):
         seen = set(json.load(open(f"/root/repo/{fname}")))
         assert not (set(first50) & seen)
@@ -106,7 +86,7 @@ def test_entry_module_fresh_interpreter():
     info = json.loads(out.stdout.strip().splitlines()[-1])
     assert info["q"] >= 395
     assert info["o"] >= 300
-    assert info["first"] == "txlog_gdpr_delete"
+    assert info["first"] == "txlog_dv_delete"
 
 
 def test_oracle_micros_sums_match_canonical_helper():

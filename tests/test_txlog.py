@@ -895,3 +895,237 @@ def test_restore_vacuum_race_compensates(spark, tbl, monkeypatch):
     # and every file the compensated head references exists on disk
     for p in tbl._replay(v_head + 2)["files"]:
         assert os.path.exists(os.path.join(tbl.root, p))
+
+
+class TestDeletionVectors:
+    """Merge-on-read DELETE (``delete_where(mode="mor")``): dead rows
+    are marked in sidecar deletion vectors instead of rewritten away.
+    Contract under test: no data file is rewritten, every reader
+    (snapshot / count / snapshot_where / changes / merge's survivor
+    read) nets the vectors out, rewrites materialize them, vacuum and
+    restore treat the vectors as part of the referenced file set, and
+    the crash/OCC discipline matches every other writer path."""
+
+    def test_mor_delete_rewrites_no_files(self, spark, tbl):
+        d0 = tbl.describe_detail(0)
+        v = tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        d1 = tbl.describe_detail(v)
+        # the data-file set is IDENTICAL -- only vectors were added
+        assert d1["files"] == d0["files"]
+        assert d1["dv_rows"] == 10 and d1["n_dvs"] >= 1
+        assert d1["physical_rows"] == 100 and d1["n_rows"] == 90
+        # log-only count nets the vectors; the scan agrees
+        assert tbl.count(v) == 90 == tbl.snapshot(v).count()
+        assert _rows(tbl.snapshot(v)) == {
+            (i, f"v{i}") for i in range(100) if i % 10 != 0
+        }
+        # time travel: v0 still reads the full table
+        assert tbl.count(0) == 100
+        # the commit removed nothing and re-added only vectored entries
+        with open(tbl._commit_path(v)) as f:
+            rec = json.load(f)
+        assert rec["removes"] == []
+        assert all(a.get("dv") for a in rec["adds"])
+
+    def test_second_mor_delete_unions_indices(self, spark, tbl):
+        tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        v = tbl.delete_where(F.col("k") % 10 == 5, mode="mor")
+        d = tbl.describe_detail(v)
+        # 10 + 10 dead rows, unioned per file without double-count
+        assert d["dv_rows"] == 20 and d["n_rows"] == 80
+        assert tbl.count(v) == 80 == tbl.snapshot(v).count()
+        # overlapping re-delete is a no-op commit (nothing newly dead
+        # still re-vectors the file, but the cardinality is unchanged)
+        v2 = tbl.delete_where(F.col("k") % 10 == 5, mode="mor")
+        assert tbl.describe_detail(v2)["dv_rows"] == 20
+
+    def test_null_predicate_rows_survive_mor(self, spark, tmp_path):
+        t = TxTable(spark, str(tmp_path / "mornull"))
+        t.create(
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "b")], "k INT, val STRING"
+            )
+        )
+        # val = 'a' is NULL for row 2: SQL DELETE must keep it
+        v = t.delete_where(F.col("val") == "a", mode="mor")
+        assert {tuple(r) for r in t.snapshot(v).collect()} == {
+            (2, None),
+            (3, "b"),
+        }
+
+    def test_merge_materializes_and_never_resurrects(self, spark, tbl):
+        tbl.delete_where(F.col("k") < 10, mode="mor")
+        src = spark.createDataFrame(
+            [(5, "UPD"), (50, "UPD")], "k INT, val STRING"
+        )
+        v = tbl.merge(src, ["k"])
+        rows = _rows(tbl.snapshot(v))
+        # k=5 was dv-dead: the merge INSERTS its new image; k in 0..4
+        # stays dead (the survivor read applied the vector)
+        assert (5, "UPD") in rows and (50, "UPD") in rows
+        assert not any(k < 5 for k, _ in rows)
+        # 90 live + inserted k=5 (its old image is dv-dead, so the
+        # merge sees it as unmatched); k=50 replaced in place (net 0)
+        assert tbl.count(v) == 91
+
+    def test_optimize_purges_vectors(self, spark, tbl):
+        tbl.delete_where(F.col("k") % 2 == 0, mode="mor")
+        assert tbl.describe_detail()["n_dvs"] >= 1
+        v = tbl.optimize(target_files=2)
+        d = tbl.describe_detail(v)
+        assert d["n_dvs"] == 0 and d["dv_rows"] == 0
+        assert d["physical_rows"] == 50 == d["n_rows"]
+        assert _rows(tbl.snapshot(v)) == {
+            (i, f"v{i}") for i in range(100) if i % 2 == 1
+        }
+
+    def test_changes_across_mor_delete(self, spark, tbl):
+        v0 = tbl.latest_version()
+        v = tbl.delete_where(F.col("k") % 25 == 0, mode="mor")
+        ch = tbl.changes(v0, v).collect()
+        assert {(r.k, r._change) for r in ch} == {
+            (k, "delete") for k in (0, 25, 50, 75)
+        }
+        # and the reverse window (restore-style diff) shows inserts
+        ch2 = tbl.changes(v0, v0)
+        assert ch2.count() == 0
+
+    def test_snapshot_where_nets_vectors(self, spark, tmp_path):
+        t = TxTable(spark, str(tmp_path / "morskip"))
+        t.create(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(100)], "k INT, val STRING"
+            ).repartition(4)
+        )
+        t.optimize(target_files=4, zorder_by=["k"])
+        t.delete_where(F.col("k").between(10, 19), mode="mor")
+        df, files_read, files_total = t.snapshot_where("k", 0, 24)
+        got = {r.k for r in df.collect()}
+        assert got == set(range(10)) | set(range(20, 25))
+        assert files_read < files_total  # zonemap pruning still works
+
+    def test_vacuum_keeps_referenced_vectors(self, spark, tbl):
+        import time as _time
+
+        tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        # orphan vector: a staged dv whose commit never landed
+        orphan = tbl._write_dv([1, 2, 3])["path"]
+        for f in os.listdir(tbl.root):
+            p = os.path.join(tbl.root, f)
+            if os.path.isfile(p):
+                os.utime(p, (_time.time() - 7200, _time.time() - 7200))
+        deleted = set(tbl.vacuum(retain_versions=1, min_age_seconds=600))
+        assert orphan in deleted
+        live_dvs = {
+            e["dv"]["path"]
+            for e in tbl._replay(tbl.latest_version())["files"].values()
+            if isinstance(e, dict) and e.get("dv")
+        }
+        assert not (deleted & live_dvs)
+        assert tbl.count() == 90 == tbl.snapshot().count()
+
+    def test_restore_spans_vector_states(self, spark, tbl):
+        v1 = tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        v2 = tbl.optimize(target_files=1)
+        # back to the vectored state: same net rows, vectors live again
+        tbl.restore(v1)
+        assert tbl.count() == 90
+        assert tbl.describe_detail()["n_dvs"] >= 1
+        # forward again to the materialized state
+        tbl.restore(v2)
+        assert tbl.describe_detail()["n_dvs"] == 0
+        assert tbl.count() == 90
+        # restore UNDOES a mor delete even though the commit removed no
+        # paths: entry-level (path, dv) comparison re-adds the bare file
+        tbl.restore(0)
+        assert tbl.count() == 100 == tbl.snapshot().count()
+
+    def test_restore_to_vacuumed_vector_fails_loudly(self, spark, tbl):
+        v1 = tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        tbl.optimize(target_files=1)
+        # the vectors are now unreferenced by the head; simulate a
+        # vacuum that collected ONLY them (the data files survive) --
+        # restore must fail on the missing VECTOR, before committing,
+        # because re-adding the file without its vector would
+        # resurrect its dead rows
+        for e in tbl._replay(v1)["files"].values():
+            if isinstance(e, dict) and e.get("dv"):
+                os.unlink(os.path.join(tbl.root, e["dv"]["path"]))
+        head = tbl.latest_version()
+        with pytest.raises(FileNotFoundError, match="dv-"):
+            tbl.restore(v1)
+        assert tbl.latest_version() == head  # nothing was committed
+        assert tbl.count() == 90  # head unharmed
+
+    def test_crash_between_vector_write_and_commit(self, spark, tbl,
+                                                   monkeypatch):
+        real_write = TxTable._write_commit
+
+        def dying_write(self, version, record):
+            if record.get("op") == "delete":
+                raise OSError("killed before link")
+            return real_write(self, version, record)
+
+        monkeypatch.setattr(TxTable, "_write_commit", dying_write)
+        with pytest.raises(OSError, match="killed"):
+            tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        monkeypatch.undo()
+        # no commit landed: every reader sees the intact table, and the
+        # staged vector is an unreferenced orphan vacuum collects
+        assert tbl.latest_version() == 0
+        assert tbl.count() == 100 == tbl.snapshot().count()
+        staged = [
+            f for f in os.listdir(tbl.root) if f.startswith("dv-")
+        ]
+        assert staged
+        deleted = set(tbl.vacuum(retain_versions=1, min_age_seconds=0))
+        assert set(staged) <= deleted
+        assert tbl.count() == 100
+
+    def test_mor_delete_occ_retry(self, spark, tbl):
+        # steal the version slot once: the mor delete must re-derive on
+        # the new head (which holds one more row) and commit next slot
+        real_write = TxTable._write_commit
+        fired = {"done": False}
+
+        def racing_write(self, version, record):
+            if record.get("op") == "delete" and not fired["done"]:
+                fired["done"] = True
+                real_write(
+                    self,
+                    version,
+                    {"version": version, "op": "append",
+                     "adds": self._write_data_files(
+                         spark.createDataFrame(
+                             [(1001, "RACE")], "k INT, val STRING"
+                         )
+                     ),
+                     "removes": [], "schema": None},
+                )
+            return real_write(self, version, record)
+
+        try:
+            TxTable._write_commit = racing_write
+            v = tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        finally:
+            TxTable._write_commit = real_write
+        assert v == 2  # slot 1 went to the racer, delete landed at 2
+        rows = _rows(tbl.snapshot())
+        assert (1001, "RACE") in rows  # racer's row survived
+        assert not any(k % 10 == 0 for k, _ in rows)
+        # history is linear: every slot exists exactly once
+        assert {h["version"] for h in tbl.history()} == {0, 1, 2}
+
+    def test_schema_evolution_then_mor_delete(self, spark, tbl):
+        wide = spark.createDataFrame(
+            [(201, "v201", 1.5)], "k INT, val STRING, score DOUBLE"
+        )
+        tbl.append(wide, merge_schema=True)
+        v = tbl.delete_where(F.col("k") % 10 == 0, mode="mor")
+        snap = tbl.snapshot(v)
+        assert snap.columns == ["k", "val", "score"]
+        assert snap.count() == 91  # 90 survivors + the wide row
+        # pre-evolution files NULL-fill score AND net their vectors
+        assert (
+            snap.filter(F.col("score").isNull()).count() == 90
+        )
