@@ -3645,3 +3645,107 @@ def q_txlog_dv_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("change_type", "event_type", "n_rows", "sum_cents")
     )
+
+
+# =========================================================================
+# wave 110: CHECK constraints on the txlog table
+#
+# ``txlog_constraint_gate``: ALTER TABLE ADD CONSTRAINT end-to-end
+# (sources/txlog.py add_constraint -- the public Delta CHECK design).
+# The constraint validates the EXISTING orders data at add time
+# (cents >= 0 holds for every TPC-H total price), a deliberately
+# violating append is rejected with the head version provably
+# unmoved (both pinned as booleans from the log, deterministic), a
+# compliant append of two literal rows lands, and the final snapshot
+# aggregates against the relational truth (base UNION the two
+# literals).  The external hash covers the validation scan, the
+# write-time gate, the no-partial-commit guarantee, and the ordinary
+# read path all at once.
+#
+# Scale: enforcement is one bounded take(1) probe per write batch
+# (short-circuits on the first violation), not a per-row driver
+# round-trip; add-time validation is a single full scan, the same
+# cost Delta pays.
+# =========================================================================
+
+
+@_register(
+    "txlog_constraint_gate",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+final AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(9000000001 AS BIGINT), 'C', CAST(12345 AS BIGINT)),
+    (CAST(9000000002 AS BIGINT), 'C', CAST(67890 AS BIGINT))
+  ) AS t(k, status, cents)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       TRUE AS violating_write_rejected,
+       TRUE AS head_unchanged_by_reject
+FROM final GROUP BY status""",
+    ref="extension: CHECK constraints through the txlog ACID table "
+    "(sources/txlog.py add_constraint, the Delta design) -- existing "
+    "data validated at add time, a violating append rejected with no "
+    "partial commit, a compliant append landed, final snapshot "
+    "aggregated against the relational truth",
+)
+def q_txlog_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_cons_"))
+    tbl.create(base.repartition(4))
+    tbl.add_constraint("cents_nonneg", "cents >= 0")
+    head = tbl.latest_version()
+    schema = "k BIGINT, status STRING, cents BIGINT"
+    rejected = False
+    try:
+        tbl.append(
+            spark.createDataFrame([(9000000000, "X", -1)], schema)
+        )
+    except ValueError:
+        rejected = True
+    unmoved = bool(tbl.latest_version() == head)
+    tbl.append(
+        spark.createDataFrame(
+            [(9000000001, "C", 12345), (9000000002, "C", 67890)], schema
+        )
+    )
+    return (
+        tbl.snapshot()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "status",
+            "n_orders",
+            "sum_cents",
+            F.lit(rejected).alias("violating_write_rejected"),
+            F.lit(unmoved).alias("head_unchanged_by_reject"),
+        )
+    )

@@ -15,8 +15,11 @@ without change files), RESTORE-to-version rollback as a linear
 commit, merge-on-read DELETE via deletion vectors
 (``delete_where(mode="mor")`` -- the public Delta deletion-vector
 design: mark rows dead instead of rewriting their files; OPTIMIZE
-materializes), idempotent writer transactions, schema
-evolution, checkpoints, and an age-guarded vacuum -- so the engine's
+materializes), CHECK constraints (``add_constraint`` -- existing
+data validated at add time, every append/merge validated at write
+time, OCC closing the enforcement gap), idempotent writer
+transactions, schema evolution, checkpoints, and an age-guarded
+vacuum -- so the engine's
 CDC/upsert story runs end-to-end in this container instead of ending
 at a capability probe (round-7 verdict gap 2).
 
@@ -212,14 +215,18 @@ class TxTable:
 
     def _replay(self, version: int) -> dict:
         """File-list state ``{"files": {path: rows}, "schema": s,
-        "txns": {app: last_version}}`` at ``version``, starting from
-        the newest checkpoint <= version."""
+        "txns": {app: last_version}, "constraints": {name: expr}}``
+        at ``version``, starting from the newest checkpoint <=
+        version."""
         start = 0
-        state: dict = {"files": {}, "schema": None, "txns": {}}
+        state: dict = {
+            "files": {}, "schema": None, "txns": {}, "constraints": {}
+        }
         cp = self._latest_checkpoint_at_most(version)
         if cp is not None:
             start, state = cp[0] + 1, cp[1]
             state.setdefault("txns", {})  # pre-txn checkpoints
+            state.setdefault("constraints", {})  # pre-constraint cps
         for v in range(start, version + 1):
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
@@ -233,6 +240,11 @@ class TxTable:
                 state["schema"] = rec["schema"]
             if rec.get("txn"):
                 state["txns"][rec["txn"]["app"]] = rec["txn"]["version"]
+            if rec.get("constraint"):
+                c = rec["constraint"]
+                state["constraints"][c["name"]] = c["expr"]
+            if rec.get("drop_constraint"):
+                state["constraints"].pop(rec["drop_constraint"], None)
         return state
 
     def last_txn_version(self, app: str) -> int:
@@ -390,7 +402,94 @@ class TxTable:
                 f"schema mismatch: table has {want}, write has {got}"
             )
 
+    def _check_constraints(self, df: DataFrame, state: dict | None) -> None:
+        """Reject ``df`` if any row VIOLATES a table CHECK constraint
+        (SQL CHECK semantics: a row satisfies when the expression is
+        TRUE or NULL; only FALSE violates -- the public Delta
+        behavior).  One bounded probe per distinct constraint set:
+        ``take(1)`` of the violating rows, so the driver sees at most
+        one row and the scan short-circuits on the first hit."""
+        cons = (state or {}).get("constraints") or {}
+        if not cons:
+            return
+        bad = F.lit(False)
+        for expr in cons.values():
+            bad = bad | ~F.coalesce(F.expr(expr), F.lit(True))
+        hit = df.filter(bad).take(1)
+        if hit:
+            raise ValueError(
+                f"CHECK constraint violation ({', '.join(sorted(cons))}): "
+                f"offending row {hit[0].asDict()}"
+            )
+
     # -- public API ------------------------------------------------------
+
+    def add_constraint(
+        self, name: str, expr: str, max_retries: int = 3
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT (the Delta CHECK-constraint
+        design): record ``expr`` (a SQL boolean over the table's
+        columns) in the log; every subsequent append/merge validates
+        its incoming rows and fails loudly on a violation.  Like
+        Delta, the EXISTING data is validated first -- the constraint
+        only commits if the current snapshot already satisfies it.
+
+        OCC makes enforcement gapless: a writer that validated
+        against a pre-constraint head cannot publish after this
+        commit, because its version slot is gone -- its retry replays
+        against the new head and revalidates under the new
+        constraint set."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            state = self._replay(v)
+            probe = {"constraints": {name: expr}}
+            self._check_constraints(self._scan(state), probe)
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "setConstraint", "adds": [],
+                     "removes": [], "schema": None,
+                     "constraint": {"name": name, "expr": expr}},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue  # revalidate against the winner's snapshot
+        raise ConcurrentCommitError(
+            f"add_constraint lost {max_retries} races"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 3) -> int:
+        """ALTER TABLE DROP CONSTRAINT: stop enforcing ``name``."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            if name not in self._replay(v)["constraints"]:
+                raise KeyError(f"no constraint {name!r} at {self.root}")
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "dropConstraint", "adds": [],
+                     "removes": [], "schema": None,
+                     "drop_constraint": name},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"drop_constraint lost {max_retries} races"
+        )
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The active CHECK constraints at ``version`` (name -> SQL)."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no table at {self.root}")
+        return dict(self._replay(v)["constraints"])
 
     def create(self, df: DataFrame) -> int:
         """Create the table as version 0.  Fails if it already exists."""
@@ -434,10 +533,20 @@ class TxTable:
         the optimize-vs-append race test: the un-retried append
         surfaced ConcurrentCommitError at the caller.)"""
         adds: list | None = None
+        validated_sig: object = object()  # matches no real signature
         for _ in range(max_retries):
             v = self.latest_version()
             evolved: str | None = None
             state = self._replay(v) if v >= 0 else None
+            # CHECK constraints: validate the incoming rows, but only
+            # when the constraint set differs from the one already
+            # validated -- retries stay JSON-only unless a concurrent
+            # setConstraint actually changed the rules out from under
+            # us (then the revalidation IS the enforcement gap closing)
+            sig = tuple(sorted(((state or {}).get("constraints") or {}).items()))
+            if sig != validated_sig:
+                self._check_constraints(df, state)
+                validated_sig = sig
             if state is None or state["schema"] is None:
                 # new table (append-before-create) or a legacy log with
                 # no recorded schema: record df's schema NOW, mirroring
@@ -628,6 +737,7 @@ class TxTable:
             if state is None:
                 raise FileNotFoundError(f"no table at {self.root}")
             self._check_schema(source, v, state=state)
+            self._check_constraints(source, state)
             # _scan(with_meta) derives _file from _metadata.file_path,
             # which stays valid through the semi-join (and through the
             # DV anti-join) -- input_file_name()'s thread-local does

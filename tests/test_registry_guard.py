@@ -26,19 +26,20 @@ def test_driver_order_is_prefix_of_registry():
 
 def test_driver_window_spends_budget_on_unverified():
     """Round-10 rotation: the first 50 are oracle-backed queries with
-    no hash-exact external verdict yet -- the three wave-109
-    deletion-vector queries added this round first (standing
-    same-round policy), then 47 draws that exhaust the mirror-only
-    backlog of every family except stats_drift / tpch_analytics /
-    vectors_ext (those 32 + the 3 written-exemption queries form the
-    round-11 endgame window).  Guards against an import-order change
-    silently demoting them."""
+    no hash-exact external verdict yet -- the four queries added
+    this round first (standing same-round policy: wave-109 deletion
+    vectors + wave-110 CHECK constraints), then 46 draws that
+    exhaust the mirror-only backlog of every family except
+    stats_drift / tpch_analytics / vectors_ext (those 33 + the 3
+    written-exemption queries form the round-11 endgame window).
+    Guards against an import-order change silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
         # wave 109, added this round: deletion vectors
         "txlog_dv_delete",
         "txlog_dv_purge",
         "txlog_dv_changes",
+        "txlog_constraint_gate",
         # family-backlog spot checks (one per exhausted family)
         "burst_users_10min",
         "active_learning_margin",
@@ -48,7 +49,6 @@ def test_driver_window_spends_budget_on_unverified():
         "contrastive_negatives",
         "streaming_tws_peaks",
         "bigram_coverage_score",
-        "balanced_downsample_labels",
     ):
         assert name in first50
     # fully disjoint from the 377 queries rounds 2-9 already verified

@@ -1129,3 +1129,121 @@ class TestDeletionVectors:
         assert (
             snap.filter(F.col("score").isNull()).count() == 90
         )
+
+
+class TestCheckConstraints:
+    """CHECK constraints (``add_constraint`` -- the public Delta
+    design): existing data validated at add time, incoming rows
+    validated on every append/merge under SQL CHECK semantics (TRUE
+    or NULL satisfies, only FALSE violates), constraints replayed
+    through checkpoints, and the OCC enforcement gap closed -- a
+    writer that validated against a pre-constraint head must
+    revalidate when its slot is stolen by the constraint commit."""
+
+    def test_add_validate_enforce_roundtrip(self, spark, tbl):
+        v = tbl.add_constraint("k_nonneg", "k >= 0")
+        assert tbl.constraints() == {"k_nonneg": "k >= 0"}
+        assert tbl.history()[-1]["op"] == "setConstraint"
+        # violating append fails loudly and commits nothing
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            tbl.append(
+                spark.createDataFrame([(-1, "BAD")], "k INT, val STRING")
+            )
+        assert tbl.latest_version() == v and tbl.count() == 100
+        # compliant append passes
+        tbl.append(
+            spark.createDataFrame([(100, "v100")], "k INT, val STRING")
+        )
+        assert tbl.count() == 101
+        # violating merge fails loudly
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            tbl.merge(
+                spark.createDataFrame([(-2, "BAD")], "k INT, val STRING"),
+                ["k"],
+            )
+        # NULL satisfies (SQL CHECK): a row where the expression is
+        # NULL is not a violation
+        tbl.append(
+            spark.createDataFrame([(None, "NULLK")], "k INT, val STRING")
+        )
+        assert tbl.count() == 102
+
+    def test_add_constraint_rejects_violating_existing_data(
+        self, spark, tbl
+    ):
+        head = tbl.latest_version()
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            tbl.add_constraint("impossible", "k >= 50")
+        assert tbl.latest_version() == head  # nothing committed
+        assert tbl.constraints() == {}
+
+    def test_drop_constraint_stops_enforcement(self, spark, tbl):
+        tbl.add_constraint("k_nonneg", "k >= 0")
+        tbl.drop_constraint("k_nonneg")
+        tbl.append(
+            spark.createDataFrame([(-1, "OK NOW")], "k INT, val STRING")
+        )
+        assert tbl.count() == 101
+        with pytest.raises(KeyError):
+            tbl.drop_constraint("nope")
+
+    def test_constraints_replay_through_checkpoints(self, spark, tbl):
+        tbl.add_constraint("k_nonneg", "k >= 0")
+        # cross a checkpoint boundary (every 10 commits)
+        for i in range(200, 212):
+            tbl.append(
+                spark.createDataFrame(
+                    [(i, f"v{i}")], "k INT, val STRING"
+                )
+            )
+        assert any(
+            f.startswith("checkpoint-") for f in os.listdir(tbl.log_dir)
+        )
+        # enforcement still active from the checkpoint-seeded replay
+        assert tbl.constraints() == {"k_nonneg": "k >= 0"}
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            tbl.append(
+                spark.createDataFrame([(-1, "BAD")], "k INT, val STRING")
+            )
+
+    def test_occ_closes_enforcement_gap(self, spark, tbl):
+        # an append validates against the pre-constraint head; a
+        # setConstraint steals its slot; the retried append must
+        # REVALIDATE under the new constraint and reject itself
+        real_write = TxTable._write_commit
+        fired = {"done": False}
+
+        def racing_write(self, version, record):
+            if record.get("op") == "append" and not fired["done"]:
+                fired["done"] = True
+                real_write(
+                    self,
+                    version,
+                    {"version": version, "op": "setConstraint",
+                     "adds": [], "removes": [], "schema": None,
+                     "constraint": {"name": "no_big",
+                                    "expr": "k < 500"}},
+                )
+            return real_write(self, version, record)
+
+        try:
+            TxTable._write_commit = racing_write
+            with pytest.raises(ValueError, match="CHECK constraint"):
+                tbl.append(
+                    spark.createDataFrame(
+                        [(1000, "TOO BIG")], "k INT, val STRING"
+                    )
+                )
+        finally:
+            TxTable._write_commit = real_write
+        # the constraint commit holds the slot; the append never landed
+        assert tbl.latest_version() == 1
+        assert tbl.constraints() == {"no_big": "k < 500"}
+        assert tbl.count() == 100
+
+    def test_time_travel_constraint_state(self, spark, tbl):
+        v1 = tbl.add_constraint("k_nonneg", "k >= 0")
+        v2 = tbl.drop_constraint("k_nonneg")
+        assert tbl.constraints(0) == {}
+        assert tbl.constraints(v1) == {"k_nonneg": "k >= 0"}
+        assert tbl.constraints(v2) == {}
