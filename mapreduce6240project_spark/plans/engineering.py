@@ -3749,3 +3749,105 @@ def q_txlog_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(unmoved).alias("head_unchanged_by_reject"),
         )
     )
+
+
+# =========================================================================
+# wave 110 (cont.): GENERATED columns on the txlog table
+#
+# ``txlog_generated_fill``: GENERATED ALWAYS AS end-to-end
+# (sources/txlog.py set_generated_column -- the Delta generated-column
+# semantics).  A price-band column is registered as generated from
+# cents; the definition validates the existing orders snapshot at set
+# time, an append SUPPLYING a contradicting band is rejected whole
+# (head provably unmoved -- both pinned as deterministic booleans), an
+# append OMITTING the column gets it computed under the committed
+# type, and the final per-band aggregate hashes against the
+# relational truth (base UNION the two filled literals, band derived
+# by the same expression in SQL).
+#
+# Scale: the fill is a projection (no extra pass); validation of a
+# supplied column is one bounded take(1) probe per batch.
+# =========================================================================
+
+
+@_register(
+    "txlog_generated_fill",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+final AS (
+  SELECT k, cents FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(9000000001 AS BIGINT), CAST(7500000 AS BIGINT)),
+    (CAST(9000000002 AS BIGINT), CAST(12500000 AS BIGINT))
+  ) AS t(k, cents)
+)
+SELECT CAST(floor(cents / 5000000) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       TRUE AS wrong_value_rejected,
+       TRUE AS head_unchanged_by_reject
+FROM final GROUP BY band""",
+    ref="extension: GENERATED columns through the txlog ACID table "
+    "(sources/txlog.py set_generated_column, the Delta GENERATED "
+    "ALWAYS AS design) -- definition validated over existing data, "
+    "contradicting append rejected whole, omitted column computed at "
+    "write time, per-band aggregate against the relational truth",
+)
+def q_txlog_generated_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    band_expr = "CAST(floor(cents / 5000000) AS BIGINT)"
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .withColumn("band", F.expr(band_expr))
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_gen_"))
+    tbl.create(base.repartition(4))
+    tbl.set_generated_column("band", band_expr)
+    head = tbl.latest_version()
+    rejected = False
+    try:
+        tbl.append(
+            spark.createDataFrame(
+                [(9000000000, 123456, 999)],
+                "k BIGINT, cents BIGINT, band BIGINT",
+            )
+        )
+    except ValueError:
+        rejected = True
+    unmoved = bool(tbl.latest_version() == head)
+    # omit the generated column: the engine computes it
+    tbl.append(
+        spark.createDataFrame(
+            [(9000000001, 7500000), (9000000002, 12500000)],
+            "k BIGINT, cents BIGINT",
+        )
+    )
+    return (
+        tbl.snapshot()
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "band",
+            "n_orders",
+            "sum_cents",
+            F.lit(rejected).alias("wrong_value_rejected"),
+            F.lit(unmoved).alias("head_unchanged_by_reject"),
+        )
+    )

@@ -17,7 +17,9 @@ commit, merge-on-read DELETE via deletion vectors
 design: mark rows dead instead of rewriting their files; OPTIMIZE
 materializes), CHECK constraints (``add_constraint`` -- existing
 data validated at add time, every append/merge validated at write
-time, OCC closing the enforcement gap), idempotent writer
+time, OCC closing the enforcement gap), GENERATED columns
+(``set_generated_column`` -- omitted columns computed at write time,
+supplied values validated against the definition), idempotent writer
 transactions, schema evolution, checkpoints, and an age-guarded
 vacuum -- so the engine's
 CDC/upsert story runs end-to-end in this container instead of ending
@@ -220,13 +222,15 @@ class TxTable:
         version."""
         start = 0
         state: dict = {
-            "files": {}, "schema": None, "txns": {}, "constraints": {}
+            "files": {}, "schema": None, "txns": {},
+            "constraints": {}, "generated": {},
         }
         cp = self._latest_checkpoint_at_most(version)
         if cp is not None:
             start, state = cp[0] + 1, cp[1]
             state.setdefault("txns", {})  # pre-txn checkpoints
             state.setdefault("constraints", {})  # pre-constraint cps
+            state.setdefault("generated", {})  # pre-generated cps
         for v in range(start, version + 1):
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
@@ -245,6 +249,11 @@ class TxTable:
                 state["constraints"][c["name"]] = c["expr"]
             if rec.get("drop_constraint"):
                 state["constraints"].pop(rec["drop_constraint"], None)
+            if rec.get("generated"):
+                g = rec["generated"]
+                state["generated"][g["name"]] = g["expr"]
+            if rec.get("drop_generated"):
+                state["generated"].pop(rec["drop_generated"], None)
         return state
 
     def last_txn_version(self, app: str) -> int:
@@ -422,7 +431,103 @@ class TxTable:
                 f"offending row {hit[0].asDict()}"
             )
 
+    def _apply_generated(self, df: DataFrame, state: dict | None) -> DataFrame:
+        """GENERATED-column write path (the Delta ``GENERATED ALWAYS
+        AS`` semantics): for each registered (name, expr), a batch
+        that OMITS the column gets it computed (cast to the committed
+        type); a batch that SUPPLIES it is validated -- one bounded
+        ``take(1)`` probe for any row where the supplied value is not
+        null-safe-equal to the expression -- so a writer can never
+        commit a value that contradicts the definition.  Filled
+        columns are re-ordered to the committed schema positions."""
+        gen = (state or {}).get("generated") or {}
+        if not gen:
+            return df
+        from pyspark.sql.types import StructType
+
+        fields: dict = {}
+        order: list[str] = []
+        if state.get("schema"):
+            committed = StructType.fromJson(json.loads(state["schema"]))
+            fields = {f.name: f.dataType for f in committed.fields}
+            order = [f.name for f in committed.fields]
+        filled = False
+        for name, expr in gen.items():
+            target = F.expr(expr)
+            if name in fields:
+                target = target.cast(fields[name])
+            if name not in df.columns:
+                df = df.withColumn(name, target)
+                filled = True
+            else:
+                bad = df.filter(~F.col(name).eqNullSafe(target)).take(1)
+                if bad:
+                    raise ValueError(
+                        f"GENERATED column {name!r} mismatch "
+                        f"(defined as {expr!r}): offending row "
+                        f"{bad[0].asDict()}"
+                    )
+        if filled and order and set(order) <= set(df.columns):
+            extras = [c for c in df.columns if c not in order]
+            df = df.select(*(order + extras))
+        return df
+
     # -- public API ------------------------------------------------------
+
+    def set_generated_column(
+        self, name: str, expr: str, max_retries: int = 3
+    ) -> int:
+        """Register ``name`` (an EXISTING table column) as GENERATED
+        ALWAYS AS ``expr``: subsequent appends/merges may omit the
+        column (it is computed) and must agree with the definition
+        when they supply it.  Like ``add_constraint``, the current
+        snapshot is validated first -- the definition only commits if
+        every existing row already satisfies it, so readers can treat
+        the invariant as total across all versions >= this commit."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            state = self._replay(v)
+            cols = (
+                [f["name"] for f in json.loads(state["schema"])["fields"]]
+                if state["schema"]
+                else []
+            )
+            if name not in cols:
+                raise ValueError(
+                    f"generated column {name!r} is not a table column "
+                    f"(have {cols}); generated columns define EXISTING "
+                    f"columns, they do not evolve the schema"
+                )
+            probe = {
+                "generated": {name: expr},
+                "schema": state["schema"],
+            }
+            self._apply_generated(self._scan(state), probe)
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "setGenerated", "adds": [],
+                     "removes": [], "schema": None,
+                     "generated": {"name": name, "expr": expr}},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"set_generated_column lost {max_retries} races"
+        )
+
+    def generated_columns(
+        self, version: int | None = None
+    ) -> dict[str, str]:
+        """The active generated-column definitions at ``version``."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no table at {self.root}")
+        return dict(self._replay(v)["generated"])
 
     def add_constraint(
         self, name: str, expr: str, max_retries: int = 3
@@ -532,6 +637,15 @@ class TxTable:
         retries here are JSON-only, never a data rewrite.  (Found by
         the optimize-vs-append race test: the un-retried append
         surfaced ConcurrentCommitError at the caller.)"""
+        # GENERATED columns resolve against the head ONCE (filling
+        # changes the frame that gets staged, and staging happens
+        # exactly once); a concurrent metadata change lands as a
+        # schema/constraint revalidation failure on retry, never as a
+        # silently stale fill of already-staged files
+        v0 = self.latest_version()
+        df = self._apply_generated(
+            df, self._replay(v0) if v0 >= 0 else None
+        )
         adds: list | None = None
         validated_sig: object = object()  # matches no real signature
         for _ in range(max_retries):
@@ -736,14 +850,15 @@ class TxTable:
                     return v  # already applied; idempotent skip
             if state is None:
                 raise FileNotFoundError(f"no table at {self.root}")
-            self._check_schema(source, v, state=state)
-            self._check_constraints(source, state)
+            src = self._apply_generated(source, state)
+            self._check_schema(src, v, state=state)
+            self._check_constraints(src, state)
             # _scan(with_meta) derives _file from _metadata.file_path,
             # which stays valid through the semi-join (and through the
             # DV anti-join) -- input_file_name()'s thread-local does
             # not survive leaving the scan stage
             cur = self._scan(state, with_meta=True)
-            keys = source.select(*key_cols).distinct()
+            keys = src.select(*key_cols).distinct()
             affected_rows = cur.join(F.broadcast(keys), key_cols, "left_semi")
             affected = [
                 r._file
@@ -755,9 +870,9 @@ class TxTable:
                 survivors = old_affected.join(
                     F.broadcast(keys), key_cols, "left_anti"
                 )
-                new_df = survivors.unionByName(source)
+                new_df = survivors.unionByName(src)
             else:
-                new_df = source
+                new_df = src
             adds = self._write_data_files(new_df)
             nv = v + 1
             rec = {

@@ -1247,3 +1247,84 @@ class TestCheckConstraints:
         assert tbl.constraints(0) == {}
         assert tbl.constraints(v1) == {"k_nonneg": "k >= 0"}
         assert tbl.constraints(v2) == {}
+
+
+class TestGeneratedColumns:
+    """GENERATED columns (``set_generated_column`` -- the Delta
+    GENERATED ALWAYS AS semantics): a write batch omitting the column
+    gets it computed under the committed type; a batch supplying it
+    must null-safe-equal the definition or the write is rejected
+    whole; the definition only commits if the existing snapshot
+    already satisfies it, and it replays through checkpoints."""
+
+    @pytest.fixture()
+    def gtbl(self, spark, tmp_path):
+        t = TxTable(spark, str(tmp_path / "gen"))
+        base = spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).alias("cents"),
+            (F.col("id")).cast("bigint").alias("dollars"),
+        )
+        t.create(base)
+        t.set_generated_column("dollars", "cents / 100")
+        return t
+
+    def test_fill_when_omitted(self, spark, gtbl):
+        gtbl.append(
+            spark.range(20, 25).select(
+                F.col("id").alias("k"), (F.col("id") * 100).alias("cents")
+            )
+        )
+        got = {r.k: r.dollars for r in gtbl.snapshot().collect()}
+        assert got[22] == 22 and len(got) == 25
+        # committed column ORDER is preserved by the fill
+        assert gtbl.snapshot().columns == ["k", "cents", "dollars"]
+
+    def test_supplied_value_validated(self, spark, gtbl):
+        head = gtbl.latest_version()
+        with pytest.raises(ValueError, match="GENERATED column"):
+            gtbl.append(
+                spark.createDataFrame(
+                    [(99, 500, 999)], "k BIGINT, cents BIGINT, dollars BIGINT"
+                )
+            )
+        assert gtbl.latest_version() == head  # rejected whole
+        gtbl.append(
+            spark.createDataFrame(
+                [(99, 500, 5)], "k BIGINT, cents BIGINT, dollars BIGINT"
+            )
+        )
+        assert gtbl.count() == 21
+
+    def test_merge_fills_omitted_column(self, spark, gtbl):
+        gtbl.merge(
+            spark.createDataFrame([(0, 12300)], "k BIGINT, cents BIGINT"),
+            ["k"],
+        )
+        got = {r.k: (r.cents, r.dollars) for r in gtbl.snapshot().collect()}
+        assert got[0] == (12300, 123)
+
+    def test_definition_must_hold_on_existing_data(self, spark, gtbl):
+        head = gtbl.latest_version()
+        with pytest.raises(ValueError, match="GENERATED column"):
+            gtbl.set_generated_column("dollars", "cents / 50")
+        assert gtbl.latest_version() == head
+        assert gtbl.generated_columns() == {"dollars": "cents / 100"}
+
+    def test_must_name_existing_column(self, spark, gtbl):
+        with pytest.raises(ValueError, match="not a table column"):
+            gtbl.set_generated_column("euros", "cents / 90")
+
+    def test_replays_through_checkpoints(self, spark, gtbl):
+        for i in range(100, 112):
+            gtbl.append(
+                spark.createDataFrame(
+                    [(i, i * 100)], "k BIGINT, cents BIGINT"
+                )
+            )
+        assert any(
+            f.startswith("checkpoint-") for f in os.listdir(gtbl.log_dir)
+        )
+        assert gtbl.generated_columns() == {"dollars": "cents / 100"}
+        got = {r.k: r.dollars for r in gtbl.snapshot().collect()}
+        assert got[111] == 111
