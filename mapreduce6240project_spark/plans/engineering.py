@@ -2917,7 +2917,8 @@ def q_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read of the pre-merge version.
 #
 # Scale: MERGE rewrites only files containing matched keys (broadcast
-# semi-join on input_file_name; driver state = file count); snapshot
+# semi-join on the _metadata file identity; driver state = file
+# count); snapshot
 # replay is O(1) amortized via checkpoints.  The aggregate output is
 # |status| x 2 rows.
 # =========================================================================

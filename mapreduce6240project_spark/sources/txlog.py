@@ -72,8 +72,9 @@ ACID properties and how they are obtained:
 Scale posture (100 TB): snapshot cost is O(log length) JSON reads,
 amortized to O(1) by checkpoints every ``CHECKPOINT_EVERY`` commits;
 MERGE rewrites ONLY the data files that contain matched keys (found
-with a broadcast semi-join on ``input_file_name``, driver state
-bounded by the file count), carrying every untouched file forward --
+with a broadcast semi-join on the ``_metadata`` file identity, driver
+state bounded by the file count), carrying every untouched file
+forward --
 the standard copy-on-write MERGE.  Row counts and per-column min/max
 zonemaps come from the parquet footers at write time (no extra scan),
 so ``count()`` is log-only and ``snapshot_where`` skips whole files --
@@ -1019,10 +1020,10 @@ class TxTable:
 
         Only data files containing a matched key are rewritten: the
         affected-file set comes from a broadcast semi-join of the
-        current snapshot (tagged with ``input_file_name``) against the
-        distinct source keys, so driver state is bounded by the file
-        count, and every untouched file is carried forward in the
-        commit unchanged.  Retries on a lost optimistic-concurrency
+        current snapshot (tagged with its ``_metadata.file_path``)
+        against the distinct source keys, so driver state is bounded
+        by the file count, and every untouched file is carried forward
+        in the commit unchanged.  Retries on a lost optimistic-concurrency
         race re-read the new snapshot and re-derive.
 
         ``txn=(app, version)`` makes the merge IDEMPOTENT per writer:
