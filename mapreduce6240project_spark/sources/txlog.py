@@ -437,6 +437,16 @@ class TxTable:
             return reader.parquet(*paths).select(
                 *[F.col(p).alias(l) for l, p in mapping]
             )
+        # the DV/rewrite read path claims two helper column names; a
+        # table that uses them would alias-collide into silently wrong
+        # joins, so refuse loudly (same spirit as Delta reserving _*)
+        clash = {"_file", "_row_idx"} & {l for l, _ in mapping}
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} collide with txlog's "
+                f"reserved scan helper names; rename them "
+                f"(rename_column) before DV/rewrite operations"
+            )
         base_cols = (
             [F.col(p).alias(l) for l, p in mapping]
             if mapping

@@ -1473,3 +1473,24 @@ class TestColumnMapping:
         rtbl.drop_generated_column("val")
         rtbl.rename_column("val", "doubled")  # unlocked after drop
         assert rtbl.snapshot().columns == ["k", "doubled"]
+
+
+def test_reserved_helper_names_fail_loudly(spark, tmp_path):
+    """A table using txlog's scan helper names (_file/_row_idx) would
+    alias-collide into silently wrong DV/rewrite joins -- the scan
+    refuses loudly instead (plain snapshots of such tables still
+    work: no helper columns are added on the fast path)."""
+    t = TxTable(spark, str(tmp_path / "clash"))
+    t.create(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.col("id").alias("_file")
+        )
+    )
+    assert t.snapshot().count() == 10  # fast path unaffected
+    with pytest.raises(ValueError, match="reserved scan helper"):
+        t.delete_where(F.col("k") < 2, mode="mor")
+    with pytest.raises(ValueError, match="reserved scan helper"):
+        t.merge(
+            spark.createDataFrame([(1, 1)], "k BIGINT, _file BIGINT"),
+            ["k"],
+        )
