@@ -262,17 +262,53 @@ def kmedoids(
     driver_combo_threshold = adaptive_threshold(
         driver_combo_threshold, DRIVER_COMBO_THRESHOLD
     )
+    if seeds is None and k is None:
+        raise ValueError("pass k or seeds")
+
+    # Persist the 4-feature projection only when the input is not
+    # already cached: the registry paths hand in the session-persisted
+    # feature store, where a second persist would materialize a
+    # redundant copy of the same rows (one extra full pass + memory)
+    # that every scan below could equally serve from the parent cache
+    # (r10 optimization; guide section 5 -- cache only what recomputing
+    # would actually cost).
+    src_level = features.storageLevel
+    features = features.select(*FEATURE_COLS)
+    if not (src_level.useMemory or src_level.useDisk):
+        features = features.persist()
+
     if seeds is None:
-        if k is None:
-            raise ValueError("pass k or seeds")
-        from mapreduce6240project_spark.operators.sampling import sample_k_seeds
+        from mapreduce6240project_spark.operators.sampling import seed_hash
 
-        seeds = [r.tweet_id for r in sample_k_seeds(features, k).collect()]
-    seeds = [int(s) for s in seeds]
+        # Fused seed draw + medoid feature fetch: TakeOrdered of the
+        # full feature rows by the same (LCG hash, id) key returns the
+        # seed rows directly -- ONE job instead of the former two
+        # (sample_k_seeds collect + _collect_medoids collect), and at
+        # scale a per-partition top-k instead of a full distinct
+        # shuffle of every id (r10 optimization, guide section 2.4).
+        # Identical to the distinct draw whenever the returned ids are
+        # unique (equal-id rows sort adjacently, so a duplicate id in
+        # the true top-k is always visible in the collected rows);
+        # duplicate-keyed inputs fall back to the original path.
+        rows = (
+            features.orderBy(seed_hash("tweet_id"), F.col("tweet_id"))
+            .limit(k)
+            .collect()
+        )
+        seeds = [int(r["tweet_id"]) for r in rows]
+        if len(set(seeds)) == len(seeds):
+            medoids = [{c: r[c] for c in FEATURE_COLS} for r in rows]
+        else:
+            from mapreduce6240project_spark.operators.sampling import (
+                sample_k_seeds,
+            )
+
+            seeds = [int(r.tweet_id) for r in sample_k_seeds(features, k).collect()]
+            medoids = _collect_medoids(features, seeds)
+    else:
+        seeds = [int(s) for s in seeds]
+        medoids = _collect_medoids(features, seeds)
     k = len(seeds)
-
-    features = features.select(*FEATURE_COLS).persist()
-    medoids = _collect_medoids(features, seeds)
 
     # Iterate over the combo-compressed table: one full-data shuffle up
     # front, then every iteration touches C rows (distinct feature
@@ -283,12 +319,24 @@ def kmedoids(
         .agg(F.count("*").alias("n"), F.min("tweet_id").alias("tweet_id"))
         .persist()
     )
-    n_combos = combos.count()  # materialize; iterations re-read this cache
 
     result = KMedoidsResult(assignments=features, medoids=medoids)
 
-    if update_cap is None and n_combos <= driver_combo_threshold:
-        combo_rows = [r.asDict() for r in combos.collect()]
+    if update_cap is None:
+        # Single bounded probe job replaces the former count() +
+        # collect() pair: limit(threshold + 1) returns EVERY combo row
+        # when the table fits the driver threshold (a limit larger
+        # than the row count must scan all partitions, which also
+        # fills the cache), and stops after threshold + 1 rows when it
+        # does not -- so the driver branch costs one job and the
+        # distributed branch pays only a truncated probe (r10
+        # optimization).
+        head = combos.limit(driver_combo_threshold + 1).collect()
+    else:
+        head = None
+
+    if head is not None and len(head) <= driver_combo_threshold:
+        combo_rows = [r.asDict() for r in head]
         combos.unpersist()
         medoids = _iterate_driver_side(
             combo_rows, medoids, max_iter, tol, weighted, result

@@ -241,13 +241,84 @@ def q_cluster_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref="Cluster2/4/5.java + distanceCal.java (C3 multi-k elbow)",
 )
 def q_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass sweep (r10 optimization): the former per-k
+    # union (assign + cost per k) scanned the feature store FOUR times
+    # and paid four exchanges.  One scan now computes every k's
+    # (cluster, micro-cost) pair per row and aggregates by the JOINT
+    # cluster vector (<= prod |clusters| ~ 120 tiny groups, one
+    # map-side-combined exchange); a second constant-size stage
+    # explodes those groups into the (k, cluster) grain.  All sums are
+    # integer micro-units, so regrouping is exact; the per-k cluster is
+    # the same first-minimum argmin (CASE over named distance columns,
+    # byte-identical tie-break to array_position(array_min)), and the
+    # per-row cost floor(min_dist * 1e6 + 0.5) reads the identical
+    # IEEE double via least().  NOTE: this is NOT the round-1
+    # "one-pass elbow" that lost 2.4x (BASELINE.md) -- that design
+    # exploded k structs per DATA row before aggregating (4x the rows
+    # through the exchange, no distance CSE); here the explode runs on
+    # the ~120 combo-group rows after the aggregation, and named
+    # distance columns in a separate projection evaluate each distance
+    # once (CollapseProject keeps non-cheap aliases materialized).
+    from functools import reduce
+
     feats = feature_store(spark, sf_dir)
-    out = None
-    for k, medoids in MEDOIDS_BY_K.items():
-        assigned = assign_clusters(feats, medoids)
-        costs = cluster_cost(assigned, medoids).withColumn("k", F.lit(k))
-        out = costs if out is None else out.unionByName(costs)
-    return out.select("k", "cluster", "n_members", "total_cost")
+    from mapreduce6240project_spark.functions.distance import (
+        medoid_distance_literal,
+    )
+
+    ks = list(MEDOIDS_BY_K)
+    dist_cols = [
+        medoid_distance_literal(m).alias(f"_d{k}_{i}")
+        for k in ks
+        for i, m in enumerate(MEDOIDS_BY_K[k])
+    ]
+    proj = []
+    for k in ks:
+        d = [F.col(f"_d{k}_{i}") for i in range(k)]
+        arg = None
+        for i in range(k - 1):
+            cond = reduce(
+                lambda a, b: a & b, [d[i] <= d[j] for j in range(k) if j != i]
+            )
+            arg = F.when(cond, i) if arg is None else arg.when(cond, i)
+        proj.append(arg.otherwise(k - 1).cast("int").alias(f"_c{k}"))
+        proj.append(
+            F.floor(F.least(*d) * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"_m{k}")
+        )
+    combo = (
+        feats.select(*dist_cols)
+        .select(*proj)
+        .groupBy(*[f"_c{k}" for k in ks])
+        .agg(
+            F.count("*").alias("_n"),
+            *[F.sum(f"_m{k}").alias(f"_s{k}") for k in ks],
+        )
+    )
+    pairs = combo.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(f"_c{k}").alias("cluster"),
+                        F.col("_n").alias("n"),
+                        F.col(f"_s{k}").alias("s"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("x")
+    )
+    return (
+        pairs.groupBy(F.col("x.k").alias("k"), F.col("x.cluster").alias("cluster"))
+        .agg(
+            F.sum("x.n").alias("n_members"),
+            F.round(F.sum("x.s") / 1_000_000.0, 4).alias("total_cost"),
+        )
+        .select("k", "cluster", "n_members", "total_cost")
+    )
 
 
 def _elbow_oracle() -> str:
