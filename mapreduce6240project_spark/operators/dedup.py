@@ -778,15 +778,25 @@ def jaccard_verified_pairs(
     independent of the hash function, so it is checkable against the
     relational Jaccard ground truth (:func:`ngram_jaccard_pairs`) by
     any SQL engine."""
-    pairs = _track_persist(candidates.select("id_a", "id_b"))
-    # eager: the two join subtrees below read the cache
+    # pairs persists LAZILY (r10 optimization): ids.count() below is the
+    # first action over the chain and scans pairs in full, so the former
+    # separate eager pairs.count() was a redundant sequential job.
+    pairs = _track_persist(candidates.select("id_a", "id_b"), eager=False)
     ids = _track_persist(
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct(),
         eager=False,
     )
-    n_candidate_docs = ids.count()  # materializes the ids cache
+    # The count stays an explicit job BEFORE the semi-join below is
+    # planned: a materialized InMemoryRelation carries accurate size
+    # stats, which is what lets the planner broadcast `ids` into the
+    # semi-join instead of shuffling the corpus by doc_id (the plan
+    # invariant tests/test_plans.py::test_verify_stage_broadcasts_
+    # candidate_shingles guards; deferring this count to a fused probe
+    # was tried in r10 and regressed the static plan to a corpus-side
+    # SortMergeJoin).
+    n_candidate_docs = ids.count()  # materializes pairs + ids caches
     # cache the candidate docs (id + text only) in EVERY branch: the
     # shingle projection feeds BOTH sides of the pair join, so an
     # unpersisted semi would run the corpus semi-join + shingling twice

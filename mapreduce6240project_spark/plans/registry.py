@@ -586,22 +586,39 @@ GROUP BY r.r_name""",
     headline=True,
 )
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 optimization (guide section 2.3, "aggregate before you
+    # shuffle"): quantize each lineitem's revenue to integer micros and
+    # partial-aggregate by l_orderkey BEFORE any join, so the widest
+    # exchange carries one (orderkey, bigint) row per order (~4x fewer
+    # rows, fixed 16-byte payload) instead of every raw lineitem; the
+    # order->customer hop is likewise pre-summed to custkey grain.
+    # Integer micro sums are associative, so regrouping is exact and
+    # the final round() sees the identical bigint total the one-shot
+    # aggregation produced -- the oracle SQL is unchanged.  Joins stay
+    # inner on unique keys (o_orderkey, c_custkey), so no contribution
+    # is duplicated or dropped.
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    micro = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev_by_order = li.groupBy("l_orderkey").agg(F.sum(micro).alias("_rev_micro"))
+    rev_by_cust = (
+        o.join(rev_by_order, o.o_orderkey == rev_by_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev_micro").alias("_rev_micro"))
+    )
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        rev_by_cust.join(dims, rev_by_cust.o_custkey == dims.c_custkey)
         .groupBy("r_name")
-        .agg(
-            stable_sum_micros(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum("_rev_micro") / 1000000.0, 4).alias("revenue"))
     )
 
 

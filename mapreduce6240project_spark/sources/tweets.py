@@ -118,7 +118,21 @@ def tweet_features_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduce6240project_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    # r10 optimization: fan the RAW events out to the session's
+    # parallelism BEFORE the feature expressions, so the regex/parse
+    # work runs on every core instead of inside the scan task (the
+    # bench parquet arrives as one row group = one task; measured
+    # 0.76 s -> 0.48 s at sf0.1, 2.0 s -> 1.2 s at 10x).  fan_out is a
+    # metadata-gated no-op whenever the scan is already wide, so the
+    # 100 TB plan is unchanged (the round-1 objection to fanning this
+    # path out -- iterative consumers re-paying the shuffle per
+    # driver-loop job, BASELINE.md -- no longer applies: clustering
+    # reads the persisted feature store, and this derivation runs once
+    # per ingest pass).  Row-local expressions make the result
+    # order-independent.
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     raw = ev.select(
         F.col("event_id").alias("tweet_id"),
         F.date_format("ts", "HH:mm:ss").alias("raw_time"),

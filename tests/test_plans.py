@@ -70,12 +70,25 @@ def test_minhash_signatures_plan_shape(spark):
 
 
 def test_ingest_is_map_only(spark):
-    # reference ETL is a map-only job (kmeans.java:146); ours matches.
-    # (fan_out on this path was measured a net loss: the iterative
-    # clustering queries re-pay the extra stage per driver-loop job --
-    # see BASELINE.md negative results.)
+    # reference ETL is a map-only job (kmeans.java:146); ours matches
+    # up to the conditional small-input fan-out (r10): the ONLY
+    # exchange permitted is the round-robin repartition fan_out inserts
+    # when the scan is narrower than the session parallelism, and it is
+    # a metadata-gated no-op on a wide scan (test_fan_out_is_noop_on_
+    # wide_input) -- so the 100 TB plan has 0 exchanges and no key
+    # shuffle appears at any scale.  (The round-1 objection to fanning
+    # this path out -- driver-loop consumers re-paying the stage, see
+    # BASELINE.md -- predates the persisted feature store those
+    # consumers now read.)
     feats = tweet_features_from_events(spark, SF)
-    assert _n_exchanges(feats) == 0
+    plan = _plan(feats)
+    assert _n_exchanges(feats) <= 1
+    assert "hashpartitioning" not in plan  # never a key shuffle
+    # wide input -> the derivation itself adds no exchange
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    wide = load_table(spark, SF, "events").repartition(64)
+    assert fan_out(wide) is wide
 
 
 def test_fan_out_is_noop_on_wide_input(spark):
@@ -95,8 +108,12 @@ def test_topk_uses_take_ordered(spark):
 def test_whole_stage_codegen_covers_distance(spark):
     feats = tweet_features_from_events(spark, SF)
     assigned = assign_clusters(feats, MEDOIDS_BY_K[3])
-    # "*(n)" prefix marks whole-stage-codegen spans in the simple plan
-    assert "*(" in _plan(assigned)
+    # "*(n)" prefix marks whole-stage-codegen spans.  The conditional
+    # ingest fan-out (r10) makes the plan adaptive (AQE wraps any plan
+    # with an exchange, hiding codegen marks until execution), so
+    # assert on the EXECUTED plan.
+    assigned.collect()  # finalize the adaptive plan on THIS Dataset
+    assert "*(" in assigned._jdf.queryExecution().executedPlan().toString()
 
 def test_verify_stage_broadcasts_candidate_shingles(spark):
     """The exact-verify stage of LSH dedup must broadcast the (small)
