@@ -304,8 +304,15 @@ def minhash_signatures(
     )
     base = F.pmod(F.xxhash64("s"), F.lit(p))
     hashed = ex.select(F.col(id_col), *([ "_fp" ] if carry_fp else []), base.alias("h"))
+    # ONE F.expr per permutation (r10 optimization): the former
+    # operator-by-operator Column build (mul + add + mod + min + alias
+    # = 5 py4j round-trips x 64 permutations) cost ~1 s of pure driver
+    # time per signature plan.  The SQL string parses to the identical
+    # expression tree: integer literals keep their integral types, `%`
+    # is the same Remainder, and all operands are non-negative ints so
+    # the arithmetic is exact either way.
     mins = [
-        F.min((F.col("h") * rng_a[i] + rng_b[i]) % p).alias(f"_m{i}")
+        F.expr(f"min((h * {rng_a[i]} + {rng_b[i]}) % {p}) AS _m{i}")
         for i in range(n_hashes)
     ]
     fp_agg = [F.min("_fp").alias("_fp")] if carry_fp else []  # constant per doc
