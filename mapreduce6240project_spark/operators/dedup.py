@@ -826,9 +826,17 @@ def jaccard_verified_pairs(
         # appears in up to shingle_n shingles, +1 for array overhead
         if text_bytes * (shingle_n + 1) <= broadcast_max_bytes:
             hint = F.broadcast
-    sh = semi.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    # persist the SHINGLED candidate table, not just the text: it feeds
+    # BOTH sides of the pair join, and an unpersisted projection would
+    # tokenize + shingle every candidate doc twice (once per side's
+    # broadcast/shuffle build).  O(|candidates|) rows either way; the
+    # lazy persist fills on the first side's build (r10 optimization).
+    sh = _track_persist(
+        semi.select(
+            F.col(id_col),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        ),
+        eager=False,
     )
     a = hint(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
     b = hint(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))

@@ -105,6 +105,18 @@ def write_feature_store(features: DataFrame, path: str, buckets: int | None = No
         writer.parquet(path)
 
 
+#: session-scoped PLAN memo for the feature derivation: the ~30
+#: when-chain expressions cost ~0.45 s of py4j round-trips to build,
+#: and the plan is a pure function of (session, sf_dir).  Like
+#: tables._TABLE_CACHE this reuses only the unresolved plan object --
+#: nothing is persisted; every action still computes from the parquet
+#: files (feature_store's persist() of this plan is the separate,
+#: documented store semantics).
+_FEATURE_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def tweet_features_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tweet-feature table derived from the driver's
     ``events`` table (FIXTURES.md section 3 sanctions this derivation --
@@ -115,24 +127,37 @@ def tweet_features_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs them through the same P5-P8 parsing expressions the CSV ingest
     uses, so the full parse path is exercised and DuckDB-oracle-checkable
     (the oracle mirrors both steps in ANSI SQL).
+
+    r10 optimization: the RAW events are fanned out to the session's
+    parallelism BEFORE the feature expressions, so the regex/parse work
+    runs on every core instead of inside the scan task (the bench
+    parquet arrives as one row group = one task; measured 0.76 s ->
+    0.48 s at sf0.1, 2.0 s -> 1.2 s at 10x).  fan_out is a
+    metadata-gated no-op whenever the scan is already wide, so the
+    100 TB plan is unchanged.  Row-local expressions make the result
+    order-independent.  NOTE: :func:`feature_store` deliberately builds
+    a STRUCTURALLY different plan (fan-out after the derivation, see
+    there) so Spark's cache manager can never serve this query -- the
+    timed ETL derivation -- from the persisted store.
     """
+    per_session = _FEATURE_PLAN_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
+    out = _derive_features(spark, sf_dir, pre_fan_out=True)
+    per_session[sf_dir] = out
+    return out
+
+
+def _derive_features(
+    spark: SparkSession, sf_dir: str, pre_fan_out: bool
+) -> DataFrame:
+    from mapreduce6240project_spark.operators.fanout import fan_out
     from mapreduce6240project_spark.sources.tables import load_table
 
-    from mapreduce6240project_spark.operators.fanout import fan_out
-
-    # r10 optimization: fan the RAW events out to the session's
-    # parallelism BEFORE the feature expressions, so the regex/parse
-    # work runs on every core instead of inside the scan task (the
-    # bench parquet arrives as one row group = one task; measured
-    # 0.76 s -> 0.48 s at sf0.1, 2.0 s -> 1.2 s at 10x).  fan_out is a
-    # metadata-gated no-op whenever the scan is already wide, so the
-    # 100 TB plan is unchanged (the round-1 objection to fanning this
-    # path out -- iterative consumers re-paying the shuffle per
-    # driver-loop job, BASELINE.md -- no longer applies: clustering
-    # reads the persisted feature store, and this derivation runs once
-    # per ingest pass).  Row-local expressions make the result
-    # order-independent.
-    ev = fan_out(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
+    if pre_fan_out:
+        ev = fan_out(ev)
     raw = ev.select(
         F.col("event_id").alias("tweet_id"),
         F.date_format("ts", "HH:mm:ss").alias("raw_time"),
@@ -206,13 +231,19 @@ def feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         from mapreduce6240project_spark.operators.fanout import fan_out
 
-        # fan_out BEFORE persist: small test inputs arrive as one
-        # partition, and the one-time repartition cost is amortized --
-        # every consumer (including the iterative k-medoids loop) reads
-        # the already-wide cache.  At scale the scan is already wide and
-        # fan_out adds nothing (round-1 measurement showed fan-out on
-        # the *uncached* ingest path was a net loss; the cache flips it).
-        df = fan_out(tweet_features_from_events(spark, sf_dir)).persist()
+        # fan_out AFTER the derivation, BEFORE persist: small test
+        # inputs arrive as one partition, and the one-time repartition
+        # cost is amortized -- every consumer (including the iterative
+        # k-medoids loop) reads the already-wide cache.  At scale the
+        # scan is already wide and fan_out adds nothing.  This plan is
+        # DELIBERATELY structurally different from
+        # tweet_features_from_events (which fans the raw events out
+        # BEFORE the expressions): Spark's CacheManager substitutes the
+        # persisted store into any query whose plan equals the cached
+        # one, and the ingest_featurize bench query must keep measuring
+        # the raw derivation, never the cache (r10 finding -- with
+        # identical plans the timed ETL silently became a cache read).
+        df = fan_out(_derive_features(spark, sf_dir, pre_fan_out=False)).persist()
         per_session[sf_dir] = df
     return df
 
