@@ -286,18 +286,30 @@ def kmedoids(
         # (sample_k_seeds collect + _collect_medoids collect), and at
         # scale a per-partition top-k instead of a full distinct
         # shuffle of every id (r10 optimization, guide section 2.4).
-        # Identical to the distinct draw whenever the returned ids are
-        # unique (equal-id rows sort adjacently, so a duplicate id in
-        # the true top-k is always visible in the collected rows);
-        # duplicate-keyed inputs fall back to the original path.
+        # The draw is over k+1 rows (r11, ADVICE): equal-id rows sort
+        # adjacently, so a duplicate of any of the first k-1 seed ids
+        # is visible within the first k rows, and a duplicate of the
+        # k-th seed id is visible in row k+1 -- the one case limit(k)
+        # could not see (it kept the seed ids correct but picked the
+        # k-th medoid's features from an arbitrary copy).  Any
+        # duplicate among the k+1 rows falls back to the original
+        # distinct-draw path.
         rows = (
             features.orderBy(seed_hash("tweet_id"), F.col("tweet_id"))
-            .limit(k)
+            .limit(k + 1)
             .collect()
         )
-        seeds = [int(r["tweet_id"]) for r in rows]
-        if len(set(seeds)) == len(seeds):
-            medoids = [{c: r[c] for c in FEATURE_COLS} for r in rows]
+        take = rows[:k]
+        seeds = [int(r["tweet_id"]) for r in take]
+        # equal ids sort adjacently: any duplicate of seeds[0..k-2] is
+        # already inside the first k rows, and a duplicate of the k-th
+        # seed can only sit at row k+1 -- so these two checks cover
+        # every duplicated seed id (fewer than k rows = a short draw,
+        # handled like the old path: unique ids are accepted as-is)
+        if len(set(seeds)) == len(seeds) and (
+            len(rows) <= k or int(rows[k]["tweet_id"]) != seeds[-1]
+        ):
+            medoids = [{c: r[c] for c in FEATURE_COLS} for r in take]
         else:
             from mapreduce6240project_spark.operators.sampling import (
                 sample_k_seeds,
@@ -326,11 +338,13 @@ def kmedoids(
         # Single bounded probe job replaces the former count() +
         # collect() pair: limit(threshold + 1) returns EVERY combo row
         # when the table fits the driver threshold (a limit larger
-        # than the row count must scan all partitions, which also
-        # fills the cache), and stops after threshold + 1 rows when it
-        # does not -- so the driver branch costs one job and the
-        # distributed branch pays only a truncated probe (r10
-        # optimization).
+        # than the row count scans all partitions, and a partition
+        # whose iterator is fully consumed commits to the cache), and
+        # stops after threshold + 1 rows when it does not -- so the
+        # driver branch costs one probe and the distributed branch
+        # pays only a truncated probe (r10 optimization).  The cache
+        # fill is complete only on the driver branch; the overflow
+        # branch materializes explicitly below.
         head = combos.limit(driver_combo_threshold + 1).collect()
     else:
         head = None
@@ -349,6 +363,13 @@ def kmedoids(
         result.medoids = medoids
         return result
 
+    # Distributed branch: the truncated limit-probe above only commits
+    # cache partitions whose iterators were fully consumed, so the
+    # combo cache is at best partially built here.  Materialize it
+    # eagerly ONCE so every loop iteration reads the cache instead of
+    # the first iteration silently re-paying the full combo shuffle
+    # (r11, VERDICT item 2; guide section 5).
+    combos.count()
     assigned = assign_clusters(combos, medoids, weighted)
     for it in range(1, max_iter + 1):
         result.iterations = it

@@ -32,6 +32,8 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.actions import first_row
+
 # ---------------------------------------------------------------------------
 # cache lifecycle: the pair generators persist intermediate frames whose
 # lifetime is tied to a lazily returned result, so they cannot unpersist
@@ -469,14 +471,16 @@ def minhash_candidate_pairs(
         probe_mod = min(16, max(1, hot_bucket_threshold // 32))
         need_full = True
         if probe_mod > 1:
-            smax_row = (
+            # first_row (r11): .first() on this 2-exchange aggregate
+            # paid 3 sequential jobs of CollectLimit/AQE scheduling
+            # (0.85 s at sf0.1); the straight collect is one job.
+            smax_row = first_row(
                 banded.filter(
                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(probe_mod)) == 0
                 )
                 .groupBy("band", "band_hash")
                 .agg(F.count(F.lit(1)).alias("_bn"))
                 .agg(F.max("_bn"))
-                .first()
             )
             smax = (smax_row[0] or 0) if smax_row is not None else 0
             # escalation cutoff threshold//4 (round-6 advice): the
@@ -558,11 +562,10 @@ def minhash_candidate_pairs(
         # beyond this scan.  Small max group -> the plain join's worst
         # bucket is bounded and the collapse machinery would only add
         # shuffles.
-        mx_row = (
+        mx_row = first_row(
             docs.groupBy(F.xxhash64(normalize_text(text_col)).alias("_fp"))
             .agg(F.count("*").alias("_n"))
             .agg(F.max("_n"))
-            .first()
         )
         collapse_identical = bool(
             mx_row is not None and (mx_row[0] or 0) >= collapse_min_group
@@ -817,7 +820,7 @@ def jaccard_verified_pairs(
     hint = lambda d: d  # noqa: E731 - shuffle-join default
     if n_candidate_docs <= broadcast_max_docs:
         text_bytes = (
-            semi.agg(F.sum(F.octet_length(text_col)).alias("b")).first()[
+            first_row(semi.agg(F.sum(F.octet_length(text_col)).alias("b")))[
                 "b"
             ]
             or 0

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.actions import first_row
+
 
 def _non_null_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     """Shared dirty-edge contract (round-6 verdict item 6): an edge with
@@ -281,7 +283,7 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     tri = wedges.join(closing, ["w1", "w2"])
     # one-row result: materialize eagerly so the iteration caches can be
     # released here instead of leaking into the caller's session
-    n = tri.agg(F.count("*").alias("n_triangles")).first()["n_triangles"]
+    n = first_row(tri.agg(F.count("*").alias("n_triangles")))["n_triangles"]
     oriented.unpersist(blocking=False)
     edges.unpersist(blocking=False)
     return pairs.sparkSession.createDataFrame(
@@ -335,10 +337,12 @@ def global_clustering(
     was_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
     if not was_cached:
         pairs = pairs.persist()
-    tri = int(triangle_count(pairs, src, dst).first()["n_triangles"])
-    wed = _undirected_degrees(pairs, src, dst).agg(
-        F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
-    ).first()["w"]
+    tri = int(first_row(triangle_count(pairs, src, dst))["n_triangles"])
+    wed = first_row(
+        _undirected_degrees(pairs, src, dst).agg(
+            F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
+        )
+    )["w"]
     if not was_cached:
         pairs.unpersist(blocking=False)
     wed = int(wed or 0)

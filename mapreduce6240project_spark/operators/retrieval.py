@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce6240project_spark.functions.actions import first_row
 from mapreduce6240project_spark.operators.dedup import tokens
 from mapreduce6240project_spark.operators.fanout import fan_out
 
@@ -63,9 +64,11 @@ def bm25_scores(
         F.col(id_col), tokens(text_col).alias("toks")
     )
     # exact corpus stats: one small aggregate job, folded into literals
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
-    ).first()
+    stats = first_row(
+        toks.agg(
+            F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
+        )
+    )
     n_docs, n_toks = int(stats["n_docs"]), int(stats["n_toks"])
     avgdl = float(n_toks) / float(n_docs)  # ratio of exact ints
 
@@ -270,7 +273,7 @@ def query_likelihood_topk(
     broadcast -- the expensive explode carries only query-term hits."""
     docs = docs.filter(F.col(text_col).isNotNull())
     toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
-    nt = int(toks.agg(F.sum(F.size("toks")).alias("nt")).first()["nt"] or 0)
+    nt = int(first_row(toks.agg(F.sum(F.size("toks")).alias("nt")))["nt"] or 0)
     term_lits = F.array(*[F.lit(t) for t in query_terms])
     ex = toks.select(
         F.col(id_col),
@@ -353,9 +356,11 @@ def rm3_expansion_topk(
     toks = fan_out(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
     # exact corpus stats: one bounded 2-int aggregate, folded into
     # literals (same contract as bm25_scores)
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
-    ).first()
+    stats = first_row(
+        toks.agg(
+            F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("n_toks")
+        )
+    )
     n_docs, n_toks = int(stats["n_docs"]), int(stats["n_toks"])
     avgdl = float(n_toks) / float(n_docs)
 

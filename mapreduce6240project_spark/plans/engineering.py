@@ -24,6 +24,7 @@ from __future__ import annotations
 import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mapreduce6240project_spark.functions.actions import first_row
 from mapreduce6240project_spark.config import scratch_dir
 from mapreduce6240project_spark.plans.registry import _register
 from mapreduce6240project_spark.sources.layout import (
@@ -3127,7 +3128,7 @@ def q_txlog_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale-relative narrow range (1%-5% of the key domain): covers a
     # ~4% slice of the 8 range-clustered files at ANY sf, so skipping
     # is guaranteed and the verdict cannot depend on the scale factor
-    m = tbl.snapshot().agg(F.max("k")).first()[0]  # bounded scalar
+    m = first_row(tbl.snapshot().agg(F.max("k")))[0]  # bounded scalar
     lo, hi = m * 1 // 100, m * 5 // 100
     pruned, files_read, files_total = tbl.snapshot_where("k", lo, hi)
     n_pruned = pruned.count()  # bounded: one scalar per verdict
@@ -3301,7 +3302,7 @@ def q_txlog_zorder_2d_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale-relative ranges; dmin/dmax are bounded scalars (the
     # skipping_audit contract)
     snap = tbl.snapshot()
-    row = snap.agg(F.min("d").alias("a"), F.max("d").alias("b")).first()
+    row = first_row(snap.agg(F.min("d").alias("a"), F.max("d").alias("b")))
     dmin, dmax = int(row["a"]), int(row["b"])
     lo_d = dmin + (dmax - dmin) // 4
     hi_d = dmin + (dmax - dmin) // 2

@@ -48,6 +48,16 @@ TABLES = (
 #: reuse Spark itself applies to file listings (guide section 6).  Weak
 #: session keys drop entries with their session, as in
 #: tweets._FEATURE_STORE_CACHE.
+#:
+#: IMMUTABILITY ASSUMPTION (ADVICE r10): the memoized DataFrame pins the
+#: parquet file-index snapshot for the session lifetime.  The driver's
+#: sf directories are immutable by contract (TESTDATA.md: deterministic,
+#: written once); if files under an sf_dir were rewritten mid-session,
+#: cached plans would read stale listings where a fresh
+#: ``spark.read.parquet`` would not.  The legacy-nanos conf side effect
+#: below likewise fires only on cache misses.  A deployment that rotates
+#: data within one session must call a new sf_dir path (new key) or drop
+#: the session.
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )

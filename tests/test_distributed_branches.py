@@ -156,3 +156,38 @@ def test_pq_codebooks_distributed_bit_exact(emb, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
     dist = pq_codebooks(emb, m=4, n_codes=8, iters=2)
     assert dist == local
+
+
+def test_kmedoids_distributed_branch_fills_combo_cache(feats, monkeypatch):
+    """r11 (VERDICT item 2): on the distributed branch the truncated
+    limit-probe leaves the combo cache partially built, so kmedoids must
+    materialize it with ONE eager count() before the iteration loop --
+    otherwise the first iteration silently re-pays the combo shuffle.
+    Traced via the classic-DataFrame action methods (the plan objects
+    Spark 4 actually dispatches through)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    actions: list[str] = []
+    orig_count, orig_collect = CDF.count, CDF.collect
+
+    def count(self):
+        actions.append("count")
+        return orig_count(self)
+
+    def collect(self):
+        actions.append("collect")
+        return orig_collect(self)
+
+    seeds = _pick_seeds(feats)
+    monkeypatch.setattr(CDF, "count", count)
+    monkeypatch.setattr(CDF, "collect", collect)
+    res = kmedoids(feats, seeds=seeds, max_iter=2, driver_combo_threshold=0)
+    assert res.iterations >= 1
+    # seeds explicit -> action order: seed-medoid fetch (collect),
+    # limit probe (collect), the eager combo fill (count), then the
+    # first update_medoids collect of the loop
+    assert "count" in actions, actions
+    first_count = actions.index("count")
+    # exactly one fill, and it happens before the 3rd collect (the
+    # first in-loop action)
+    assert actions[:first_count].count("collect") <= 2, actions

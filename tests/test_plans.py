@@ -84,17 +84,23 @@ def test_ingest_is_map_only(spark):
     plan = _plan(feats)
     assert _n_exchanges(feats) <= 1
     assert "hashpartitioning" not in plan  # never a key shuffle
-    # wide input -> the derivation itself adds no exchange
+    # wide input -> the derivation itself adds no exchange (the no-op
+    # condition is partitions >= defaultParallelism, so widen to the
+    # session's actual parallelism, not a constant)
     from mapreduce6240project_spark.operators.fanout import fan_out
 
-    wide = load_table(spark, SF, "events").repartition(64)
+    wide = load_table(spark, SF, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assert fan_out(wide) is wide
 
 
 def test_fan_out_is_noop_on_wide_input(spark):
     from mapreduce6240project_spark.operators.fanout import fan_out
 
-    wide = load_table(spark, SF, "lineitem").repartition(64)
+    wide = load_table(spark, SF, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assert fan_out(wide) is wide  # zero plan change
     narrow = load_table(spark, SF, "lineitem")
     assert fan_out(narrow).rdd.getNumPartitions() >= 32

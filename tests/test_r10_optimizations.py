@@ -160,12 +160,48 @@ def test_ingest_plan_never_aliases_feature_store_cache(spark):
         tweet_features_from_events,
     )
 
+    ingest = tweet_features_from_events(spark, SF)
+    # unrelated fixtures may legitimately have cached the ingest frame
+    # itself (e.g. test_clustering's module fixture); that is caller
+    # cache usage, not store aliasing -- clear it so this test checks
+    # the STORE/ingest relation, not incidental session state
+    if ingest.storageLevel.useMemory or ingest.storageLevel.useDisk:
+        ingest.unpersist(blocking=True)
     feature_store(spark, SF).write.format("noop").mode("overwrite").save()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        tweet_features_from_events(spark, SF).explain("formatted")
+        ingest.explain("formatted")
     plan = buf.getvalue()
     # the timed ETL derivation must recompute from parquet, never read
     # the persisted store (CacheManager substitutes plan-equal queries)
     assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
     assert "Scan parquet" in plan
+
+
+def test_store_plan_differs_from_ingest_even_when_fan_out_is_noop(spark):
+    """The at-scale regime (ADVICE r10, medium): once the events scan is
+    already >= defaultParallelism partitions, fan_out is a no-op on BOTH
+    plans, so the fan-out placement alone no longer separates them --
+    the unconditional where(lit(True)) marker must.  Simulated by
+    stubbing fan_out to identity and comparing ANALYZED plans with
+    sameResult (exactly what CacheManager matches on)."""
+    from mapreduce6240project_spark.operators import fanout
+    from mapreduce6240project_spark.sources import tweets
+
+    real_fan_out = fanout.fan_out
+    fanout.fan_out = lambda df, min_factor=1.0: df
+    try:
+        ingest = tweets._derive_features(spark, SF, pre_fan_out=True)
+        store_plan = fanout.fan_out(
+            tweets._derive_features(spark, SF, pre_fan_out=False)
+        ).where(F.lit(True))
+    finally:
+        fanout.fan_out = real_fan_out
+    a = ingest._jdf.queryExecution().analyzed()
+    b = store_plan._jdf.queryExecution().analyzed()
+    assert not a.sameResult(b)
+    # and the marker is what does it: without the filter the two plans
+    # WOULD alias under a no-op fan_out (regression canary for the
+    # exact r10 gaming incident)
+    c = store_plan._jdf.queryExecution().analyzed().children().head()
+    assert a.sameResult(c)
