@@ -58,6 +58,30 @@ def _timed_noop(df) -> float:
     return time.perf_counter() - t0
 
 
+def _stage_totals(spark):
+    """Cumulative (shuffle-read bytes, shuffle-write bytes, completed
+    tasks) across every stage the app has run, from the JVM
+    AppStatusStore (r11, VERDICT item 5: record per-query shuffle
+    bytes/task counts so "the plan scales" has a number, not just an
+    explain dump).  Read OUTSIDE the per-query timer; deltas land in
+    BENCH_detail_local.json only -- the stdout contract is unchanged.
+    Returns None when the store API is unavailable (never fails the
+    bench)."""
+    try:
+        it = (
+            spark.sparkContext._jsc.sc().statusStore().executorList(False).iterator()
+        )
+        rb = wb = nt = 0
+        while it.hasNext():
+            e = it.next()
+            rb += e.totalShuffleRead()
+            wb += e.totalShuffleWrite()
+            nt += e.completedTasks()
+        return rb, wb, nt
+    except Exception:  # pragma: no cover - store API drift
+        return None
+
+
 def _timed_query(spark, spec, sf_dir) -> float:
     """Time plan CONSTRUCTION + execution: several registry fns do
     eager driver work inside fn() (kmedoids' iteration loop, txlog
@@ -88,6 +112,7 @@ def _measured_block(spark, headline, sf_dir, runs, measure_calib, label=""):
         return s
 
     brackets: list[tuple[float, float]] = []  # (first-half, second-half) worst calib
+    shuffle_stats: dict[str, dict] = {}
     start = _calib("p0-start")
     for p in range(runs):
         pass_t: dict[str, float] = {}
@@ -95,8 +120,20 @@ def _measured_block(spark, headline, sf_dir, runs, measure_calib, label=""):
         for i, spec in enumerate(headline):
             if i == mid and len(headline) > 2:
                 mid_c = _calib(f"p{p}-mid")
+            # stage-metric snapshots bracket the query but sit OUTSIDE
+            # its timer (the timer lives inside _timed_query); last
+            # pass only = warm steady state
+            pre = _stage_totals(spark) if p == runs - 1 else None
             dt = _timed_query(spark, spec, sf_dir)
             pass_t[spec.name] = round(dt, 3)
+            if pre is not None:
+                post = _stage_totals(spark)
+                if post is not None:
+                    shuffle_stats[spec.name] = {
+                        "shuffle_read_mb": round((post[0] - pre[0]) / 1e6, 3),
+                        "shuffle_write_mb": round((post[1] - pre[1]) / 1e6, 3),
+                        "tasks": post[2] - pre[2],
+                    }
         end = _calib(f"p{p}-end" if p == runs - 1 else f"p{p + 1}-start")
         m = mid_c if mid_c is not None else max(start, end)
         brackets.append((max(start, m), max(m, end)))
@@ -114,7 +151,7 @@ def _measured_block(spark, headline, sf_dir, runs, measure_calib, label=""):
               f"(epoch calib {query_calib[spec.name]}s)",
               file=sys.stderr, flush=True)
     pass_totals = [round(sum(pt.values()), 3) for pt in per_pass]
-    return timings, query_calib, pass_totals, calib_segments
+    return timings, query_calib, pass_totals, calib_segments, shuffle_stats
 
 
 def main() -> None:
@@ -175,8 +212,8 @@ def main() -> None:
         _timed_query(spark, spec, sf_dir)
     warm["warmup_pass"] = round(time.perf_counter() - t0, 3)
 
-    timings, query_calib, pass_totals, calib_segments = _measured_block(
-        spark, headline, sf_dir, runs, measure_calib
+    (timings, query_calib, pass_totals, calib_segments, shuffle_stats) = (
+        _measured_block(spark, headline, sf_dir, runs, measure_calib)
     )
 
     calib_s = min(seg["s"] for seg in calib_segments)
@@ -205,6 +242,10 @@ def main() -> None:
         "runs": runs,
         "agg": "min",
         "sf": sf,
+        # per-query shuffle bytes + task counts from the LAST pass
+        # (warm steady state), AppStatusStore deltas -- scale evidence
+        # for the plan shape (r11, VERDICT item 5); detail-record only
+        "shuffle_last_pass": shuffle_stats,
     }
 
     # Optional ~sf1 block (round-3 verdict item 8): replicate the sf0.1
@@ -238,8 +279,10 @@ def main() -> None:
             for spec in headline:
                 _timed_query(spark, spec, sf1_dir)
             sf1_warm["warmup_pass"] = round(time.perf_counter() - t0, 3)
-            (sf1_timings, sf1_qc, sf1_passes, sf1_segs) = _measured_block(
-                spark, headline, sf1_dir, runs, measure_calib, label="[sf1] "
+            (sf1_timings, sf1_qc, sf1_passes, sf1_segs, sf1_shuf) = (
+                _measured_block(
+                    spark, headline, sf1_dir, runs, measure_calib, label="[sf1] "
+                )
             )
             sf1_calib = min(seg["s"] for seg in sf1_segs)
             sf1_total = round(sum(sf1_timings.values()), 3)
@@ -257,6 +300,7 @@ def main() -> None:
                 "runs": runs,
                 "agg": "min",
                 "sf": 1.0,
+                "shuffle_last_pass": sf1_shuf,
             }
         except Exception as exc:  # pragma: no cover - environment-dependent
             print(f"  [sf1] skipped: {exc!r}", file=sys.stderr, flush=True)

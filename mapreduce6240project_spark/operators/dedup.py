@@ -210,6 +210,33 @@ def text_fingerprint128(col) -> F.Column:
     )
 
 
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string interpolation."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def normalize_sql(col: str) -> str:
+    """SQL-string twin of :func:`normalize_text` (one ``F.expr`` parse
+    instead of ~5 py4j Column calls; the literal ``'\\\\s+'`` reaches the
+    parser as ``\\s+``, the same Java regex the Column builder passes)."""
+    return f"trim(regexp_replace(lower({_q(col)}), '\\\\s+', ' '))"
+
+
+def shingles_sql(col: str, n: int = 3) -> str:
+    """SQL-string twin of :func:`shingles` -- identical expression tree
+    (CASE mirrors the when/when with NULL fall-through, integer literals
+    keep integral types), parsed in one py4j round-trip instead of ~15.
+    Equivalence incl. NULL/short/empty-text branches is pinned by
+    tests/test_r11_optimizations.py."""
+    t = f"split({normalize_sql(col)}, ' ')"
+    return (
+        f"CASE WHEN size({t}) >= {n} THEN"
+        f" transform(sequence(1, size({t}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({t}, i, {n})))"
+        f" WHEN {t} IS NOT NULL THEN array(concat_ws(' ', {t})) END"
+    )
+
+
 def shingles(col, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array<string>.  Documents shorter than
     ``n`` tokens yield one shingle: their whole normalized text.  (The
@@ -299,33 +326,28 @@ def minhash_signatures(
     rng_a = [(2654435761 * (i + 1) + 104729) % (p - 1) + 1 for i in range(n_hashes)]
     rng_b = [(40503 * (i + 1) * 69621 + 12345) % p for i in range(n_hashes)]
     fp_pre = [text_fingerprint128(text_col).alias("_fp")] if carry_fp else []
+    # one F.expr for the whole shingle explode (r11): the Column build
+    # of shingles() cost ~15 py4j round-trips per signature plan
     ex = fan_out(docs).select(
         F.col(id_col),
         *fp_pre,
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        F.expr(f"explode(array_distinct({shingles_sql(text_col, shingle_n)}))").alias("s"),
     )
     base = F.pmod(F.xxhash64("s"), F.lit(p))
     hashed = ex.select(F.col(id_col), *([ "_fp" ] if carry_fp else []), base.alias("h"))
-    # ONE F.expr per permutation (r10 optimization): the former
-    # operator-by-operator Column build (mul + add + mod + min + alias
-    # = 5 py4j round-trips x 64 permutations) cost ~1 s of pure driver
-    # time per signature plan.  The SQL string parses to the identical
-    # expression tree: integer literals keep their integral types, `%`
-    # is the same Remainder, and all operands are non-negative ints so
-    # the arithmetic is exact either way.
-    mins = [
-        F.expr(f"min((h * {rng_a[i]} + {rng_b[i]}) % {p}) AS _m{i}")
-        for i in range(n_hashes)
-    ]
+    # ONE F.expr for ALL permutations (r10 built one per permutation --
+    # 64 parses; r11 fuses them plus the final array() into a single
+    # parse, and the signature array is assembled in the aggregate's
+    # result projection, dropping the separate select).  The SQL parses
+    # to the identical expression tree: integer literals keep their
+    # integral types, `%` is the same Remainder, and all operands are
+    # non-negative ints so the arithmetic is exact either way.
+    mins_sql = ", ".join(
+        f"min((h * {rng_a[i]} + {rng_b[i]}) % {p})" for i in range(n_hashes)
+    )
     fp_agg = [F.min("_fp").alias("_fp")] if carry_fp else []  # constant per doc
-    return (
-        hashed.groupBy(id_col)
-        .agg(*mins, *fp_agg)
-        .select(
-            F.col(id_col),
-            F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig"),
-            *([ "_fp" ] if carry_fp else []),
-        )
+    return hashed.groupBy(id_col).agg(
+        F.expr(f"array({mins_sql})").alias("sig"), *fp_agg
     )
 
 
@@ -426,27 +448,32 @@ def minhash_candidate_pairs(
         """Banded self-join; output columns ``a_<c>`` / ``b_<c>`` for
         each side's ``c`` in (id, sig, *extra_cols)."""
         cols = [id_col, "sig", *extra_cols]
-        proj = [F.col(f"a.{c}").alias(f"a_{c}") for c in cols] + [
-            F.col(f"b.{c}").alias(f"b_{c}") for c in cols
+        # SQL strings end to end (r11): band explode + band hash in two
+        # selectExpr parses, the join condition in one -- the former
+        # Column build paid ~15 py4j round-trips per banded plan.  Same
+        # trees: integer literals stay INT, explode/sequence/slice/
+        # xxhash64 argument types unchanged.
+        proj = [f"a.{_q(c)} AS {_q('a_' + c)}" for c in cols] + [
+            f"b.{_q(c)} AS {_q('b_' + c)}" for c in cols
         ]
-        band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-        banded = sig_df.select(*cols, band_idx).withColumn(
-            "band_hash",
-            F.xxhash64(
-                F.col("band"),
-                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
-            ),
+        banded = sig_df.selectExpr(
+            *[_q(c) for c in cols],
+            f"explode(sequence(0, {bands - 1})) AS band",
+        ).selectExpr(
+            "*",
+            f"xxhash64(band, slice(sig, band * {rows_per_band} + 1,"
+            f" {rows_per_band})) AS band_hash",
+        )
+        join_sql = (
+            "a.band = b.band AND a.band_hash = b.band_hash"
+            f" AND a.{_q(id_col)} < b.{_q(id_col)}"
         )
 
         def self_join(da, db, salted: bool):
-            cond = (
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            cond = F.expr(
+                join_sql + (" AND a._bs = b._bs" if salted else "")
             )
-            if salted:
-                cond = cond & (F.col("a._bs") == F.col("b._bs"))
-            return da.alias("a").join(db.alias("b"), cond).select(*proj)
+            return da.alias("a").join(db.alias("b"), cond).selectExpr(*proj)
 
         # hot-bucket detection (round-5 verdict item 3 amortization):
         # near-identical masses are exactly what the identical-text
@@ -835,20 +862,26 @@ def jaccard_verified_pairs(
     # broadcast/shuffle build).  O(|candidates|) rows either way; the
     # lazy persist fills on the first side's build (r10 optimization).
     sh = _track_persist(
-        semi.select(
-            F.col(id_col),
-            F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        semi.selectExpr(
+            _q(id_col),
+            f"array_distinct({shingles_sql(text_col, shingle_n)}) AS sh",
         ),
         eager=False,
     )
-    a = hint(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
-    b = hint(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    a = hint(sh.selectExpr(f"{_q(id_col)} AS id_a", "sh AS sh_a"))
+    b = hint(sh.selectExpr(f"{_q(id_col)} AS id_b", "sh AS sh_b"))
+    # scoring as one parsed expression (r11): identical tree to the
+    # former Column build -- the intersect size appears twice in both
+    # (the Column object was copied into numerator and denominator),
+    # and runtime subexpression elimination evaluates it once either way
+    jac = F.expr(
+        "round(size(array_intersect(sh_a, sh_b)) /"
+        " (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))), 4)"
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -945,17 +978,20 @@ def simhash(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t")
     )
     hashed = ex.select(F.col(id_col), _token_hash("t", token_hash).alias("h"))
-    aggs = [F.count("*").alias("_n")] + [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+    # whole fingerprint as ONE parsed expression (r11): the former
+    # 60-bit Column build (one sum aggregate alias + one when/otherwise
+    # fold term per bit, ~300 py4j round-trips) dominated this plan's
+    # driver-side construction.  Identical integer arithmetic: per-bit
+    # majority sum(shiftright & 1) * 2 > count(*), CAST(... AS BIGINT)
+    # weights, left-associative addition -- exact bigints either way.
+    terms = " + ".join(
+        f"CASE WHEN sum(shiftright(h, {b}) & 1) * 2 > count(*)"
+        f" THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(bits)
-    ]
-    per_doc = hashed.groupBy(id_col).agg(*aggs)
-    total = F.lit(0).cast("bigint")
-    for b in range(bits):
-        total = total + F.when(
-            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(2**b).cast("bigint")
-        ).otherwise(F.lit(0))
-    return per_doc.select(F.col(id_col), total.alias("simhash"))
+    )
+    return hashed.groupBy(id_col).agg(
+        F.expr(f"CAST(0 AS BIGINT) + {terms}").alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -976,22 +1012,13 @@ def simhash_pairs(
     fp_bits = SIMHASH_BITS[token_hash]
     chunk_bits = -(-fp_bits // chunks)  # ceil: chunks must cover all bits
     mask = (1 << chunk_bits) - 1
-    chunked = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("simhash", i * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk_val"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("c"),
+    structs = ", ".join(
+        f"named_struct('chunk_idx', {i}, 'chunk_val',"
+        f" shiftright(simhash, {i * chunk_bits}) & {mask})"
+        for i in range(chunks)
+    )
+    chunked = sh.selectExpr(
+        _q(id_col), "simhash", f"explode(array({structs})) AS c"
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

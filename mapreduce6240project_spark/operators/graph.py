@@ -489,7 +489,13 @@ def kcore(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     cur = sym
-    n_nodes = cur.select("u").distinct().count()
+    # convergence on the EDGE count (r11, guide section 2.4): a peel
+    # round only removes edges by dropping an endpoint node wholesale
+    # (the semi-joins keep or drop a node with all its edges), so the
+    # directed edge count changes iff the surviving-node set changes --
+    # the former per-round distinct-node count tested the same fixpoint
+    # through an extra distinct exchange every round.
+    n_edges = cur.count()
     for _ in range(max_iter):
         keep = (
             cur.groupBy("u")
@@ -503,11 +509,11 @@ def kcore(
             .select("u", "v")
             .localCheckpoint()
         )
-        n_next = nxt.select("u").distinct().count()
+        n_next = nxt.count()
         cur = nxt
-        if n_next == n_nodes:
+        if n_next == n_edges:
             break
-        n_nodes = n_next
+        n_edges = n_next
     return (
         cur.groupBy(F.col("u").alias("node"))
         .agg(F.count("*").cast("bigint").alias("core_deg"))

@@ -458,14 +458,24 @@ FROM a, b, i""",
 )
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce6240project_spark.operators import dedup as D
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.simhash_pairs(docs, max_hamming=3, token_hash="md5").select(
-        "id_a", "id_b"
+    # each pair set feeds its own count AND the intersection join;
+    # unpersisted, the full SimHash and MinHash-verify pipelines (the
+    # two most expensive dedup plans) each ran TWICE (r11, guide
+    # section 5).  Pair-grain rows -- bounded by the duplicate density,
+    # tiny next to the corpus at any scale.
+    sh = cache_tracked(
+        D.simhash_pairs(docs, max_hamming=3, token_hash="md5").select(
+            "id_a", "id_b"
+        )
     )
-    mh = D.jaccard_verified_pairs(
-        docs, D.minhash_candidate_pairs(docs), threshold=0.5
-    ).select("id_a", "id_b")
+    mh = cache_tracked(
+        D.jaccard_verified_pairs(
+            docs, D.minhash_candidate_pairs(docs), threshold=0.5
+        ).select("id_a", "id_b")
+    )
     a = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
     b = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     i = sh.join(mh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_both"))
@@ -1518,18 +1528,28 @@ def q_bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hm = sh.select(
         "doc_id", (hash60(F.col("s")) % _BBIT_P).alias("hm")
     )
-    sig = hm.groupBy("doc_id").agg(
-        *[
-            (
-                F.min(
-                    ((2 * i + 1) * F.col("hm") + (i * 12345 + 7)) % _BBIT_P
+    # the signature table feeds BOTH sides of the pair join below;
+    # unpersisted, the md5 hash of every shingle plus 32 min-aggregates
+    # ran twice (measured: the single most expensive stage of this
+    # audit, warm exec 5.9 s at sf0.01).  Doc-grain, 32 small ints per
+    # row -- the 32x-compressed sketch table is small by design at any
+    # scale (r11; guide section 5).
+    from mapreduce6240project_spark.operators.prefix import cache_tracked
+
+    sig = cache_tracked(
+        hm.groupBy("doc_id").agg(
+            *[
+                (
+                    F.min(
+                        ((2 * i + 1) * F.col("hm") + (i * 12345 + 7)) % _BBIT_P
+                    )
+                    % 2
                 )
-                % 2
-            )
-            .cast("bigint")
-            .alias(f"b{i}")
-            for i in range(1, _BBIT_PERMS + 1)
-        ]
+                .cast("bigint")
+                .alias(f"b{i}")
+                for i in range(1, _BBIT_PERMS + 1)
+            ]
+        )
     )
     pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
         "id_a",

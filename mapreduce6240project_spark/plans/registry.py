@@ -259,58 +259,62 @@ def q_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ~120 combo-group rows after the aggregation, and named
     # distance columns in a separate projection evaluate each distance
     # once (CollapseProject keeps non-cheap aliases materialized).
-    from functools import reduce
-
     feats = feature_store(spark, sf_dir)
     from mapreduce6240project_spark.functions.distance import (
-        medoid_distance_literal,
+        HASHTAG_WEIGHT as _W,
     )
 
     ks = list(MEDOIDS_BY_K)
+    # whole projection chain as SQL strings (r11): the Column build of
+    # 14 distance aliases + 10 argmin CASE chains + 4 floor/least casts
+    # was ~0.45 s of pure py4j driver time per plan (profiled, 0 jobs).
+    # Each string parses to the identical tree the Column ops built:
+    # the distance mirrors medoid_distance_literal's expr form (D
+    # suffixes keep DOUBLE literals), the CASE keeps the same
+    # first-minimum condition order, least() and the micro floor read
+    # the same IEEE doubles, and integer literals stay integral.
+    def _dist(m) -> str:
+        lang = "CAST(NULL AS STRING)" if m["language"] is None else f"'{m['language']}'"
+        return (
+            f"sqrt(power(time_bucket - {m['time_bucket']}, 2)"
+            f" + power((num_hashtags - {m['num_hashtags']}) * {_W!r}D, 2)"
+            f" + (CASE WHEN language != {lang} THEN 1.0D ELSE 0.0D END)"
+            f" + power(has_video - {m['has_video']}, 2))"
+        )
+
     dist_cols = [
-        medoid_distance_literal(m).alias(f"_d{k}_{i}")
+        f"{_dist(m)} AS _d{k}_{i}"
         for k in ks
         for i, m in enumerate(MEDOIDS_BY_K[k])
     ]
     proj = []
     for k in ks:
-        d = [F.col(f"_d{k}_{i}") for i in range(k)]
-        arg = None
-        for i in range(k - 1):
-            cond = reduce(
-                lambda a, b: a & b, [d[i] <= d[j] for j in range(k) if j != i]
-            )
-            arg = F.when(cond, i) if arg is None else arg.when(cond, i)
-        proj.append(arg.otherwise(k - 1).cast("int").alias(f"_c{k}"))
+        d = [f"_d{k}_{i}" for i in range(k)]
+        whens = " ".join(
+            "WHEN "
+            + " AND ".join(f"{d[i]} <= {d[j]}" for j in range(k) if j != i)
+            + f" THEN {i}"
+            for i in range(k - 1)
+        )
+        proj.append(f"CAST(CASE {whens} ELSE {k - 1} END AS INT) AS _c{k}")
         proj.append(
-            F.floor(F.least(*d) * 1_000_000 + F.lit(0.5))
-            .cast("bigint")
-            .alias(f"_m{k}")
+            f"CAST(FLOOR(least({', '.join(d)}) * 1000000 + 0.5D) AS BIGINT)"
+            f" AS _m{k}"
         )
     combo = (
-        feats.select(*dist_cols)
-        .select(*proj)
+        feats.selectExpr(*dist_cols)
+        .selectExpr(*proj)
         .groupBy(*[f"_c{k}" for k in ks])
         .agg(
             F.count("*").alias("_n"),
             *[F.sum(f"_m{k}").alias(f"_s{k}") for k in ks],
         )
     )
-    pairs = combo.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.col(f"_c{k}").alias("cluster"),
-                        F.col("_n").alias("n"),
-                        F.col(f"_s{k}").alias("s"),
-                    )
-                    for k in ks
-                ]
-            )
-        ).alias("x")
+    structs = ", ".join(
+        f"named_struct('k', {k}, 'cluster', _c{k}, 'n', _n, 's', _s{k})"
+        for k in ks
     )
+    pairs = combo.selectExpr(f"explode(array({structs})) AS x")
     return (
         pairs.groupBy(F.col("x.k").alias("k"), F.col("x.cluster").alias("cluster"))
         .agg(
@@ -597,6 +601,18 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation produced -- the oracle SQL is unchanged.  Joins stay
     # inner on unique keys (o_orderkey, c_custkey), so no contribution
     # is duplicated or dropped.
+    #
+    # r11 MEASURED NEGATIVE RESULT (VERDICT item 3, tried and
+    # reverted): a dims-first single-shot plan -- (custkey -> r_name)
+    # map attached to orders map-side, then one order-grain join
+    # against the lineitem pre-aggregate and a direct r_name aggregate
+    # -- cut the static plan to 2 data exchanges, but measured SLOWER
+    # at sf1 (1.86 s vs 1.61 s back-to-back, same epoch): without the
+    # custkey pre-aggregation the order-grain join carries 1.5M rows
+    # per side and the planner's broadcast choices (orders, the
+    # revenue aggregate) pay more in build time than the removed
+    # exchanges cost.  The custkey pre-agg shrink earns its extra
+    # stage as data grows; keep this chain.
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

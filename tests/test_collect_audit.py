@@ -33,6 +33,13 @@ PATTERN = re.compile(r"\.collect\(\)|\.first\(\)|\.toPandas\(\)|\.count\(\)")
 
 #: relative path -> (expected site count, boundedness argument)
 INVENTORY: dict[str, tuple[int, str]] = {
+    "functions/actions.py": (
+        2,
+        "first_row() helper: the one real .collect() every probe site "
+        "routes through (callers own the boundedness argument at their "
+        "inventory entries) + a docstring mention of .first() the "
+        "textual scan cannot distinguish",
+    ),
     "plans/extensions.py": (1, "query-vector probe: 1 row by key"),
     "plans/text_corpus.py": (
         2,
@@ -62,10 +69,10 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "materializing",
     ),
     "plans/engineering.py": (
-        8,
+        6,
         "txlog_skipping_audit key-domain max + txlog_zorder_2d_audit "
-        "day-domain min/max: 1-row agg scalars that derive the "
-        "scale-relative prune ranges; plus 6 .count() sites in the SAME "
+        "day-domain min/max scalars route through first_row (r11); "
+        "the 6 remaining .count() sites live in the SAME "
         "two audits counting files-read under pruned vs full scans -- "
         "the counted frames are metadata-pruned txlog snapshots whose "
         "size IS the audit verdict (can't be folded: the pruned scan "
@@ -94,19 +101,20 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "would change the shared expression shape all callers pin)",
     ),
     "operators/dedup.py": (
-        6,
-        "adaptive pre-probe max group size + candidate-text byte probe "
-        "for the broadcast gate + hot-bucket sample-probe max bucket "
-        "count (1-row aggs each); 3 .count() sites: eager cache "
-        "materialization (deliberate, scan happens once into the "
-        "cache), hot-bucket count n_hot (on the already-cached banded "
-        "frame), candidate-id cache materialization",
+        3,
+        "3 .count() sites: eager cache materialization (deliberate, "
+        "scan happens once into the cache), hot-bucket count n_hot (on "
+        "the already-cached banded frame), candidate-id cache "
+        "materialization.  The former 3 .first() probe sites (pre-probe "
+        "max group, byte probe, hot-bucket sample max -- 1-row aggs "
+        "each) now route through functions.actions.first_row (r11)",
     ),
     "operators/clustering.py": (
-        5,
+        6,
         "k-medoids driver state: k seeds, C-row exact combo table "
-        "(cap-guarded), k updated medoids per round; 1 .count(): combo "
-        "cache materialization (iterations re-read the cache)",
+        "(cap-guarded), k updated medoids per round; 2 .count() sites: combo "
+        "cache materialization, driver branch (probe doubles as fill) and "
+        "distributed branch (r11: explicit eager fill before the loop)",
     ),
     "operators/vectors.py": (
         9,
@@ -116,13 +124,14 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "1 .count(): iteration-cache materialization",
     ),
     "operators/graph.py": (
-        10,
+        7,
         "CC edge list below the documented driver cap (distributed "
-        "label propagation above it) + 1-row triangle/wedge counts; "
-        "6 .count() sites: cached-edge/degree materializations, "
-        "per-iteration convergence counts (n_changed, frontier sizes) "
-        "-- the loop-exit predicate of iterative fixpoint algorithms, "
-        "one scalar per round on cached frames",
+        "label propagation above it); 6 .count() sites: cached-edge/"
+        "degree materializations, per-iteration convergence counts "
+        "(n_changed, edge counts) -- the loop-exit predicate of "
+        "iterative fixpoint algorithms, one scalar per round on cached "
+        "frames.  Triangle/wedge 1-row aggs route through first_row "
+        "(r11)",
     ),
     "operators/sketch.py": (1, "m-row sketch fold (log-bucket bounded)"),
     "operators/similarity.py": (
@@ -135,11 +144,9 @@ INVENTORY: dict[str, tuple[int, str]] = {
         "embeddings frame each)",
     ),
     "operators/retrieval.py": (
-        4,
-        "query-document probe (1 row by key) + query-likelihood "
-        "collection stats: NT (1-row agg) and per-term ctf "
-        "(|query_terms| rows) + RM3 corpus stats (one 2-int agg row, "
-        "same contract as bm25_scores)",
+        1,
+        "query-document probe (1 row by key); the BM25/QL/RM3 corpus-"
+        "stat 1-row aggs route through first_row (r11)",
     ),
     "operators/prefix.py": (
         1,

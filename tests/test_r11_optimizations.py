@@ -1,0 +1,152 @@
+"""Focused tests for the round-11 optimization internals.
+
+Each test pins an equivalence a r11 rewrite relies on:
+* the SQL-string shingle builder is exactly the Column builder
+  (including the NULL / short-doc / empty-text branches);
+* the fused one-expr MinHash aggregate returns the identical signature
+  arrays the per-column construction returned;
+* first_row() returns what .first() returned on probe aggregates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dirty_docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  QUICK   brown fox"),  # multi-space + case
+        (3, None),  # NULL text
+        (4, ""),  # empty
+        (5, "   "),  # whitespace-only
+        (6, "one"),  # shorter than the shingle width
+        (7, "two words"),
+        (8, "exactly three words"),
+        (9, "Ünïcode tëxt with ACCENTS and punctuation!!! ok?"),
+        (10, "a a a a a a"),  # repeated token
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_sql_matches_column_builder(dirty_docs):
+    from mapreduce6240project_spark.operators.dedup import shingles, shingles_sql
+
+    for n in (2, 3, 4):
+        want = dirty_docs.select(
+            "doc_id", shingles("text", n).alias("sh")
+        ).collect()
+        got = dirty_docs.selectExpr(
+            "doc_id", f"{shingles_sql('text', n)} AS sh"
+        ).collect()
+        assert [(r["doc_id"], r["sh"]) for r in got] == [
+            (r["doc_id"], r["sh"]) for r in want
+        ], f"n={n}"
+
+
+def test_normalize_sql_matches_column_builder(dirty_docs):
+    from mapreduce6240project_spark.operators.dedup import (
+        normalize_sql,
+        normalize_text,
+    )
+
+    want = dirty_docs.select(normalize_text("text").alias("t")).collect()
+    got = dirty_docs.selectExpr(f"{normalize_sql('text')} AS t").collect()
+    assert [r["t"] for r in got] == [r["t"] for r in want]
+
+
+def _old_style_signatures(docs, n_hashes=64, shingle_n=3):
+    """The pre-r11 construction, kept verbatim as the reference: explode
+    via the Column shingle builder, one min-expression per permutation,
+    array assembled in a separate select."""
+    from mapreduce6240project_spark.operators.dedup import shingles
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    p = (1 << 31) - 1
+    rng_a = [(2654435761 * (i + 1) + 104729) % (p - 1) + 1 for i in range(n_hashes)]
+    rng_b = [(40503 * (i + 1) * 69621 + 12345) % p for i in range(n_hashes)]
+    ex = fan_out(docs).select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(shingles("text", shingle_n))).alias("s"),
+    )
+    hashed = ex.select(F.col("doc_id"), F.pmod(F.xxhash64("s"), F.lit(p)).alias("h"))
+    mins = [
+        F.expr(f"min((h * {rng_a[i]} + {rng_b[i]}) % {p}) AS _m{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            F.col("doc_id"),
+            F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig"),
+        )
+    )
+
+
+def test_fused_minhash_signatures_identical(spark, dirty_docs):
+    from mapreduce6240project_spark.operators.dedup import minhash_signatures
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    for docs in (load_table(spark, SF, "documents"), dirty_docs):
+        want = {
+            r["doc_id"]: r["sig"] for r in _old_style_signatures(docs).collect()
+        }
+        got = {
+            r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()
+        }
+        assert got == want
+
+
+def test_first_row_matches_first(spark):
+    from mapreduce6240project_spark.functions.actions import first_row
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    agg = docs.agg(F.count("*").alias("n"), F.sum(F.octet_length("text")).alias("b"))
+    assert first_row(agg) == agg.first()
+    empty = docs.filter(F.lit(False)).select("doc_id")
+    assert first_row(empty) is None and empty.first() is None
+
+
+def _old_style_simhash(docs, token_hash="xxhash64"):
+    """Pre-r11 construction, verbatim: per-bit sum aggregates + a
+    when/otherwise fold."""
+    from mapreduce6240project_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _token_hash,
+        tokens,
+    )
+    from mapreduce6240project_spark.operators.fanout import fan_out
+
+    bits = SIMHASH_BITS[token_hash]
+    ex = fan_out(docs).select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    hashed = ex.select(F.col("doc_id"), _token_hash("t", token_hash).alias("h"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    total = F.lit(0).cast("bigint")
+    for b in range(bits):
+        total = total + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0))
+    return per_doc.select(F.col("doc_id"), total.alias("simhash"))
+
+
+def test_fused_simhash_identical(spark, dirty_docs):
+    from mapreduce6240project_spark.operators.dedup import simhash
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    for docs in (load_table(spark, SF, "documents"), dirty_docs):
+        for th in ("xxhash64", "md5"):
+            want = {r["doc_id"]: r["simhash"] for r in _old_style_simhash(docs, th).collect()}
+            got = {r["doc_id"]: r["simhash"] for r in simhash(docs, token_hash=th).collect()}
+            assert got == want, th
