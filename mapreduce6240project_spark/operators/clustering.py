@@ -277,6 +277,42 @@ def kmedoids(
     if not (src_level.useMemory or src_level.useDisk):
         features = features.persist()
 
+    # Iterate over the combo-compressed table: one full-data shuffle up
+    # front, then every iteration touches C rows (distinct feature
+    # combinations), not n.  Exact -- see update_medoids.  The final
+    # per-member assignment is a single narrow projection at the end.
+    combos = (
+        features.groupBy(*DISTANCE_FEATURES)
+        .agg(F.count("*").alias("n"), F.min("tweet_id").alias("tweet_id"))
+        .persist()
+    )
+
+    # Single bounded probe job replaces the former count() + collect()
+    # pair: limit(threshold + 1) returns EVERY combo row when the table
+    # fits the driver threshold (a limit larger than the row count scans
+    # all partitions, and a partition whose iterator is fully consumed
+    # commits to the cache), and stops after threshold + 1 rows when it
+    # does not -- so the driver branch costs one probe and the
+    # distributed branch pays only a truncated probe (r10 optimization).
+    # The cache fill is complete only on the driver branch; the overflow
+    # branch materializes explicitly below.
+    def _probe():
+        return combos.limit(driver_combo_threshold + 1).collect()
+
+    head_future = None
+    pool = None
+    if update_cap is None and seeds is None:
+        # The probe and the seed draw are independent jobs over the same
+        # cached projection; submitting the probe from a driver thread
+        # overlaps its shuffle with the seed TakeOrdered instead of
+        # paying the two scheduling latencies back to back (r11, guide
+        # section 2.6 -- actions are only sequential because the driver
+        # calls them sequentially).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        head_future = pool.submit(_probe)
+
     if seeds is None:
         from mapreduce6240project_spark.operators.sampling import seed_hash
 
@@ -294,11 +330,16 @@ def kmedoids(
         # k-th medoid's features from an arbitrary copy).  Any
         # duplicate among the k+1 rows falls back to the original
         # distinct-draw path.
-        rows = (
-            features.orderBy(seed_hash("tweet_id"), F.col("tweet_id"))
-            .limit(k + 1)
-            .collect()
-        )
+        try:
+            rows = (
+                features.orderBy(seed_hash("tweet_id"), F.col("tweet_id"))
+                .limit(k + 1)
+                .collect()
+            )
+        except BaseException:
+            if pool is not None:
+                pool.shutdown(wait=False)
+            raise
         take = rows[:k]
         seeds = [int(r["tweet_id"]) for r in take]
         # equal ids sort adjacently: any duplicate of seeds[0..k-2] is
@@ -322,30 +363,13 @@ def kmedoids(
         medoids = _collect_medoids(features, seeds)
     k = len(seeds)
 
-    # Iterate over the combo-compressed table: one full-data shuffle up
-    # front, then every iteration touches C rows (distinct feature
-    # combinations), not n.  Exact -- see update_medoids.  The final
-    # per-member assignment is a single narrow projection at the end.
-    combos = (
-        features.groupBy(*DISTANCE_FEATURES)
-        .agg(F.count("*").alias("n"), F.min("tweet_id").alias("tweet_id"))
-        .persist()
-    )
-
     result = KMedoidsResult(assignments=features, medoids=medoids)
 
-    if update_cap is None:
-        # Single bounded probe job replaces the former count() +
-        # collect() pair: limit(threshold + 1) returns EVERY combo row
-        # when the table fits the driver threshold (a limit larger
-        # than the row count scans all partitions, and a partition
-        # whose iterator is fully consumed commits to the cache), and
-        # stops after threshold + 1 rows when it does not -- so the
-        # driver branch costs one probe and the distributed branch
-        # pays only a truncated probe (r10 optimization).  The cache
-        # fill is complete only on the driver branch; the overflow
-        # branch materializes explicitly below.
-        head = combos.limit(driver_combo_threshold + 1).collect()
+    if head_future is not None:
+        head = head_future.result()
+        pool.shutdown(wait=False)
+    elif update_cap is None:
+        head = _probe()
     else:
         head = None
 

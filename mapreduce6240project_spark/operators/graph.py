@@ -337,12 +337,25 @@ def global_clustering(
     was_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
     if not was_cached:
         pairs = pairs.persist()
-    tri = int(first_row(triangle_count(pairs, src, dst))["n_triangles"])
-    wed = first_row(
-        _undirected_degrees(pairs, src, dst).agg(
-            F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
-        )
-    )["w"]
+    # the triangle count and the wedge aggregate are independent jobs
+    # over the same persisted edge set; the cheap wedge aggregate runs
+    # on a driver thread under the triangle join instead of after it
+    # (r11, guide section 2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    wed_future = pool.submit(
+        lambda: first_row(
+            _undirected_degrees(pairs, src, dst).agg(
+                F.sum(F.expr("degree * (degree - 1) div 2")).alias("w")
+            )
+        )["w"]
+    )
+    try:
+        tri = int(first_row(triangle_count(pairs, src, dst))["n_triangles"])
+        wed = wed_future.result()
+    finally:
+        pool.shutdown(wait=False)
     if not was_cached:
         pairs.unpersist(blocking=False)
     wed = int(wed or 0)

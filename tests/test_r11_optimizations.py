@@ -150,3 +150,84 @@ def test_fused_simhash_identical(spark, dirty_docs):
             want = {r["doc_id"]: r["simhash"] for r in _old_style_simhash(docs, th).collect()}
             got = {r["doc_id"]: r["simhash"] for r in simhash(docs, token_hash=th).collect()}
             assert got == want, th
+
+
+class _SyncPool:
+    """Synchronous stand-in for ThreadPoolExecutor: submit() runs the
+    callable inline, restoring the pre-overlap sequential execution
+    order so the overlap refactors can be diffed against it."""
+
+    def __init__(self, max_workers=None):
+        pass
+
+    def submit(self, fn, *a, **kw):
+        import concurrent.futures
+
+        f = concurrent.futures.Future()
+        try:
+            f.set_result(fn(*a, **kw))
+        except BaseException as e:  # pragma: no cover - propagate like a pool
+            f.set_exception(e)
+        return f
+
+    def shutdown(self, wait=True):
+        pass
+
+
+def test_kmedoids_probe_overlap_matches_sequential(spark, monkeypatch):
+    """The r11 seed-draw/combo-probe overlap (guide section 2.6) is pure
+    scheduling: with the pool stubbed synchronous the exact same jobs run
+    back to back and the result must be identical."""
+    import concurrent.futures
+
+    from mapreduce6240project_spark.operators.clustering import kmedoids
+    from mapreduce6240project_spark.sources.tweets import tweet_features_from_events
+
+    feats = tweet_features_from_events(spark, SF).cache()
+    try:
+        overlapped = kmedoids(feats, k=3, max_iter=10, tol=0.0)
+        over = (overlapped.medoids, sorted(
+            (r.tweet_id, r.cluster) for r in overlapped.assignments.collect()
+        ))
+        monkeypatch.setattr(concurrent.futures, "ThreadPoolExecutor", _SyncPool)
+        sequential = kmedoids(feats, k=3, max_iter=10, tol=0.0)
+        seq = (sequential.medoids, sorted(
+            (r.tweet_id, r.cluster) for r in sequential.assignments.collect()
+        ))
+        assert over == seq
+    finally:
+        feats.unpersist()
+
+
+def test_adaptive_dedup_matches_forced_branches(spark):
+    """The adaptive collapse decision (pre-probe) must route each corpus
+    to a branch whose pair set equals the forced branch exactly: a
+    dup-light corpus to the naive join, a corpus with >= 64 identical
+    texts to the collapse expansion.  (Pins the r11 re-measurement of
+    the speculative signature fill, which was reverted: the adaptive
+    path is byte-identical to the forced paths.)"""
+    from mapreduce6240project_spark.operators.dedup import minhash_lsh_pairs
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    light = load_table(spark, SF, "documents")  # dup-light: decision False
+    heavy = light.orderBy("doc_id").limit(30).select(
+        F.lit(1).alias("g"), "doc_id", "text"
+    ).join(
+        spark.range(70).select((F.col("id") + 1).alias("m"), F.lit(1).alias("g")),
+        "g",
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("m")).alias("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("boilerplate page text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )  # 70 copies of each text: decision True (>= collapse_min_group)
+
+    def pairs(df, **kw):
+        return sorted(
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in minhash_lsh_pairs(df, threshold=0.0, **kw).collect()
+        )
+
+    for docs, forced in ((light, False), (heavy, True)):
+        want = pairs(docs, collapse_identical=forced)
+        assert pairs(docs) == want
