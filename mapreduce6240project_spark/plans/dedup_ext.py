@@ -1536,52 +1536,42 @@ def q_bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale (r11; guide section 5).
     from mapreduce6240project_spark.operators.prefix import cache_tracked
 
-    sig = cache_tracked(
-        hm.groupBy("doc_id").agg(
-            *[
-                (
-                    F.min(
-                        ((2 * i + 1) * F.col("hm") + (i * 12345 + 7)) % _BBIT_P
-                    )
-                    % 2
-                )
-                .cast("bigint")
-                .alias(f"b{i}")
-                for i in range(1, _BBIT_PERMS + 1)
-            ]
-        )
+    # the 32 one-bit slots are PACKED into a single bigint in the same
+    # aggregate (bit i-1 = the i-th permutation's low bit), so (a) the
+    # whole signature is ONE parsed expression instead of ~330 Column
+    # ops (r11, the elbow_sweep/minhash F.expr treatment -- this fn was
+    # 1.27 s of pure py4j with zero jobs), and (b) the pair join carries
+    # one 8-byte column per side instead of 32 (guide section 2.3,
+    # narrower shuffle).  n_coll = 32 - bit_count(x XOR y) counts the
+    # SAME per-slot equalities the per-column CASE sum counted: each
+    # slot is exactly one bit, never NULL (min over the non-null hm),
+    # and bits above position 31 are zero on both sides.
+    bits_sql = " + ".join(
+        f"CAST(min(({2 * i + 1} * hm + {i * 12345 + 7}) % {_BBIT_P}) % 2"
+        f" AS BIGINT) * {1 << (i - 1)}"
+        for i in range(1, _BBIT_PERMS + 1)
     )
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+    sig = cache_tracked(
+        hm.groupBy("doc_id").agg(F.expr(bits_sql).alias("bits"))
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).selectExpr(
         "id_a",
         "id_b",
-        F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
-        .cast("bigint")
-        .alias("jac_permyriad"),
+        "CAST(floor(jaccard * 10000 + 0.5D) AS BIGINT) AS jac_permyriad",
     )
-    x = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"b{i}").alias(f"xa{i}") for i in range(1, _BBIT_PERMS + 1)],
-    )
-    y = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"b{i}").alias(f"yb{i}") for i in range(1, _BBIT_PERMS + 1)],
-    )
-    n_coll = sum(
-        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
-        for i in range(1, _BBIT_PERMS + 1)
-    ).cast("bigint")
-    est = (F.lit(625) * n_coll - 10000).cast("bigint")
+    x = sig.selectExpr("doc_id AS id_a", "bits AS xbits")
+    y = sig.selectExpr("doc_id AS id_b", "bits AS ybits")
+    est_sql = f"625 * (CAST({_BBIT_PERMS} AS BIGINT) - bit_count(xbits ^ ybits)) - 10000"
     return (
         pairs.join(x, "id_a")
         .join(y, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
             "jac_permyriad",
-            est.alias("est_permyriad"),
-            F.abs(est - F.col("jac_permyriad"))
-            .cast("bigint")
-            .alias("abs_err_permyriad"),
+            f"CAST({est_sql} AS BIGINT) AS est_permyriad",
+            f"CAST(abs(({est_sql}) - jac_permyriad) AS BIGINT)"
+            " AS abs_err_permyriad",
         )
     )
 

@@ -231,3 +231,56 @@ def test_adaptive_dedup_matches_forced_branches(spark):
     for docs, forced in ((light, False), (heavy, True)):
         want = pairs(docs, collapse_identical=forced)
         assert pairs(docs) == want
+
+
+def test_bbit_packed_bits_match_per_column_case_sum(spark):
+    """bbit_minhash_audit r11 rewrite: the 32 one-bit signature slots
+    packed into one bigint + bit_count(xor) must reproduce the exact
+    n_coll the 32-column CASE sum produced (pre-r11 construction, kept
+    verbatim here as the reference)."""
+    from mapreduce6240project_spark.functions.hashing import hash60
+    from mapreduce6240project_spark.operators.dedup import shingles
+    from mapreduce6240project_spark.plans.dedup_ext import _BBIT_P, _BBIT_PERMS
+    from mapreduce6240project_spark.plans.registry import REGISTRY
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    hm = sh.select("doc_id", (hash60(F.col("s")) % _BBIT_P).alias("hm"))
+    old_sig = hm.groupBy("doc_id").agg(
+        *[
+            ((F.min(((2 * i + 1) * F.col("hm") + (i * 12345 + 7)) % _BBIT_P)) % 2)
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(1, _BBIT_PERMS + 1)
+        ]
+    )
+    x = old_sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"xa{i}") for i in range(1, _BBIT_PERMS + 1)],
+    )
+    y = old_sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"yb{i}") for i in range(1, _BBIT_PERMS + 1)],
+    )
+    n_coll = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(1, _BBIT_PERMS + 1)
+    ).cast("bigint")
+    est = (F.lit(625) * n_coll - 10000).cast("bigint")
+    # all doc pairs (bounded corpus at sf0.001) -- wider than the
+    # audit's verified-pair subset, so every packed comparison is hit
+    want = {
+        (r.id_a, r.id_b): r.est
+        for r in x.crossJoin(y)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.alias("est"))
+        .collect()
+    }
+    got_rows = REGISTRY["bbit_minhash_audit"].fn(spark, SF).collect()
+    assert got_rows, "audit returned no verified pairs at sf0.001"
+    for r in got_rows:
+        assert r.est_permyriad == want[(r.id_a, r.id_b)], (r.id_a, r.id_b)
+        assert r.abs_err_permyriad == abs(r.est_permyriad - r.jac_permyriad)
