@@ -464,6 +464,12 @@ def _int_vec(vec_col) -> Column:
     )
 
 
+def _q_ident(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string interpolation (same
+    contract as operators.dedup._q)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _int_l2(a, b) -> Column:
     """Integer squared-L2 distance between two array<bigint>."""
     a = F.col(a) if isinstance(a, str) else a
@@ -1029,22 +1035,38 @@ def pq_encode(
     The codebooks ride as literal arrays, so encoding is ONE narrow
     projection -- no join, no shuffle, whole-stage codegen.  Output:
     ``(id, codes array<int>)`` -- the compressed representation a real
-    deployment persists (bucketed by coarse cell) instead of floats."""
+    deployment persists (bucketed by coarse cell) instead of floats.
+
+    The projection is built as ONE parsed SQL string (r11): the former
+    Column build (m * n_codes candidate structs, each an
+    aggregate/zip_with lambda pair over a literal array) cost a measured
+    ~2.9 s of py4j round-trips per plan at the default 4 x 16 codebook.
+    The string parses to the identical expression tree -- integer
+    literals keep their types, ``least`` over (d, c) structs keeps the
+    lowest-code tie-break, the quantization is the same
+    floor(x * 1e6 + 0.5) on the double-widened component."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    iv = _int_vec(vec_col)
-    code_cols = []
+    iv_sql = (
+        f"transform({_q_ident(vec_col)}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_QSCALE} + 0.5D) AS BIGINT))"
+    )
+    code_exprs = []
     for s in range(m):
-        sl = F.slice(iv, s * sub + 1, sub)
-        cands = [
-            F.struct(
-                _int_l2(sl, F.array(*[F.lit(int(x)) for x in cv])).alias("d"),
-                F.lit(ci).alias("c"),
-            )
+        sl = f"slice(_iv, {s * sub + 1}, {sub})"
+        cands = ", ".join(
+            "named_struct('d', aggregate(zip_with("
+            f"{sl}, array({', '.join(str(int(x)) for x in cv)}), "
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v), 'c', {ci})"
             for ci, cv in enumerate(codebooks[s])
-        ]
-        code_cols.append(F.least(*cands)["c"].cast("int"))
-    return embeddings.select(id_col, F.array(*code_cols).alias("codes"))
+        )
+        code_exprs.append(f"CAST(least({cands}).c AS INT)")
+    return embeddings.selectExpr(
+        _q_ident(id_col), f"{iv_sql} AS _iv"
+    ).selectExpr(
+        _q_ident(id_col), f"array({', '.join(code_exprs)}) AS codes"
+    )
 
 
 def ann_pq_topk(
@@ -1085,15 +1107,15 @@ def ann_pq_topk(
         for s in range(m)
     ]
     coded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
-    total = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(int(v)) for v in lut[s]]),
-            F.col("codes")[s] + 1,
-        )
-        total = term if total is None else total + term
+    # one parsed string (r11); codes[s] is the 0-based [] accessor, so
+    # + 1 feeds the 1-based element_at exactly as the Column build did
+    terms = " + ".join(
+        f"element_at(array({', '.join(str(int(v)) for v in lut[s])}),"
+        f" codes[{s}] + 1)"
+        for s in range(m)
+    )
     return (
-        coded.withColumn("adc_dist", total.cast("bigint"))
+        coded.selectExpr("*", f"CAST({terms} AS BIGINT) AS adc_dist")
         .orderBy("adc_dist", id_col)
         .limit(k)
         .select(id_col, "adc_dist")

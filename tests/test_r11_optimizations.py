@@ -284,3 +284,33 @@ def test_bbit_packed_bits_match_per_column_case_sum(spark):
     for r in got_rows:
         assert r.est_permyriad == want[(r.id_a, r.id_b)], (r.id_a, r.id_b)
         assert r.abs_err_permyriad == abs(r.est_permyriad - r.jac_permyriad)
+
+
+def test_pq_encode_sql_string_matches_column_builder(spark):
+    """pq_encode r11 rewrite: the one-parse SQL projection must assign
+    the identical code per vector as the pre-r11 Column build (kept
+    verbatim here), including the lowest-code tie-break."""
+    from mapreduce6240project_spark.operators import similarity as S
+    from mapreduce6240project_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    books = S.pq_codebooks(emb)
+    m, sub = len(books), len(books[0][0])
+    iv = S._int_vec("embedding")
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(iv, s * sub + 1, sub)
+        cands = [
+            F.struct(
+                S._int_l2(sl, F.array(*[F.lit(int(x)) for x in cv])).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cv in enumerate(books[s])
+        ]
+        code_cols.append(F.least(*cands)["c"].cast("int"))
+    want = {
+        r.vec_id: r.codes
+        for r in emb.select("vec_id", F.array(*code_cols).alias("codes")).collect()
+    }
+    got = {r.vec_id: r.codes for r in S.pq_encode(emb, books).collect()}
+    assert got == want
